@@ -1,0 +1,184 @@
+"""Port of the behavior covered by tests/vector_arithmetics.cpp (reference):
+expression assignment, compound assignment, builtins, ternary, user
+functions, tagged terminals, temporaries, constants, element_index."""
+
+import numpy as np
+import pytest
+
+import vexcl_tpu as vex
+from conftest import check_sample
+
+N = 1024
+
+
+def make(ctx, rng, n=N):
+    a = rng.random(n)
+    v = vex.vector(data=a, context=ctx)
+    return a, v
+
+
+def test_assign_expression(ctx, rng):
+    ha, a = make(ctx, rng)
+    hb, b = make(ctx, rng)
+    hc, c = make(ctx, rng)
+    x = vex.vector(N, dtype=np.float64, context=ctx)
+    x[:] = 2 * a - vex.sin(b) * c
+    check_sample(x, lambda i: 2 * ha[i] - np.sin(hb[i]) * hc[i])
+
+
+def test_assign_scalar(ctx):
+    x = vex.vector(N, dtype=np.float64, context=ctx)
+    x[:] = 42.0
+    assert np.all(np.asarray(x) == 42.0)
+
+
+def test_compound_assignment(ctx, rng):
+    ha, a = make(ctx, rng)
+    hb, b = make(ctx, rng)
+    x = vex.vector(N, dtype=np.float64, context=ctx)
+    x[:] = 1.0
+    x += a * b
+    check_sample(x, lambda i: 1.0 + ha[i] * hb[i])
+    x -= 2 * a
+    check_sample(x, lambda i: 1.0 + ha[i] * hb[i] - 2 * ha[i])
+    x *= 3.0
+    check_sample(x, lambda i: 3 * (1.0 + ha[i] * hb[i] - 2 * ha[i]))
+    x /= 3.0
+    check_sample(x, lambda i: 1.0 + ha[i] * hb[i] - 2 * ha[i])
+
+
+def test_cache_hits(ctx, rng):
+    """Same expression structure with new data must reuse the compiled
+    kernel (the sha1-keyed kernel cache analog, SURVEY §3.2)."""
+    ha, a = make(ctx, rng)
+    hb, b = make(ctx, rng)
+    x = vex.vector(N, dtype=np.float64, context=ctx)
+    x[:] = a + b
+    before = len(vex.kernel_cache)
+    hc, c = make(ctx, rng)
+    hd, d = make(ctx, rng)
+    x[:] = c + d
+    assert len(vex.kernel_cache) == before
+    check_sample(x, lambda i: hc[i] + hd[i])
+
+
+def test_builtins(ctx, rng):
+    ha, a = make(ctx, rng)
+    x = vex.vector(N, dtype=np.float64, context=ctx)
+    x[:] = vex.sqrt(a) + vex.exp(a) - vex.log(1 + a) + vex.floor(a * 10)
+    check_sample(
+        x,
+        lambda i: np.sqrt(ha[i]) + np.exp(ha[i]) - np.log1p(ha[i]) + np.floor(ha[i] * 10),
+    )
+    x[:] = vex.pow(a, 2.5) + vex.atan2(a, 2 * a + 1)
+    check_sample(x, lambda i: ha[i] ** 2.5 + np.arctan2(ha[i], 2 * ha[i] + 1))
+
+
+def test_ternary(ctx, rng):
+    ha, a = make(ctx, rng)
+    x = vex.vector(N, dtype=np.float64, context=ctx)
+    x[:] = vex.if_else(a > 0.5, a * 2, -a)
+    check_sample(x, lambda i: ha[i] * 2 if ha[i] > 0.5 else -ha[i])
+
+
+def test_user_function(ctx, rng):
+    @vex.function
+    def squared_radius(x, y):
+        return x * x + y * y
+
+    ha, a = make(ctx, rng)
+    hb, b = make(ctx, rng)
+    x = vex.vector(N, dtype=np.float64, context=ctx)
+    x[:] = squared_radius(a, b) + 1
+    check_sample(x, lambda i: ha[i] ** 2 + hb[i] ** 2 + 1)
+    # dual functor: eager on scalars
+    assert squared_radius(3.0, 4.0) == 25.0
+
+
+def test_element_index(ctx):
+    x = vex.vector(N, dtype=np.float64, context=ctx)
+    x[:] = 0.5 * vex.element_index()
+    check_sample(x, lambda i: 0.5 * i)
+    x[:] = vex.element_index(offset=100) + 0.0
+    check_sample(x, lambda i: i + 100.0)
+
+
+def test_tagged_terminal(ctx, rng):
+    ha, a = make(ctx, rng)
+    x = vex.vector(N, dtype=np.float64, context=ctx)
+    ta = vex.tag(1, a)
+    x[:] = ta * ta + ta
+    check_sample(x, lambda i: ha[i] ** 2 + ha[i])
+
+
+def test_temporary(ctx, rng):
+    ha, a = make(ctx, rng)
+    x = vex.vector(N, dtype=np.float64, context=ctx)
+    t = vex.make_temp(1, vex.sin(a) + 1)
+    x[:] = t * t
+    check_sample(x, lambda i: (np.sin(ha[i]) + 1) ** 2)
+
+
+def test_constant(ctx, rng):
+    ha, a = make(ctx, rng)
+    x = vex.vector(N, dtype=np.float64, context=ctx)
+    x[:] = vex.constant(np.pi, "pi") * a
+    check_sample(x, lambda i: np.pi * ha[i])
+
+
+def test_cast(ctx, rng):
+    ha, a = make(ctx, rng)
+    x = vex.vector(N, dtype=np.int32, context=ctx)
+    x[:] = vex.cast(np.int32, a * 100)
+    check_sample(x, lambda i: np.int32(ha[i] * 100), atol=1)
+
+
+def test_size_mismatch_raises(ctx, rng):
+    _, a = make(ctx, rng, n=N)
+    _, b = make(ctx, rng, n=N // 2)
+    x = vex.vector(N, dtype=np.float64, context=ctx)
+    with pytest.raises(ValueError):
+        x[:] = a + b
+
+
+def test_vector_copy_readwrite(ctx, rng):
+    ha, a = make(ctx, rng)
+    b = a.copy()
+    assert np.allclose(np.asarray(b), ha)
+    b.write_data(np.zeros(10), offset=5)
+    hb = np.asarray(b)
+    assert np.all(hb[5:15] == 0)
+    assert np.allclose(hb[:5], ha[:5])
+    assert b[3] == pytest.approx(ha[3])
+    b[3] = 7.0
+    assert b[3] == 7.0
+
+
+def test_reinterpret(ctx):
+    a = vex.vector(data=np.arange(16, dtype=np.uint32), context=ctx)
+    b = a.reinterpret(np.float32)
+    back = b.reinterpret(np.uint32)
+    assert np.array_equal(np.asarray(back), np.arange(16, dtype=np.uint32))
+
+
+def test_comparison_and_logic(ctx, rng):
+    ha, a = make(ctx, rng)
+    x = vex.vector(N, dtype=np.float64, context=ctx)
+    x[:] = vex.if_else((a > 0.25) & (a < 0.75), 1.0, 0.0)
+    check_sample(x, lambda i: 1.0 if 0.25 < ha[i] < 0.75 else 0.0)
+
+
+def test_compound_with_expression_rhs(ctx, rng):
+    """x = 2*x + y pattern: LHS appears in RHS."""
+    ha, a = make(ctx, rng)
+    hx = np.linspace(0, 1, N)
+    x = vex.vector(data=hx.copy(), context=ctx)
+    x[:] = 2 * x + a
+    check_sample(x, lambda i: 2 * hx[i] + ha[i])
+
+
+def test_multi_device_partition(ctx):
+    x = vex.vector(N, context=ctx)
+    assert x.nparts == ctx.size
+    p = x.partition()
+    assert p[0] == 0 and p[-1] == N and len(p) == ctx.size + 1

@@ -1,0 +1,81 @@
+"""Thread-safe object/kernel caches with a global purge registry.
+
+TPU-native analog of vexcl/cache.hpp:49-183 (`object_cache`, `kernel_cache`,
+`purge_caches`).  The reference caches compiled OpenCL/CUDA kernels keyed by
+(context, source sha1); here the cached objects are jitted expression
+evaluators keyed by structural expression signature, plus arbitrary scratch
+objects (FFT plans, sort scratch, sparse format conversions).  XLA's own
+jit cache and the persistent compilation cache form the lower tiers.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any, Callable, Dict, Hashable, List
+
+
+class ObjectCache:
+    """Thread-safe key->object cache (cache.hpp:119-162)."""
+
+    def __init__(self, name: str = "") -> None:
+        self.name = name
+        self._lock = threading.Lock()
+        self._store: Dict[Hashable, Any] = {}
+        _register(self)
+
+    def get(self, key: Hashable, default: Any = None) -> Any:
+        with self._lock:
+            return self._store.get(key, default)
+
+    def get_or_create(self, key: Hashable, factory: Callable[[], Any]) -> Any:
+        with self._lock:
+            if key in self._store:
+                return self._store[key]
+        # Build outside the lock: factories may compile (slow) or re-enter.
+        value = factory()
+        with self._lock:
+            return self._store.setdefault(key, value)
+
+    def put(self, key: Hashable, value: Any) -> None:
+        with self._lock:
+            self._store[key] = value
+
+    def __contains__(self, key: Hashable) -> bool:
+        with self._lock:
+            return key in self._store
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._store)
+
+    def purge(self) -> None:
+        with self._lock:
+            self._store.clear()
+
+
+_registry_lock = threading.Lock()
+_registry: List[ObjectCache] = []
+
+
+def _register(cache: ObjectCache) -> None:
+    with _registry_lock:
+        _registry.append(cache)
+
+
+def purge_caches() -> None:
+    """Drop all cached compiled evaluators and scratch objects
+    (cache.hpp purge_caches :170-183)."""
+    with _registry_lock:
+        caches = list(_registry)
+    for c in caches:
+        c.purge()
+    try:
+        import jax
+
+        jax.clear_caches()
+    except Exception:
+        pass
+
+
+# The main expression-evaluator cache (kernel_cache analog, cache.hpp:165).
+kernel_cache = ObjectCache("kernels")

@@ -1,0 +1,88 @@
+"""Global configuration flags.
+
+TPU-native analog of the reference's preprocessor/env configuration layer
+(vexcl/backend/common.hpp:60-96, VEXCL_SHOW_KERNELS / VEXCL_CHECK_SIZES /
+VEXCL_CACHE_KERNELS macros).  Here the flags are plain runtime globals plus
+environment variables, since everything is JIT-compiled by XLA anyway.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def _env_flag(name: str, default: bool = False) -> bool:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v.strip().lower() not in ("", "0", "false", "off", "no")
+
+
+class _Config:
+    def __init__(self) -> None:
+        #: Print lowered representations of compiled expression kernels
+        #: (analog of VEXCL_SHOW_KERNELS, backend/opencl/compiler.hpp:114-119).
+        self.show_kernels: bool = _env_flag("VEXTPU_SHOW_KERNELS")
+
+        #: Size-consistency checking level for expressions
+        #: (analog of VEXCL_CHECK_SIZES, operations.hpp:1442-1458).
+        #: 0 = off, 1 = check partition compatibility, 2 = full size checks.
+        self.check_sizes: int = int(os.environ.get("VEXTPU_CHECK_SIZES", "2"))
+
+        #: Cache compiled expression evaluators in memory
+        #: (analog of VEXCL_CACHE_KERNELS; XLA adds its own second-tier cache).
+        self.cache_kernels: bool = _env_flag("VEXTPU_CACHE_KERNELS", True)
+
+        #: Directory for XLA's persistent compilation cache (analog of the
+        #: $HOME/.vexcl kernel binary cache, backend/common.hpp:215-232).
+        self.cache_dir: str | None = os.environ.get(
+            "VEXTPU_CACHE_DIR", os.path.expanduser("~/.vexcl_tpu")
+        )
+
+        #: Force Pallas kernels to run in interpreter mode.  Auto-enabled on
+        #: non-TPU backends so the full test-suite runs on CPU (the analog of
+        #: the reference's JIT/OpenMP CPU backend, vexcl/backend/jit/*).
+        self.force_interpret: bool = _env_flag("VEXTPU_INTERPRET")
+
+        #: Donate LHS buffers on compound assignment so XLA can update
+        #: in place.  Off by default: donation invalidates aliased handles.
+        self.donate: bool = _env_flag("VEXTPU_DONATE")
+
+        #: Warn when a vector deep-copy happens (VEXCL_SHOW_COPIES analog,
+        #: vector.hpp:367-370).
+        self.show_copies: bool = _env_flag("VEXTPU_SHOW_COPIES")
+
+    def pallas_interpret(self) -> bool:
+        """Whether pallas_call should use interpret mode on this backend."""
+        if self.force_interpret:
+            return True
+        import jax
+
+        return jax.default_backend() != "tpu"
+
+
+config = _Config()
+
+
+_cache_initialized = False
+
+
+def init_compilation_cache() -> None:
+    """Enable XLA's persistent compilation cache (disk kernel-binary cache).
+
+    Mirrors the reference's offline kernel cache keyed by
+    sha1(source, device, options) under $HOME/.vexcl
+    (vexcl/backend/opencl/compiler.hpp:53-102).  XLA keys on the HLO module
+    fingerprint + compile options, which subsumes the same information.
+    """
+    global _cache_initialized
+    if _cache_initialized or not config.cache_dir:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", config.cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _cache_initialized = True
+    except Exception:
+        pass

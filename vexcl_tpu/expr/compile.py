@@ -1,0 +1,246 @@
+"""Expression compilation + evaluation with structural caching.
+
+Analog of `detail::assign_expression` (vexcl/operations.hpp:1818-1909) and
+`assign_multiexpression` (:2081-2185): on first sight of a new expression
+*structure*, build (trace + XLA-compile) a fused kernel; afterwards the hot
+path is one dict lookup plus argument binding — the same warm path shape as
+the reference's `cache.find + setArg + enqueue` (SURVEY §3.2).
+
+The two cache tiers:
+  1. `kernel_cache`  — signature string -> jitted callable (this module),
+  2. XLA's own jit cache (retrace on new shapes/dtypes) + the persistent
+     compilation cache on disk (config.init_compilation_cache).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..cache import kernel_cache
+from ..config import config
+from .node import Analysis, EmitEnv, Expr, analyze
+
+__all__ = ["ASSIGN_OPS", "evaluate", "assign_value", "evaluate_multi", "eval_expr"]
+
+# Assignment operator table (vexcl/operations.hpp:63-96: SET, ADD, SUB, MUL,
+# DIV, MOD, AND, OR, XOR, LSH, RSH).
+ASSIGN_OPS = {
+    "=": None,
+    "+=": lambda old, new: old + new,
+    "-=": lambda old, new: old - new,
+    "*=": lambda old, new: old * new,
+    "/=": lambda old, new: old / new,
+    "%=": lambda old, new: old % new,
+    "&=": lambda old, new: old & new,
+    "|=": lambda old, new: old | new,
+    "^=": lambda old, new: old ^ new,
+    "<<=": lambda old, new: old << new,
+    ">>=": lambda old, new: old >> new,
+}
+
+
+def _env_from(analysis: Analysis, exprs: Sequence[Expr], leaves, n):
+    values = {}
+    for e in exprs:
+        stack = [e]
+        while stack:
+            node = stack.pop()
+            nid = id(node)
+            if nid in analysis.slot_of:
+                values[nid] = leaves[analysis.slot_of[nid]]
+            stack.extend(node.children)
+    return EmitEnv(values, n)
+
+
+def _build_evaluator(
+    exprs: Tuple[Expr, ...],
+    analysis: Analysis,
+    n: Optional[int],
+    post: Optional[Callable] = None,
+    dtypes: Optional[Tuple] = None,
+) -> Callable:
+    """Build the traced function for this structural signature.
+
+    The closure captures the *first* expression instance seen with this
+    signature; later instances re-use it, passing their own leaves in the
+    same deterministic slot order (guaranteed by the shared signature).
+    """
+
+    def run(*leaves):
+        env = _env_from(analysis, exprs, leaves, n)
+        outs = [e.emit(env) for e in exprs]
+        if dtypes is not None:
+            outs = [
+                o if dt is None else o.astype(dt) for o, dt in zip(outs, dtypes)
+            ]
+        if post is not None:
+            return post(*outs)
+        return outs[0] if len(outs) == 1 else tuple(outs)
+
+    jfn = jax.jit(run)
+    if config.show_kernels:
+        _shown = [False]
+        inner = jfn
+
+        def showing(*leaves):
+            if not _shown[0]:
+                _shown[0] = True
+                print(f"-- kernel [{analysis.sig[:120]}] --")
+                print(jax.make_jaxpr(run)(*leaves))
+            return inner(*leaves)
+
+        return showing
+    return jfn
+
+
+def _check_sizes(exprs: Sequence[Expr], n: Optional[int]) -> None:
+    if config.check_sizes < 2 or n is None:
+        return
+    for e in exprs:
+        for t in e.vector_terminals():
+            if t.vec.size != n:
+                raise ValueError(
+                    f"expression size mismatch: vector of size {t.vec.size} "
+                    f"in expression assigned to size {n} "
+                    "(set config.check_sizes=0 to disable)"
+                )
+
+
+def evaluate(
+    expr: Expr,
+    n: Optional[int] = None,
+    op: str = "=",
+    old: Any = None,
+    out_dtype=None,
+):
+    """Evaluate one expression, optionally combining with the old LHS value
+    for compound assignment.  Returns a jax.Array."""
+    from .node import as_expr
+
+    expr = as_expr(expr)
+    _check_sizes((expr,), n)
+    combine = ASSIGN_OPS[op]
+
+    if combine is None:
+        analysis = analyze(expr)
+        cache_key = (analysis.sig, "=", n, str(out_dtype))
+
+        def factory():
+            def post(val):
+                if n is not None and jnp.ndim(val) == 0:
+                    val = jnp.full((n,), val, dtype=out_dtype or jnp.result_type(val))
+                elif n is not None and jnp.shape(val) != (n,):
+                    val = jnp.broadcast_to(val, (n,)) if jnp.size(val) == 1 else val.reshape((n,))
+                return val
+
+            return _build_evaluator((expr,), analysis, n, post=post, dtypes=(out_dtype,))
+
+        jfn = (
+            kernel_cache.get_or_create(cache_key, factory)
+            if config.cache_kernels
+            else factory()
+        )
+        return jfn(*analysis.leaves)
+
+    # compound: old value becomes leaf 0
+    analysis = analyze(expr)
+    cache_key = (analysis.sig, op, n, str(out_dtype))
+
+    def factory():
+        def run(old_val, *leaves):
+            env = _env_from(analysis, (expr,), leaves, n)
+            val = expr.emit(env)
+            if jnp.ndim(val) == 0 and n is not None:
+                val = jnp.broadcast_to(val, (n,))
+            res = combine(old_val, val)
+            return res.astype(out_dtype) if out_dtype is not None else res
+
+        donate = (0,) if config.donate else ()
+        return jax.jit(run, donate_argnums=donate)
+
+    jfn = (
+        kernel_cache.get_or_create(cache_key, factory)
+        if config.cache_kernels
+        else factory()
+    )
+    return jfn(old, *analysis.leaves)
+
+
+def assign_value(vec, value, op: str = "=") -> None:
+    """Drive an assignment onto a vector container."""
+    arr = evaluate(
+        value, n=vec.size, op=op, old=vec.array if op != "=" else None,
+        out_dtype=vec.dtype,
+    )
+    vec._set_array(arr)
+
+
+def evaluate_multi(
+    exprs: Sequence[Expr],
+    ns: Sequence[Optional[int]],
+    ops: Sequence[str],
+    olds: Sequence[Any],
+    out_dtypes: Sequence[Any],
+) -> Tuple:
+    """Fused evaluation of N expressions in ONE compiled kernel.
+
+    Analog of assign_multiexpression / vex::tie (operations.hpp:2081-2185,
+    :2251): all component expressions are traced into a single jitted
+    function so XLA emits one fused kernel, sharing common subexpression
+    loads exactly like the reference's fused multivector kernels.
+    """
+    from .node import as_expr
+
+    exprs = tuple(as_expr(e) for e in exprs)
+    for e, n in zip(exprs, ns):
+        _check_sizes((e,), n)
+    analysis = analyze(*exprs)
+    cache_key = (
+        analysis.sig,
+        tuple(ops),
+        tuple(ns),
+        tuple(str(d) for d in out_dtypes),
+    )
+
+    need_old = [ASSIGN_OPS[op] is not None for op in ops]
+
+    def factory():
+        def run(olds_in, *leaves):
+            env = _env_from(analysis, exprs, leaves, None)
+            outs = []
+            oi = 0
+            for i, e in enumerate(exprs):
+                env.n = ns[i]
+                val = e.emit(env)
+                if jnp.ndim(val) == 0 and ns[i] is not None:
+                    val = jnp.broadcast_to(val, (ns[i],))
+                if need_old[i]:
+                    val = ASSIGN_OPS[ops[i]](olds_in[oi], val)
+                    oi += 1
+                if out_dtypes[i] is not None:
+                    val = val.astype(out_dtypes[i])
+                outs.append(val)
+            return tuple(outs)
+
+        return jax.jit(run)
+
+    jfn = (
+        kernel_cache.get_or_create(cache_key, factory)
+        if config.cache_kernels
+        else factory()
+    )
+    olds_in = tuple(o for o, ne in zip(olds, need_old) if ne)
+    return jfn(olds_in, *analysis.leaves)
+
+
+def eval_expr(expr: Expr):
+    """vex::eval(expr) (eval.hpp:38-110): evaluate for value/side effects
+    without assigning to a container; returns the computed array."""
+    from .node import as_expr, expression_properties
+
+    expr = as_expr(expr)
+    n, _ = expression_properties(expr)
+    return evaluate(expr, n=n)

@@ -1,0 +1,380 @@
+"""vex::vector<T> — the device container, sharded over the context mesh.
+
+Analog of vexcl/vector.hpp:220-1234.  The reference keeps one buffer per
+device plus a partition-point array ``part[]`` (:913-916); here the storage
+is a single ``jax.Array`` carrying a ``NamedSharding`` over the context's
+mesh axis — XLA's partitioner plays the role of the per-device kernel
+launches in `assign_expression` (operations.hpp:1843-1895).
+
+Assignment syntax (C++ `x = expr;` cannot be overloaded in Python):
+
+    x[:] = 2 * y + vex.sin(z)     # SET
+    x += a * b                    # compound ops mutate in place
+    x.assign(expr)                # explicit form
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import config
+from .context import Context, current_context
+from .expr.compile import ASSIGN_OPS, evaluate
+from .expr.node import Expr, VectorTerminal, as_expr
+from .types import dtype_of
+
+__all__ = ["vector", "copy", "partition"]
+
+
+class _ExprOpsMixin:
+    """Forward arithmetic dunders through the expression engine."""
+
+    def _as_terminal(self) -> Expr:
+        raise NotImplementedError
+
+    def __add__(self, o):
+        return self._as_terminal() + o
+
+    def __radd__(self, o):
+        return as_expr(o) + self._as_terminal()
+
+    def __sub__(self, o):
+        return self._as_terminal() - o
+
+    def __rsub__(self, o):
+        return as_expr(o) - self._as_terminal()
+
+    def __mul__(self, o):
+        return self._as_terminal() * o
+
+    def __rmul__(self, o):
+        return as_expr(o) * self._as_terminal()
+
+    def __truediv__(self, o):
+        return self._as_terminal() / o
+
+    def __rtruediv__(self, o):
+        return as_expr(o) / self._as_terminal()
+
+    def __floordiv__(self, o):
+        return self._as_terminal() // o
+
+    def __mod__(self, o):
+        return self._as_terminal() % o
+
+    def __pow__(self, o):
+        return self._as_terminal() ** o
+
+    def __rpow__(self, o):
+        return as_expr(o) ** self._as_terminal()
+
+    def __neg__(self):
+        return -self._as_terminal()
+
+    def __abs__(self):
+        return abs(self._as_terminal())
+
+    def __invert__(self):
+        return ~self._as_terminal()
+
+    def __lt__(self, o):
+        return self._as_terminal() < as_expr(o)
+
+    def __le__(self, o):
+        return self._as_terminal() <= as_expr(o)
+
+    def __gt__(self, o):
+        return self._as_terminal() > as_expr(o)
+
+    def __ge__(self, o):
+        return self._as_terminal() >= as_expr(o)
+
+    def __eq__(self, o):
+        return self._as_terminal() == as_expr(o)
+
+    def __ne__(self, o):
+        return self._as_terminal() != as_expr(o)
+
+    __hash__ = object.__hash__
+
+
+class vector(_ExprOpsMixin):
+    """Multi-device 1-D array container."""
+
+    def __init__(
+        self,
+        arg: Any = None,
+        dtype: Any = None,
+        *,
+        context: Optional[Context] = None,
+        data: Any = None,
+        fill: Any = None,
+        sharded: Optional[bool] = None,
+    ) -> None:
+        self.context = context or current_context()
+        if data is None and not isinstance(arg, (int, np.integer)) and arg is not None:
+            data, arg = arg, None
+
+        if data is not None:
+            host = (
+                data
+                if isinstance(data, (jax.Array, np.ndarray))
+                else np.asarray(list(data) if isinstance(data, Iterable) else data)
+            )
+            if dtype is not None:
+                host = (
+                    host.astype(dtype_of(dtype))
+                    if hasattr(host, "astype")
+                    else np.asarray(host, dtype_of(dtype))
+                )
+            if host.ndim != 1:
+                host = np.ravel(host)
+            arr = host
+        else:
+            n = int(arg or 0)
+            dt = dtype_of(dtype if dtype is not None else jnp.float32)
+            if fill is not None:
+                arr = np.full(n, fill, dtype=dt)
+            else:
+                arr = jnp.zeros(n, dtype=dt)
+
+        self._sharded = sharded if sharded is not None else self.context.size > 1
+        self._array = self._place(arr)
+
+    # -- storage -----------------------------------------------------------
+    def _place(self, arr) -> jax.Array:
+        sh = (
+            self.context.vector_sharding
+            if self._sharded
+            else jax.sharding.SingleDeviceSharding(self.context.devices[0])
+        )
+        return jax.device_put(arr, sh)
+
+    @property
+    def array(self) -> jax.Array:
+        return self._array
+
+    def _set_array(self, arr: jax.Array) -> None:
+        self._array = arr
+
+    @property
+    def dtype(self) -> np.dtype:
+        return np.dtype(self._array.dtype)
+
+    @property
+    def size(self) -> int:
+        return int(self._array.shape[0])
+
+    def __len__(self) -> int:
+        return self.size
+
+    @property
+    def nparts(self) -> int:
+        """Number of device partitions (len(part)-1 analog)."""
+        return self.context.size if self._sharded else 1
+
+    def partition(self) -> np.ndarray:
+        """Partition points across devices (vector.hpp part[] analog)."""
+        return partition(self.size, self.context if self._sharded else None)
+
+    # -- expression protocol -------------------------------------------------
+    def _as_terminal(self) -> Expr:
+        return VectorTerminal(self)
+
+    # -- assignment ----------------------------------------------------------
+    def assign(self, value: Any, op: str = "=") -> "vector":
+        if isinstance(value, vector) and op == "=":
+            self._check_copy(value)
+            self._array = self._place(value.array.astype(self.dtype))
+            return self
+        if isinstance(value, (int, float, complex, bool, np.generic)) and op == "=":
+            self._array = self._place(
+                jnp.full(self.size, value, dtype=self.dtype)
+            )
+            return self
+        arr = evaluate(
+            value,
+            n=self.size,
+            op=op,
+            old=self._array if ASSIGN_OPS[op] is not None else None,
+            out_dtype=self.dtype,
+        )
+        self._array = arr
+        return self
+
+    def _check_copy(self, other: "vector") -> None:
+        if config.show_copies:
+            import warnings
+
+            warnings.warn(
+                f"deep copy of vector of size {other.size} "
+                "(VEXTPU_SHOW_COPIES)", stacklevel=3
+            )
+
+    def __setitem__(self, key, value) -> None:
+        if isinstance(key, slice) and key == slice(None):
+            self.assign(value)
+            return
+        if isinstance(key, (int, np.integer)):
+            self._array = self._array.at[int(key)].set(value)
+            return
+        if isinstance(key, slice):
+            idx = np.arange(*key.indices(self.size))
+        else:
+            idx = np.asarray(key)
+        val = evaluate(value, n=len(idx)) if isinstance(value, (Expr, vector)) else value
+        if isinstance(val, vector):
+            val = val.array
+        self._array = self._array.at[idx].set(val)
+
+    def __getitem__(self, key):
+        if isinstance(key, (int, np.integer)):
+            return self._array[int(key)].item()
+        if isinstance(key, slice) and key == slice(None):
+            return self._as_terminal()
+        from .expr.view import SliceTerminal
+
+        return SliceTerminal(self._as_terminal(), key)
+
+    # -- compound assignment ---------------------------------------------------
+    def __iadd__(self, o):
+        return self.assign(o, "+=")
+
+    def __isub__(self, o):
+        return self.assign(o, "-=")
+
+    def __imul__(self, o):
+        return self.assign(o, "*=")
+
+    def __itruediv__(self, o):
+        return self.assign(o, "/=")
+
+    def __imod__(self, o):
+        return self.assign(o, "%=")
+
+    def __iand__(self, o):
+        return self.assign(o, "&=")
+
+    def __ior__(self, o):
+        return self.assign(o, "|=")
+
+    def __ixor__(self, o):
+        return self.assign(o, "^=")
+
+    def __ilshift__(self, o):
+        return self.assign(o, "<<=")
+
+    def __irshift__(self, o):
+        return self.assign(o, ">>=")
+
+    # -- host transfer (read_data/write_data/map, vector.hpp:805-911) ----------
+    def to_numpy(self) -> np.ndarray:
+        return np.asarray(self._array)
+
+    def __array__(self, dtype=None):
+        a = self.to_numpy()
+        return a.astype(dtype) if dtype is not None else a
+
+    def read_data(self, offset: int = 0, size: Optional[int] = None) -> np.ndarray:
+        size = self.size - offset if size is None else size
+        return np.asarray(self._array[offset : offset + size])
+
+    def write_data(self, host: Any, offset: int = 0) -> None:
+        host = np.asarray(host, dtype=self.dtype)
+        self._array = self._array.at[offset : offset + len(host)].set(host)
+
+    def map(self, part: int = 0) -> np.ndarray:
+        """Host view of one device partition (vector.hpp map :805)."""
+        p = self.partition()
+        return np.asarray(self._array[p[part] : p[part + 1]])
+
+    # -- misc -------------------------------------------------------------------
+    def copy(self) -> "vector":
+        self._check_copy(self)
+        return vector(data=self._array, dtype=self.dtype, context=self.context,
+                      sharded=self._sharded)
+
+    def clone(self) -> "vector":
+        return self.copy()
+
+    def reinterpret(self, dtype) -> "vector":
+        """Bit-reinterpret the buffer as another scalar type
+        (vector.hpp:478-489)."""
+        dt = dtype_of(dtype)
+        old = self.dtype
+        arr = self._array
+        if dt.itemsize == old.itemsize:
+            out = jax.lax.bitcast_convert_type(arr, dt)
+        elif dt.itemsize < old.itemsize:
+            out = jax.lax.bitcast_convert_type(arr, dt).reshape(-1)
+        else:
+            k = dt.itemsize // old.itemsize
+            out = jax.lax.bitcast_convert_type(arr.reshape(-1, k), dt)
+        return vector(data=out, context=self.context, sharded=self._sharded)
+
+    def resize(self, n: int, fill: Any = 0) -> None:
+        old = self._array
+        if n <= self.size:
+            self._array = self._place(old[:n])
+        else:
+            pad = jnp.full(n - self.size, fill, dtype=self.dtype)
+            self._array = self._place(jnp.concatenate([old, pad]))
+
+    def swap(self, other: "vector") -> None:
+        self._array, other._array = other._array, self._array
+        self._sharded, other._sharded = other._sharded, self._sharded
+
+    def block_until_ready(self) -> "vector":
+        self._array.block_until_ready()
+        return self
+
+    def __repr__(self) -> str:
+        # pretty printer analog (vector.hpp:1259-1282)
+        n = self.size
+        a = self.to_numpy()
+        if n <= 16:
+            body = ", ".join(f"{v:g}" if np.isrealobj(a) else str(v) for v in a)
+        else:
+            head = ", ".join(f"{v:g}" for v in a[:8])
+            tail = ", ".join(f"{v:g}" for v in a[-4:])
+            body = f"{head}, ..., {tail}"
+        return f"vector<{self.dtype}>[{n}]{{ {body} }}"
+
+    def __iter__(self):
+        return iter(self.to_numpy())
+
+
+def partition(n: int, context: Optional[Context] = None) -> np.ndarray:
+    """Even partition points of a size-n vector over the context devices
+    (vexcl/vector.hpp partitioning_scheme :83-170).
+
+    TPU devices are homogeneous, so the measured-bandwidth weighting of the
+    reference (device_vector_perf, vector.hpp:1237-1255) collapses to even
+    block sharding; `set_partitioning` in parallel/partition.py keeps the
+    weighted API for custom splits.
+    """
+    if context is None or context.size <= 1:
+        return np.array([0, n])
+    from .parallel.partition import partition_points
+
+    return partition_points(n, context.size)
+
+
+def copy(src, dst=None):
+    """vex::copy analog (vector.hpp:998-1228): device<->host transfers."""
+    if isinstance(src, vector) and dst is None:
+        return src.to_numpy()
+    if isinstance(src, vector) and isinstance(dst, vector):
+        dst.assign(src)
+        return dst
+    if isinstance(src, vector):
+        np.copyto(dst, src.to_numpy())
+        return dst
+    if isinstance(dst, vector):
+        dst.write_data(np.asarray(src))
+        return dst
+    raise TypeError("copy() expects at least one vexcl_tpu.vector")
