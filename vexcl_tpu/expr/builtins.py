@@ -29,6 +29,24 @@ class builtin:
         self.__name__ = name
 
     def __call__(self, *args):
+        # componentwise lift over multivector / MultiExpr operands
+        multi = [a for a in args if hasattr(a, "components") or hasattr(a, "_as_multi")]
+        if multi:
+            m = multi[0]
+            nparts = m.nparts
+
+            def comp(a, i):
+                if hasattr(a, "_as_multi"):
+                    return a(i)._as_terminal()
+                if hasattr(a, "components"):
+                    return a.components[i]
+                return a
+
+            from ..multivector import MultiExpr
+
+            return MultiExpr(
+                [self(*[comp(a, i) for a in args]) for i in range(nparts)]
+            )
         if any(isinstance(a, Expr) or hasattr(a, "_as_terminal") for a in args):
             return FuncCall(self.name, self.impl, [as_expr(a) for a in args])
         return self.impl(*args)

@@ -1,0 +1,150 @@
+"""Expression-fused reductions: SUM / MIN / MAX / Kahan / combined.
+
+Analog of vexcl/reductor.hpp (reduction ops :47-128, CombineReductors
+:133-280, Reductor::operator() :302-439, Kahan codegen :537-564).
+
+The reference emits a grid-stride partial-sum kernel + shared-memory tree
+per device and combines partials on the host.  On TPU the whole pipeline —
+expression map, block partials, tree combine, cross-device psum — is one
+XLA reduction over the fused expression: XLA fuses elementwise producers
+into reduction kernels natively and inserts ICI collectives for sharded
+inputs, so no host staging occurs.  Kahan summation (which XLA cannot
+express as a plain reduction) is implemented as chunk partial sums + a
+compensated `lax.scan` over the partials — the same structure as the
+reference's per-thread Kahan accumulation + tree combine.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cache import kernel_cache
+from ..config import config
+from ..expr.compile import _env_from  # shared trace plumbing
+from ..expr.node import Expr, analyze, as_expr, expression_properties
+from ..types import dtype_of
+
+__all__ = [
+    "SUM",
+    "MIN",
+    "MAX",
+    "SUM_Kahan",
+    "MIN_MAX",
+    "CombineReductors",
+    "Reductor",
+]
+
+
+class ReductionKind:
+    """One reduction operation (reductor.hpp:47-128)."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __repr__(self):
+        return f"<reduction {self.name}>"
+
+
+SUM = ReductionKind("SUM")
+MIN = ReductionKind("MIN")
+MAX = ReductionKind("MAX")
+SUM_Kahan = ReductionKind("SUM_Kahan")
+
+
+def CombineReductors(*kinds: ReductionKind) -> Tuple[ReductionKind, ...]:
+    """Run several reductions over one data pass (reductor.hpp:133-280).
+    Under XLA the fused kernel reads the expression once and feeds both
+    accumulators, matching the reference's combined kernel."""
+    return tuple(kinds)
+
+
+MIN_MAX = CombineReductors(MIN, MAX)
+
+
+def _kahan_sum(x: jnp.ndarray, chunk: int = 4096):
+    """Compensated summation: chunk partials + Kahan scan over partials."""
+    n = x.shape[0]
+    nchunks = max(1, -(-n // chunk))
+    pad = nchunks * chunk - n
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros(pad, dtype=x.dtype)])
+    partials = jnp.sum(x.reshape(nchunks, chunk), axis=1)
+
+    def body(carry, p):
+        s, c = carry
+        y = p - c
+        t = s + y
+        c = (t - s) - y
+        return (t, c), None
+
+    (s, _), _ = jax.lax.scan(body, (jnp.zeros((), x.dtype), jnp.zeros((), x.dtype)), partials)
+    return s
+
+
+def _apply_kind(kind: ReductionKind, val: jnp.ndarray):
+    if kind is SUM:
+        return jnp.sum(val)
+    if kind is MIN:
+        return jnp.min(val)
+    if kind is MAX:
+        return jnp.max(val)
+    if kind is SUM_Kahan:
+        return _kahan_sum(val)
+    raise ValueError(f"unknown reduction kind {kind!r}")
+
+
+class Reductor:
+    """``Reductor(SUM)`` / ``Reductor(np.float64, SUM)`` /
+    ``Reductor(np.float64, MIN_MAX)``; call it on any expression::
+
+        Sum = vex.Reductor(vex.SUM)
+        s = Sum(x * y)            # fused multiply + reduce, one kernel
+    """
+
+    def __init__(self, arg0: Any = None, arg1: Any = None, *, context=None):
+        if isinstance(arg0, (ReductionKind, tuple)):
+            self.kinds = arg0
+            self.dtype = dtype_of(arg1) if arg1 is not None else None
+        else:
+            self.dtype = dtype_of(arg0) if arg0 is not None else None
+            self.kinds = arg1 if arg1 is not None else SUM
+        self.context = context
+        self._combined = isinstance(self.kinds, tuple)
+
+    def __call__(self, expr: Any) -> Union[float, Tuple[float, ...]]:
+        expr = as_expr(expr)
+        n, _ctx = expression_properties(expr)
+        kinds = self.kinds if self._combined else (self.kinds,)
+        analysis = analyze(expr)
+        key = (
+            "reduce",
+            analysis.sig,
+            tuple(k.name for k in kinds),
+            n,
+            str(self.dtype),
+        )
+
+        def factory():
+            def run(*leaves):
+                env = _env_from(analysis, (expr,), leaves, n)
+                val = expr.emit(env)
+                if self.dtype is not None:
+                    val = val.astype(self.dtype)
+                if jnp.ndim(val) == 0 and n is not None:
+                    val = jnp.broadcast_to(val, (n,))
+                return tuple(_apply_kind(k, val) for k in kinds)
+
+            return jax.jit(run)
+
+        jfn = (
+            kernel_cache.get_or_create(key, factory)
+            if config.cache_kernels
+            else factory()
+        )
+        out = jfn(*analysis.leaves)
+        res = tuple(o.item() for o in out)
+        return res if self._combined else res[0]
