@@ -1,0 +1,150 @@
+"""Ports of tests/{scan,scan_by_key,reduce_by_key,sort,gather}.cpp behavior."""
+
+import numpy as np
+import pytest
+
+import vexcl_tpu as vex
+
+N = 1 << 14
+
+
+def test_inclusive_exclusive_scan(ctx, rng):
+    hx = rng.integers(0, 100, N).astype(np.int64)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.inclusive_scan(x)
+    np.testing.assert_array_equal(np.asarray(y), np.cumsum(hx))
+    z = vex.exclusive_scan(x)
+    np.testing.assert_array_equal(
+        np.asarray(z), np.concatenate([[0], np.cumsum(hx)[:-1]])
+    )
+
+
+def test_scan_with_init_and_op(ctx, rng):
+    import jax.numpy as jnp
+
+    hx = rng.random(N)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.inclusive_scan(x, init=10.0)
+    np.testing.assert_allclose(np.asarray(y), 10.0 + np.cumsum(hx), rtol=1e-12)
+    # custom associative op: running maximum
+    m = vex.inclusive_scan(x, op=jnp.maximum, op_name="max")
+    np.testing.assert_allclose(np.asarray(m), np.maximum.accumulate(hx))
+    # exclusive with init
+    e = vex.exclusive_scan(x, init=5.0)
+    expect = np.concatenate([[5.0], 5.0 + np.cumsum(hx)[:-1]])
+    np.testing.assert_allclose(np.asarray(e), expect, rtol=1e-12)
+
+
+def test_scan_by_key(ctx, rng):
+    hk = np.sort(rng.integers(0, 32, N)).astype(np.int32)
+    hv = rng.random(N)
+    k = vex.vector(data=hk, context=ctx)
+    v = vex.vector(data=hv, context=ctx)
+    out = vex.inclusive_scan_by_key(k, v)
+    # oracle
+    expect = np.zeros(N)
+    acc = 0.0
+    for i in range(N):
+        acc = hv[i] if i > 0 and hk[i] != hk[i - 1] else acc + hv[i]
+        if i == 0:
+            acc = hv[0]
+        expect[i] = acc
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-10)
+
+    exc = vex.exclusive_scan_by_key(k, v)
+    expect_exc = np.zeros(N)
+    for i in range(N):
+        expect_exc[i] = 0.0 if (i == 0 or hk[i] != hk[i - 1]) else expect_exc[i - 1] + hv[i - 1]
+    np.testing.assert_allclose(np.asarray(exc), expect_exc, rtol=1e-10)
+
+
+def test_scan_by_key_tuple_keys(ctx, rng):
+    hk1 = np.sort(rng.integers(0, 8, N)).astype(np.int32)
+    hk2 = rng.integers(0, 2, N).astype(np.int32)
+    hv = np.ones(N)
+    k1 = vex.vector(data=hk1, context=ctx)
+    k2 = vex.vector(data=hk2, context=ctx)
+    v = vex.vector(data=hv, context=ctx)
+    out = vex.inclusive_scan_by_key((k1, k2), v)
+    expect = np.zeros(N)
+    for i in range(N):
+        new = i == 0 or hk1[i] != hk1[i - 1] or hk2[i] != hk2[i - 1]
+        expect[i] = 1.0 if new else expect[i - 1] + 1.0
+    np.testing.assert_allclose(np.asarray(out), expect)
+
+
+def test_reduce_by_key(ctx, rng):
+    hk = np.sort(rng.integers(0, 64, N)).astype(np.int32)
+    hv = rng.random(N)
+    k = vex.vector(data=hk, context=ctx)
+    v = vex.vector(data=hv, context=ctx)
+    ok, ov, m = vex.reduce_by_key(k, v)
+    ukeys = np.unique(hk)
+    assert m == len(ukeys)
+    np.testing.assert_array_equal(np.asarray(ok), ukeys)
+    sums = np.array([hv[hk == u].sum() for u in ukeys])
+    np.testing.assert_allclose(np.asarray(ov), sums, rtol=1e-10)
+
+
+def test_sort(ctx, rng):
+    hk = rng.random(N).astype(np.float32)
+    k = vex.vector(data=hk, context=ctx)
+    vex.sort(k)
+    got = np.asarray(k)
+    np.testing.assert_allclose(got, np.sort(hk))
+
+
+def test_sort_descending(ctx, rng):
+    hk = rng.integers(0, 1 << 30, N).astype(np.uint32)
+    k = vex.vector(data=hk, context=ctx)
+    vex.sort(k, descending=True)
+    np.testing.assert_array_equal(np.asarray(k), np.sort(hk)[::-1])
+
+
+def test_sort_by_key(ctx, rng):
+    hk = rng.integers(0, 1 << 20, N).astype(np.int32)
+    hv = np.arange(N, dtype=np.float64)
+    k = vex.vector(data=hk, context=ctx)
+    v = vex.vector(data=hv, context=ctx)
+    vex.sort_by_key(k, v)
+    order = np.argsort(hk, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), hk[order])
+    np.testing.assert_allclose(np.asarray(v), hv[order])
+
+
+def test_sort_tuple_keys(ctx, rng):
+    """Fusion-tuple keys: lexicographic (sort.hpp:2120-2156)."""
+    hk1 = rng.integers(0, 4, N).astype(np.int32)
+    hk2 = rng.random(N)
+    k1 = vex.vector(data=hk1, context=ctx)
+    k2 = vex.vector(data=hk2, context=ctx)
+    vex.sort((k1, k2))
+    order = np.lexsort((hk2, hk1))
+    np.testing.assert_array_equal(np.asarray(k1), hk1[order])
+    np.testing.assert_allclose(np.asarray(k2), hk2[order])
+
+
+def test_sort_key_fn(ctx, rng):
+    """Comparator-by-key-transform: sort by |x - 0.5|."""
+    import jax.numpy as jnp
+
+    hk = rng.random(N)
+    k = vex.vector(data=hk, context=ctx)
+    vex.sort(k, key_fn=lambda x: jnp.abs(x - 0.5))
+    got = np.asarray(k)
+    assert np.all(np.diff(np.abs(got - 0.5)) >= -1e-12)
+    np.testing.assert_allclose(np.sort(got), np.sort(hk))
+
+
+def test_gather_scatter(ctx, rng):
+    hx = rng.random(N)
+    x = vex.vector(data=hx, context=ctx)
+    idx = np.sort(rng.choice(N, size=100, replace=False))
+    got = vex.gather(x, idx)
+    np.testing.assert_allclose(got, hx[idx])
+    vex.scatter(np.zeros(100), idx, x)
+    hx2 = np.asarray(x)
+    assert np.all(hx2[idx] == 0)
+    mask = np.ones(N, bool)
+    mask[idx] = False
+    np.testing.assert_allclose(hx2[mask], hx[mask])

@@ -1,0 +1,107 @@
+"""Segmented reduction: reduce_by_key.
+
+Analog of vexcl/reduce_by_key.hpp:435-585 (Bolt-derived, single-device).
+
+TPU-native design: segmented inclusive scan (one `associative_scan`) +
+tail extraction.  The output length equals the number of distinct key runs
+— inherently data-dependent, so like the reference (which resizes host-side
+after counting) we do one scalar device->host sync for the count, then a
+device-side compaction gather.  Returns (keys_out, vals_out, count).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cache import kernel_cache
+from ..config import config
+from ..vector import vector
+from .scan_by_key import _key_arrays
+
+__all__ = ["reduce_by_key"]
+
+
+def reduce_by_key(
+    keys: Union[vector, Sequence[vector]],
+    vals: vector,
+    okeys: Optional[Union[vector, Sequence[vector]]] = None,
+    ovals: Optional[vector] = None,
+    op: Optional[Callable] = None,
+    op_name: Optional[str] = None,
+    key_eq: Optional[Callable] = None,
+) -> Tuple:
+    """Reduce runs of equal (tuples of) keys; returns (okeys, ovals, count).
+
+    If ``okeys``/``ovals`` containers are passed they are resized and filled
+    (reference calling convention, reduce_by_key.hpp:435); otherwise new
+    vectors are returned.
+    """
+    ks = _key_arrays(keys)
+    multi = isinstance(keys, (tuple, list))
+
+    cache_key = ("reduce_by_key", op_name or "add", key_eq is not None, len(ks))
+
+    def factory():
+        def run(vals_in, *ks_in):
+            fn = op or jnp.add
+            n = vals_in.shape[0]
+            if key_eq is not None:
+                eq = key_eq(*[k[:-1] for k in ks_in], *[k[1:] for k in ks_in])
+            else:
+                eq = jnp.ones(n - 1, dtype=bool)
+                for k in ks_in:
+                    eq = eq & (k[:-1] == k[1:])
+            heads = jnp.concatenate([jnp.ones((1,), bool), ~eq])
+            tails = jnp.concatenate([~eq, jnp.ones((1,), bool)])
+
+            def combine(a, b):
+                fa, va = a
+                fb, vb = b
+                return fa | fb, jnp.where(fb, vb, fn(va, vb))
+
+            _, incl = jax.lax.associative_scan(combine, (heads, vals_in))
+            # rank of each segment tail among tails -> compacted position
+            seg_id = jnp.cumsum(heads) - 1
+            count = seg_id[-1] + 1
+            # scatter tails to compacted slots
+            vals_out = jnp.zeros(n, vals_in.dtype)
+            vals_out = vals_out.at[jnp.where(tails, seg_id, n)].set(incl, mode="drop")
+            keys_out = tuple(
+                jnp.zeros(n, k.dtype).at[jnp.where(heads, seg_id, n)].set(k, mode="drop")
+                for k in ks_in
+            )
+            return count, vals_out, keys_out
+
+        return jax.jit(run)
+
+    jfn = (
+        kernel_cache.get_or_create(cache_key, factory)
+        if config.cache_kernels
+        else factory()
+    )
+    count, vals_full, keys_full = jfn(vals.array, *ks)
+    m = int(count)  # one scalar sync, as in the reference's host resize
+
+    ctx = vals.context
+    out_val_arr = vals_full[:m]
+    out_key_arrs = [k[:m] for k in keys_full]
+
+    if ovals is None:
+        ovals = vector(data=out_val_arr, context=ctx)
+    else:
+        ovals._set_array(out_val_arr.astype(ovals.dtype))
+    if okeys is None:
+        okeys_out = [vector(data=k, context=ctx) for k in out_key_arrs]
+    else:
+        okeys_list = list(okeys) if isinstance(okeys, (tuple, list)) else [okeys]
+        for dst, arr in zip(okeys_list, out_key_arrs):
+            dst._set_array(arr.astype(dst.dtype))
+        okeys_out = okeys_list
+
+    if not multi:
+        return okeys_out[0], ovals, m
+    return tuple(okeys_out), ovals, m

@@ -1,0 +1,135 @@
+"""Segmented (by-key) scan.
+
+Analog of vexcl/scan_by_key.hpp:67-757 (same Bolt 3-phase structure as
+scan.hpp with a key-equality predicate; single-device per partition in the
+reference).
+
+TPU-native design: the classic segmented-scan monoid over (reset-flag,
+value) pairs run through one `associative_scan` —
+    (f1,v1) . (f2,v2) = (f1|f2,  f2 ? v2 : op(v1,v2))
+which is associative for any associative op, so XLA's log-depth scan and
+its sharded partitioning apply unchanged; no host fix-up, and multi-device
+works (improving on the reference's single-device restriction).
+
+Keys may be a single vector or a tuple of vectors (the reference's
+fusion-tuple keys, scan_by_key.hpp:724-757); a custom key-equality
+predicate is supported as a traced callable over neighboring key values.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..cache import kernel_cache
+from ..config import config
+from ..vector import vector
+
+__all__ = [
+    "inclusive_scan_by_key",
+    "exclusive_scan_by_key",
+    "segment_flags",
+]
+
+
+def _key_arrays(keys) -> Tuple:
+    if isinstance(keys, (tuple, list)):
+        return tuple(k.array if isinstance(k, vector) else jnp.asarray(k) for k in keys)
+    return (keys.array if isinstance(keys, vector) else jnp.asarray(keys),)
+
+
+def segment_flags(keys, key_eq: Optional[Callable] = None):
+    """flags[i] = 1 if element i starts a new segment."""
+    ks = _key_arrays(keys)
+
+    def flags_of(*ks):
+        if key_eq is not None:
+            eq = key_eq(*[k[:-1] for k in ks], *[k[1:] for k in ks])
+        else:
+            eq = jnp.ones(ks[0].shape[0] - 1, dtype=bool)
+            for k in ks:
+                eq = eq & (k[:-1] == k[1:])
+        return jnp.concatenate([jnp.ones((1,), bool), ~eq])
+
+    return flags_of(*ks), ks
+
+
+def _run(keys, src, dst, op, op_name, key_eq, exclusive, init):
+    flags, ks = segment_flags(keys, key_eq)
+    if dst is None:
+        dst = vector(src.size, dtype=src.dtype, context=src.context)
+
+    cache_key = (
+        "scan_by_key",
+        op_name or "add",
+        key_eq is not None,
+        exclusive,
+        init is not None,
+        len(ks),
+    )
+
+    def factory():
+        def run(flags, vals, init_val):
+            fn = op or jnp.add
+
+            def combine(a, b):
+                fa, va = a
+                fb, vb = b
+                return fa | fb, jnp.where(fb, vb, fn(va, vb))
+
+            _, incl = jax.lax.associative_scan(combine, (flags, vals))
+            if not exclusive:
+                if init is not None:
+                    incl = fn(jnp.broadcast_to(init_val, incl.shape), incl)
+                return incl
+            shifted = jnp.concatenate([jnp.zeros((1,), vals.dtype), incl[:-1]])
+            iv = jnp.asarray(init_val, vals.dtype)
+            out = jnp.where(
+                flags,
+                iv,
+                fn(jnp.broadcast_to(iv, shifted.shape), shifted)
+                if init is not None
+                else shifted,
+            )
+            if init is None:
+                out = jnp.where(flags, jnp.zeros((), vals.dtype), shifted)
+            return out
+
+        return jax.jit(run)
+
+    jfn = (
+        kernel_cache.get_or_create(cache_key, factory)
+        if config.cache_kernels
+        else factory()
+    )
+    iv = jnp.asarray(0 if init is None else init, src.array.dtype)
+    dst._set_array(jfn(flags, src.array, iv).astype(dst.dtype))
+    return dst
+
+
+def inclusive_scan_by_key(
+    keys: Union[vector, Sequence[vector]],
+    src: vector,
+    dst: Optional[vector] = None,
+    init: Any = None,
+    op: Optional[Callable] = None,
+    op_name: Optional[str] = None,
+    key_eq: Optional[Callable] = None,
+) -> vector:
+    """vex::inclusive_scan_by_key (scan_by_key.hpp:724-741)."""
+    return _run(keys, src, dst, op, op_name, key_eq, exclusive=False, init=init)
+
+
+def exclusive_scan_by_key(
+    keys: Union[vector, Sequence[vector]],
+    src: vector,
+    dst: Optional[vector] = None,
+    init: Any = None,
+    op: Optional[Callable] = None,
+    op_name: Optional[str] = None,
+    key_eq: Optional[Callable] = None,
+) -> vector:
+    """vex::exclusive_scan_by_key (scan_by_key.hpp:743-757)."""
+    return _run(keys, src, dst, op, op_name, key_eq, exclusive=True, init=init)
