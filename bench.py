@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""Benchmark harness mirroring the reference's examples/benchmark.cpp +
+fft_benchmark.cpp (see SURVEY.md §6 / BASELINE.md).
+
+Prints ONE JSON line on stdout:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+
+Headline metric: fused-elementwise bandwidth as % of HBM speed-of-light
+(BASELINE.json target: >=85% on v5e).  All sub-benchmarks land in "extra".
+
+Timing methodology (important on the axon TPU tunnel):
+  * `block_until_ready` can acknowledge early and the tunnel adds large,
+    noisy round-trip latency (~30 ms), so a timed region must end with a
+    DATA FETCH and the fetch/dispatch overhead must be cancelled.
+  * Each benchmark therefore runs an on-device chain of `inner` dependent
+    iterations (lax.fori_loop, output feeds input so nothing can be cached
+    or elided) at TWO chain lengths; the per-iteration time is the SLOPE
+    (T_hi - T_lo) / (inner_hi - inner_lo), which cancels RTT, dispatch and
+    fetch costs — the same spirit as the reference timing an enqueued batch
+    of M kernels (benchmark.cpp:84-148).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import vexcl_tpu as vex  # noqa: E402
+
+HBM_SOL = float(os.environ.get("VEXTPU_HBM_GBS", "819")) * 1e9
+
+
+def _fetch(out):
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    while getattr(leaf, "ndim", 0) > 0:
+        leaf = leaf[0]
+    return float(jnp.real(leaf)) if jnp.iscomplexobj(leaf) else float(leaf)
+
+
+def slope_seconds(step, x0, lo=8, hi=40, reps=3):
+    """Per-iteration seconds of `step` (array -> array), measured as the
+    slope between two chained-run lengths."""
+
+    def make(inner):
+        @jax.jit
+        def run(v):
+            return jax.lax.fori_loop(0, inner, lambda i, a: step(a), v)
+
+        return run
+
+    times = {}
+    for inner in (lo, hi):
+        run = make(inner)
+        _fetch(run(x0))  # compile + warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = run(x0)
+            _fetch(out)
+            ts.append(time.perf_counter() - t0)
+        times[inner] = min(ts)
+    return max((times[hi] - times[lo]) / (hi - lo), 1e-9)
+
+
+def bench_fused_elementwise(n=1 << 24):
+    """a = 2*b + sin(c): 3 arrays touched (benchmark.cpp:153-216)."""
+    c = jnp.full(n, 0.5, jnp.float32)
+    x0 = jnp.zeros(n, jnp.float32)
+    # c participates via the loop carry so it cannot be hoisted
+    t = slope_seconds(lambda v: 2.0 * v + jnp.sin(c + v[0] * 1e-20), x0)
+    return 3 * n * 4 / t / 1e9, t
+
+
+def bench_saxpy(n=1 << 24):
+    b = jnp.full(n, 0.5, jnp.float32)
+    x0 = jnp.zeros(n, jnp.float32)
+    t = slope_seconds(lambda v: 0.999 * v + b, x0)
+    return 3 * n * 4 / t / 1e9, t
+
+
+def bench_reduction(n=1 << 24):
+    """sum(a*b) (benchmark.cpp:220-280): chain mutates a cheaply so each
+    iteration re-reads both arrays."""
+    b = jnp.full(n, 0.5, jnp.float32)
+    x0 = jnp.ones(n, jnp.float32)
+
+    def step(v):
+        s = jnp.sum(v * b)
+        return v + s * 1e-30  # dependency without changing the workload
+
+    t = slope_seconds(step, x0, lo=8, hi=40)
+    # each iteration: reduction reads 2 arrays + the update touches 2 more;
+    # report the reduction's own traffic share (2 reads) of measured time
+    return 2 * n * 4 / (t / 2) / 1e9, t
+
+
+def bench_stencil(n=1 << 24, w=5):
+    coeff = jnp.asarray(np.linspace(0.1, 0.5, w), dtype=jnp.float32)
+    x0 = jnp.ones(n, jnp.float32)
+
+    def step(x):
+        xp = jnp.pad(x, (w // 2, w - 1 - w // 2), mode="edge")
+        y = jnp.zeros_like(x)
+        for k in range(w):
+            y = y + coeff[k] * xp[k : k + n]
+        return y * 0.399  # keep magnitudes stable across the chain
+
+    t = slope_seconds(step, x0, lo=4, hi=20)
+    return 2 * w * n / t / 1e9, 2 * n * 4 / t / 1e9, t
+
+
+def bench_spmv(m=64, fmt=None):
+    """7-pt Poisson m^3 (benchmark.cpp:353-478); auto format -> DIA."""
+    from vexcl_tpu.utils.poisson import poisson_7pt
+
+    ptr, col, val = poisson_7pt(m, dtype=np.float32)
+    n = m ** 3
+    A = vex.SpMat(n, n, ptr, col, val, fmt=fmt)
+    nnz = int(ptr[-1])
+    dev = A.device
+    x0 = jnp.ones(n, jnp.float32)
+    t = slope_seconds(lambda x: dev.apply(x) * 0.083, x0, lo=4, hi=20)
+    return (2 * nnz + n) / t / 1e9, t
+
+
+def bench_sort(n=1 << 24):
+    x0 = jax.random.randint(jax.random.PRNGKey(0), (n,), 0, 1 << 30,
+                            dtype=jnp.int32)
+
+    def step(k):
+        # cheap bit-mix so every iteration sorts fresh keys
+        k = (k * np.int32(0x9E3779B1)) ^ (k >> 7)
+        return jax.lax.sort(k)
+
+    t = slope_seconds(step, x0, lo=2, hi=8)
+    return n / t / 1e6, t
+
+
+def bench_scan(n=1 << 24):
+    from vexcl_tpu.ops.pallas_scan import pallas_cumsum, use_pallas_scan
+
+    x0 = jnp.ones(n, jnp.float32)
+    impl = pallas_cumsum if use_pallas_scan(x0, None) else jnp.cumsum
+    t = slope_seconds(lambda v: impl(v) * 1e-7, x0, lo=4, hi=20)
+    return n / t / 1e9, t
+
+
+def bench_rng(n=1 << 24):
+    from vexcl_tpu.ops.random import philox4x32
+
+    x0 = jnp.arange(n, dtype=jnp.uint32)
+
+    def step(idx):
+        z = jnp.zeros_like(idx)
+        b = philox4x32(idx, z, z, z, jnp.uint32(42), jnp.uint32(0))
+        return b[0]  # feeds next iteration: fresh counters each time
+
+    t = slope_seconds(step, x0, lo=4, hi=20)
+    return n / t / 1e9, t
+
+
+def bench_fft(n=1 << 20):
+    from vexcl_tpu.ops.fft import Plan
+
+    plan = Plan((n,), None, False, np.complex64)
+    x0 = jnp.ones(n, jnp.float32)
+    t = slope_seconds(lambda v: jnp.abs(plan(v)) * 1e-3, x0, lo=2, hi=8)
+    return 5 * n * np.log2(n) / t / 1e9, t
+
+
+def main():
+    extra = {"device": str(jax.devices()[0].device_kind),
+             "timing": "two-point slope of on-device chains"}
+
+    fused_gbs, _ = bench_fused_elementwise()
+    extra["fused_elementwise_GBs"] = round(fused_gbs, 1)
+    saxpy_gbs, _ = bench_saxpy()
+    extra["saxpy_GBs"] = round(saxpy_gbs, 1)
+    red_gbs, _ = bench_reduction()
+    extra["reduction_GBs"] = round(red_gbs, 1)
+    st_gflops, st_gbs, _ = bench_stencil()
+    extra["stencil_GBs"] = round(st_gbs, 1)
+    spmv_gflops, _ = bench_spmv()
+    extra["spmv_poisson64_GFLOPs"] = round(spmv_gflops, 2)
+    sort_mkeys, _ = bench_sort()
+    extra["sort_Mkeys_s"] = round(sort_mkeys, 1)
+    scan_gelems, _ = bench_scan()
+    extra["scan_Gelem_s"] = round(scan_gelems, 2)
+    rng_grands, _ = bench_rng()
+    extra["philox_Grand_s"] = round(rng_grands, 2)
+    fft_gflops, _ = bench_fft()
+    extra["fft_2^20_GFLOPs"] = round(fft_gflops, 1)
+
+    pct = 100.0 * fused_gbs * 1e9 / HBM_SOL
+    result = {
+        "metric": "fused elementwise bandwidth, % of HBM speed-of-light (v5e)",
+        "value": round(pct, 1),
+        "unit": "%",
+        "vs_baseline": round(pct / 85.0, 3),  # target: >=85% (BASELINE.md)
+        "extra": extra,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

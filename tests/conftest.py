@@ -9,8 +9,10 @@ virtual CPU devices, which gives a genuine 8-way mesh for sharding tests.
 
 import os
 
-# Must run before jax initializes.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must run before jax initializes.  Force CPU: the ambient environment may
+# preset JAX_PLATFORMS=axon (the real TPU), but the suite needs the 8-device
+# virtual mesh.  Run bench.py / examples for real-TPU coverage.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,6 +22,9 @@ os.environ.setdefault("VEXTPU_CACHE_DIR", "")  # no disk cache in tests
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize registers the axon TPU backend in every
+# process and wins over the env var — force the platform at config level.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

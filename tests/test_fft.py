@@ -1,0 +1,93 @@
+"""Port of tests/fft.cpp behavior: known transforms, inverse-identity,
+non-power-of-two (Bluestein), 2-D, batched."""
+
+import numpy as np
+import pytest
+
+import vexcl_tpu as vex
+
+ATOL = 1e-8  # complex128 on the CPU test mesh
+
+
+def _roundtrip(ctx, n):
+    rng = np.random.default_rng(n)
+    hx = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    x = vex.vector(data=hx, dtype=np.complex128, context=ctx)
+    y = vex.vector(n, dtype=np.complex128, context=ctx)
+    f = vex.FFT(n)
+    y[:] = f(x)
+    np.testing.assert_allclose(np.asarray(y), np.fft.fft(hx), rtol=1e-7, atol=ATOL)
+    # inverse identity (reference oracle when FFTW absent, tests/fft.cpp)
+    z = vex.vector(n, dtype=np.complex128, context=ctx)
+    z[:] = vex.FFT(n, inverse=True)(y)
+    np.testing.assert_allclose(np.asarray(z), hx, rtol=1e-7, atol=ATOL)
+
+
+@pytest.mark.parametrize("n", [64, 1024, 4096])
+def test_pow2(ctx, n):
+    _roundtrip(ctx, n)
+
+
+@pytest.mark.parametrize("n", [3 * 5 * 7, 729, 1000, 1536])
+def test_mixed_radix(ctx, n):
+    _roundtrip(ctx, n)
+
+
+@pytest.mark.parametrize("n", [17, 97, 1009])
+def test_prime_bluestein(ctx, n):
+    _roundtrip(ctx, n)
+
+
+def test_real_input(ctx, rng):
+    n = 512
+    hx = rng.standard_normal(n)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(n, dtype=np.complex128, context=ctx)
+    y[:] = vex.FFT(n)(x)
+    np.testing.assert_allclose(np.asarray(y), np.fft.fft(hx), rtol=1e-7, atol=ATOL)
+
+
+def test_2d(ctx, rng):
+    rows, cols = 32, 48
+    hx = rng.standard_normal((rows, cols)) + 1j * rng.standard_normal((rows, cols))
+    x = vex.vector(data=hx.ravel(), dtype=np.complex128, context=ctx)
+    y = vex.vector(rows * cols, dtype=np.complex128, context=ctx)
+    y[:] = vex.FFT((rows, cols))(x)
+    np.testing.assert_allclose(
+        np.asarray(y).reshape(rows, cols), np.fft.fft2(hx), rtol=1e-7, atol=ATOL
+    )
+
+
+def test_batched(ctx, rng):
+    """fft::none batch dims (fft.hpp dims)."""
+    batch, n = 16, 128
+    hx = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    x = vex.vector(data=hx.ravel(), dtype=np.complex128, context=ctx)
+    y = vex.vector(batch * n, dtype=np.complex128, context=ctx)
+    y[:] = vex.FFT((batch, n), dims=(1,))(x)
+    np.testing.assert_allclose(
+        np.asarray(y).reshape(batch, n), np.fft.fft(hx, axis=1), rtol=1e-7, atol=ATOL
+    )
+
+
+def test_fft_in_expression(ctx, rng):
+    """FFT terminals compose with expressions: y = fft(x) * conj(fft(x))."""
+    n = 256
+    hx = rng.standard_normal(n)
+    x = vex.vector(data=hx, context=ctx)
+    f = vex.FFT(n)
+    p = vex.vector(n, dtype=np.complex128, context=ctx)
+    fx = vex.make_temp(1, f(x))
+    p[:] = fx * vex.conj(fx)
+    np.testing.assert_allclose(
+        np.asarray(p), np.abs(np.fft.fft(hx)) ** 2, rtol=1e-6, atol=ATOL
+    )
+
+
+def test_plan_cache(ctx):
+    from vexcl_tpu.ops.fft import plan_cache
+
+    vex.FFT(2048)
+    a = len(plan_cache)
+    vex.FFT(2048)
+    assert len(plan_cache) == a

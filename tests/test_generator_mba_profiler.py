@@ -1,0 +1,130 @@
+"""Ports of tests/generator.cpp (symbolic kernel recording), tests/mba.cpp
+(B-spline scattered interpolation), and profiler smoke tests."""
+
+import numpy as np
+import pytest
+
+import vexcl_tpu as vex
+from vexcl_tpu import generator
+
+
+def test_symbolic_euler_kernel(ctx, rng):
+    """Record 4 Euler steps of dx/dt = -x on the host, replay as ONE
+    fused kernel (examples/symbolic.cpp pattern)."""
+    dt = 0.01
+    x = generator.symbolic()
+    for _ in range(4):
+        x.assign(x - dt * x)
+    step = generator.build_kernel("euler4", [x], params=[x])
+
+    hx = rng.random(1024)
+    X = vex.vector(data=hx, context=ctx)
+    step(X)
+    np.testing.assert_allclose(np.asarray(X), hx * (1 - dt) ** 4, rtol=1e-12)
+    # kernel is reusable
+    step(X)
+    np.testing.assert_allclose(np.asarray(X), hx * (1 - dt) ** 8, rtol=1e-12)
+
+
+def test_symbolic_rk4_lorenz(ctx, rng):
+    """The reference's flagship demo: record an RK4 step of the Lorenz
+    system over symbolic state; one kernel per ensemble step."""
+    sigma, b = 10.0, 8.0 / 3.0
+    dt = 0.01
+
+    def lorenz(x, y, z, R):
+        return (sigma * (y - x), R * x - y - x * z, x * y - b * z)
+
+    def rk4(sys, x, y, z, R):
+        k1 = sys(x, y, z, R)
+        k2 = sys(x + 0.5 * dt * k1[0], y + 0.5 * dt * k1[1], z + 0.5 * dt * k1[2], R)
+        k3 = sys(x + 0.5 * dt * k2[0], y + 0.5 * dt * k2[1], z + 0.5 * dt * k2[2], R)
+        k4 = sys(x + dt * k3[0], y + dt * k3[1], z + dt * k3[2], R)
+        return (
+            x + dt / 6 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0]),
+            y + dt / 6 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1]),
+            z + dt / 6 * (k1[2] + 2 * k2[2] + 2 * k3[2] + k4[2]),
+        )
+
+    sx, sy, sz, sR = (generator.symbolic() for _ in range(4))
+    nx, ny, nz = rk4(lorenz, sx, sy, sz, sR)
+    sx.assign(nx)
+    sy.assign(ny)
+    sz.assign(nz)
+    step = generator.build_kernel("lorenz_rk4", [sx, sy, sz], params=[sx, sy, sz, sR])
+
+    n = 256
+    hx, hy, hz = (rng.random(n) for _ in range(3))
+    hR = np.linspace(10, 30, n)
+    X = vex.vector(data=hx, context=ctx)
+    Y = vex.vector(data=hy, context=ctx)
+    Z = vex.vector(data=hz, context=ctx)
+    R = vex.vector(data=hR, context=ctx)
+    step(X, Y, Z, R)
+
+    # numpy oracle of the same RK4 step
+    ex, ey, ez = rk4(lorenz, hx, hy, hz, hR)
+    np.testing.assert_allclose(np.asarray(X), ex, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(Y), ey, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(Z), ez, rtol=1e-10)
+
+
+def test_make_function(ctx, rng):
+    f = generator.make_function(lambda a, b: a * a + b)
+    hx = rng.random(512)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(512, dtype=np.float64, context=ctx)
+    y[:] = f(x, 1.0)
+    np.testing.assert_allclose(np.asarray(y), hx ** 2 + 1, rtol=1e-12)
+
+
+def test_mba_1d(ctx, rng):
+    """1-D scattered fit: interpolant reproduces smooth data."""
+    pts = rng.random(400)
+    vals = np.sin(2 * np.pi * pts)
+    interp = vex.mba([-0.01], [1.01], [pts], vals, grid=[8], levels=8)
+    hq = np.linspace(0.05, 0.95, 200)
+    q = vex.vector(data=hq, context=ctx)
+    z = vex.vector(200, dtype=np.float64, context=ctx)
+    z[:] = interp(q)
+    np.testing.assert_allclose(np.asarray(z), np.sin(2 * np.pi * hq), atol=5e-3)
+
+
+def test_mba_2d(ctx, rng):
+    """2-D fit (tests/mba.cpp pattern): f(x,y) = x*y."""
+    n = 4000
+    px, py = rng.random(n), rng.random(n)
+    vals = px * py
+    interp = vex.mba([-0.01, -0.01], [1.01, 1.01], [px, py], vals,
+                     grid=[4, 4], levels=9)
+    m = 300
+    qx, qy = rng.random(m), rng.random(m)
+    X = vex.vector(data=qx, context=ctx)
+    Y = vex.vector(data=qy, context=ctx)
+    z = vex.vector(m, dtype=np.float64, context=ctx)
+    z[:] = interp(X, Y)
+    np.testing.assert_allclose(np.asarray(z), qx * qy, atol=2e-2)
+    # in-expression use (docs: mba composes with expressions)
+    z[:] = 1.0 + interp(X, Y)
+    np.testing.assert_allclose(np.asarray(z), 1 + qx * qy, atol=2e-2)
+
+
+def test_profiler(ctx):
+    prof = vex.profiler("test")
+    prof.tic_cpu("outer")
+    prof.tic_cl("inner")
+    x = vex.vector(1024, context=ctx)
+    x[:] = 1.0
+    prof.toc("inner")
+    prof.toc("outer")
+    rep = str(prof)
+    assert "outer" in rep and "inner" in rep
+
+
+def test_stopwatch():
+    w = vex.stopwatch()
+    w.tic()
+    lap = w.toc()
+    assert lap >= 0 and w.laps == 1
+    with pytest.raises(RuntimeError):
+        w.toc()

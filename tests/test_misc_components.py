@@ -1,0 +1,150 @@
+"""Ports of tests/{events,custom_kernel,svm,threads}.cpp + interop/image
+coverage."""
+
+import threading
+
+import numpy as np
+import pytest
+
+import vexcl_tpu as vex
+
+
+def test_events_marker_barrier(ctx):
+    x = vex.vector(1024, context=ctx)
+    x[:] = 1.0
+    ev = vex.enqueue_marker(ctx)
+    ev.wait()
+    assert ev.complete
+    vex.enqueue_barrier(ctx)
+
+
+def test_enqueue_redirect(ctx, ctx1, rng):
+    """vex::enqueue(queue)(x) = expr (enqueue.hpp)."""
+    ha = rng.random(256)
+    a = vex.vector(data=ha, context=ctx)
+    x = vex.vector(256, dtype=np.float64, context=ctx)
+    vex.enqueue(ctx1)(x)[:] = 2 * a
+    np.testing.assert_allclose(np.asarray(x), 2 * ha)
+
+
+def test_custom_kernel_traced(ctx, rng):
+    """Custom kernel over raw buffers (tests/custom_kernel.cpp analog)."""
+    ha = rng.random(512).astype(np.float32)
+    a = vex.vector(data=ha, context=ctx)
+    k = vex.CustomKernel(lambda x: x * x + 1, traced=True)
+    y = k(a)
+    np.testing.assert_allclose(np.asarray(y), ha * ha + 1, rtol=1e-6)
+
+
+def test_custom_pallas_kernel(ctx, rng):
+    """Pallas kernel body (interpret mode on the CPU mesh)."""
+    ha = rng.random(256).astype(np.float32)
+    a = vex.vector(data=ha, context=ctx)
+
+    def body(x_ref, o_ref):
+        o_ref[...] = x_ref[...] * 3.0
+
+    y = vex.backend.launch(body, a)
+    np.testing.assert_allclose(np.asarray(y), ha * 3, rtol=1e-6)
+
+
+def test_threads(ctx):
+    """One host thread per workload (tests/threads.cpp:9-35): the library
+    must be thread-safe through the caches."""
+    errs = []
+
+    def work(seed):
+        try:
+            rng = np.random.default_rng(seed)
+            ha = rng.random(1 << 12)
+            a = vex.vector(data=ha, context=ctx)
+            Sum = vex.Reductor(vex.SUM)
+            s = Sum(a * a)
+            assert abs(s - (ha * ha).sum()) < 1e-6 * len(ha)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+
+
+def test_svm_vector(ctx):
+    v = vex.svm_vector(16, dtype=np.float64, context=ctx)
+    with v as host:
+        host[:] = np.arange(16)
+    np.testing.assert_allclose(np.asarray(v), np.arange(16.0))
+
+
+def test_image2d_nearest_linear(ctx):
+    img_data = np.arange(16, dtype=np.float64).reshape(4, 4)
+    xs = np.array([0.0, 1.0, 2.5, 3.0])
+    ys = np.array([0.0, 2.0, 1.5, 3.0])
+    X = vex.vector(data=xs, context=ctx)
+    Y = vex.vector(data=ys, context=ctx)
+
+    img = vex.image2d(img_data, filter="nearest")
+    out = vex.vector(4, dtype=np.float64, context=ctx)
+    out[:] = img(X, Y)
+    expect = img_data[np.round(ys).astype(int), np.round(xs).astype(int)]
+    np.testing.assert_allclose(np.asarray(out), expect)
+
+    img_l = vex.image2d(img_data, filter="linear")
+    out[:] = img_l(X, Y)
+    # bilinear at (2.5, 1.5): average of the 4 neighbors
+    assert np.asarray(out)[2] == pytest.approx(
+        (img_data[1, 2] + img_data[1, 3] + img_data[2, 2] + img_data[2, 3]) / 4
+    )
+
+
+def test_interop_numpy_torch(ctx, rng):
+    from vexcl_tpu import interop
+
+    ha = rng.random(64)
+    v = interop.from_numpy(ha, context=ctx)
+    t = interop.to_torch(v)
+    assert np.allclose(t.numpy(), ha)
+    v2 = interop.from_torch(t * 2, context=ctx)
+    np.testing.assert_allclose(np.asarray(v2), 2 * ha)
+
+
+def test_interop_scipy_cg(ctx):
+    """ViennaCL-interop analog: run CG on a vexcl_tpu sparse operator."""
+    n = 128
+    # SPD tridiagonal
+    ptr, col, val = [0], [], []
+    for i in range(n):
+        for j, v in ((i - 1, -1.0), (i, 2.1), (i + 1, -1.0)):
+            if 0 <= j < n:
+                col.append(j)
+                val.append(v)
+        ptr.append(len(col))
+    A = vex.SpMat(n, n, np.asarray(ptr), np.asarray(col, np.int32),
+                  np.asarray(val), fmt="csr", context=ctx)
+    hb = np.ones(n)
+    b = vex.vector(data=hb, context=ctx)
+
+    # device-side CG
+    from vexcl_tpu.interop import as_linear_operator, cg
+
+    x, iters = cg(A, b, tol=1e-10)
+    resid = hb - np.asarray(vex.eval(A * x))
+    assert np.linalg.norm(resid) < 1e-6
+    assert iters > 0
+
+    # scipy CG through the LinearOperator shim
+    import scipy.sparse.linalg as sla
+
+    xs, info = sla.cg(as_linear_operator(A), hb, rtol=1e-10)
+    assert info == 0
+    np.testing.assert_allclose(np.asarray(x), xs, atol=1e-5)
+
+
+def test_nonuniform_size_vector(ctx):
+    """Sizes not divisible by the device count still work (replicated)."""
+    v = vex.vector(1001, dtype=np.float64, context=ctx)
+    v[:] = vex.element_index() * 1.0
+    assert np.asarray(v)[-1] == 1000.0

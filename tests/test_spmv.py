@@ -1,0 +1,168 @@
+"""Port of tests/spmv.cpp behavior: dense-random and Poisson matrices vs
+host oracle, hybrid/csr/ell formats, inline spmv in expressions, CCSR,
+distributed ghost-exchange SpMV."""
+
+import numpy as np
+import pytest
+
+import vexcl_tpu as vex
+from vexcl_tpu import sparse
+
+
+def random_csr(rng, n, m, density=0.05):
+    nnz_row = rng.integers(1, max(2, int(m * density)), size=n)
+    ptr = np.concatenate([[0], np.cumsum(nnz_row)])
+    col = np.concatenate([
+        np.sort(rng.choice(m, size=k, replace=False)) for k in nnz_row
+    ]).astype(np.int32)
+    val = rng.standard_normal(ptr[-1])
+    return ptr, col, val
+
+
+def csr_matvec(ptr, col, val, x):
+    y = np.zeros(len(ptr) - 1, dtype=np.result_type(val, x))
+    for i in range(len(ptr) - 1):
+        y[i] = val[ptr[i]:ptr[i + 1]] @ x[col[ptr[i]:ptr[i + 1]]]
+    return y
+
+
+def poisson_7pt(n):
+    """64^3-style 7-point Poisson CSR (tests/spmv.cpp, benchmark.cpp:353-478)."""
+    idx = lambda i, j, k: (i * n + j) * n + k
+    ptr, col, val = [0], [], []
+    for i in range(n):
+        for j in range(n):
+            for k in range(n):
+                for (di, dj, dk, v) in (
+                    (0, 0, 0, 6.0), (-1, 0, 0, -1.0), (1, 0, 0, -1.0),
+                    (0, -1, 0, -1.0), (0, 1, 0, -1.0),
+                    (0, 0, -1, -1.0), (0, 0, 1, -1.0),
+                ):
+                    ii, jj, kk = i + di, j + dj, k + dk
+                    if 0 <= ii < n and 0 <= jj < n and 0 <= kk < n:
+                        col.append(idx(ii, jj, kk))
+                        val.append(v)
+                ptr.append(len(col))
+    return (np.asarray(ptr), np.asarray(col, np.int32), np.asarray(val))
+
+
+N = 512
+M = 512
+
+
+@pytest.mark.parametrize("fmt", ["csr", "ell", "hyb"])
+def test_spmv_formats(ctx, rng, fmt):
+    ptr, col, val = random_csr(rng, N, M)
+    hx = rng.random(M)
+    A = vex.SpMat(N, M, ptr, col, val, fmt=fmt, context=ctx)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(N, dtype=np.float64, context=ctx)
+    y[:] = A * x
+    np.testing.assert_allclose(np.asarray(y), csr_matvec(ptr, col, val, hx), rtol=1e-10)
+
+
+def test_spmv_in_expression(ctx, rng):
+    """Inline SpMV: y = alpha*(A*x) + beta*z in ONE kernel
+    (spmat/inline_spmv.hpp semantics)."""
+    ptr, col, val = random_csr(rng, N, M)
+    hx = rng.random(M)
+    hz = rng.random(N)
+    A = vex.SpMat(N, M, ptr, col, val, context=ctx)
+    x = vex.vector(data=hx, context=ctx)
+    z = vex.vector(data=hz, context=ctx)
+    y = vex.vector(N, dtype=np.float64, context=ctx)
+    y[:] = 2.0 * vex.make_inline(A * x) + 0.5 * z
+    expect = 2.0 * csr_matvec(ptr, col, val, hx) + 0.5 * hz
+    np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-10)
+
+
+def test_spmv_apply_append(ctx, rng):
+    ptr, col, val = random_csr(rng, N, M)
+    hx = rng.random(M)
+    A = vex.SpMat(N, M, ptr, col, val, context=ctx)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(N, dtype=np.float64, context=ctx)
+    y[:] = 1.0
+    A.apply(x, y, alpha=3.0, append=True)
+    np.testing.assert_allclose(
+        np.asarray(y), 1.0 + 3.0 * csr_matvec(ptr, col, val, hx), rtol=1e-10
+    )
+
+
+def test_poisson_spmv(ctx):
+    n = 16
+    ptr, col, val = poisson_7pt(n)
+    nn = n ** 3
+    hx = np.random.default_rng(1).random(nn)
+    A = vex.SpMat(nn, nn, ptr, col, val, fmt="hyb", context=ctx)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(nn, dtype=np.float64, context=ctx)
+    y[:] = A * x
+    np.testing.assert_allclose(np.asarray(y), csr_matvec(ptr, col, val, hx), rtol=1e-10)
+
+
+def test_ccsr(ctx):
+    """Compressed CSR on a 1-D Laplacian: interior rows share one pattern."""
+    n = 256
+    # unique patterns: row 0 [0,1], interior [-1,0,1], row n-1 [-1,0]
+    idx = np.full(n, 1, np.int32)
+    idx[0] = 0
+    idx[-1] = 2
+    row = np.array([0, 2, 5, 7])
+    col = np.array([0, 1, -1, 0, 1, -1, 0], np.int32)
+    val = np.array([2.0, -1.0, -1.0, 2.0, -1.0, -1.0, 2.0])
+    A = vex.SpMatCCSR(n, n, idx, row, col, val, context=None)
+    hx = np.random.default_rng(2).random(n)
+    x = vex.vector(data=hx)
+    y = vex.vector(n, dtype=np.float64)
+    y[:] = A * x
+    expect = 2 * hx
+    expect[:-1] -= hx[1:]
+    expect[1:] -= hx[:-1]
+    np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-10)
+
+
+def test_distributed_spmv(ctx, rng):
+    """Ghost exchange over the 8-device mesh (sparse/distributed.hpp)."""
+    n = 1000  # deliberately not divisible by 8
+    ptr, col, val = random_csr(rng, n, n, density=0.01)
+    hx = rng.random(n)
+    A = sparse.distributed(n, n, ptr, col, val, context=ctx)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(n, dtype=np.float64, context=ctx)
+    y[:] = A * x
+    np.testing.assert_allclose(np.asarray(y), csr_matvec(ptr, col, val, hx), rtol=1e-10)
+    # in-expression use
+    y[:] = A * x + 1.0
+    np.testing.assert_allclose(
+        np.asarray(y), csr_matvec(ptr, col, val, hx) + 1.0, rtol=1e-10
+    )
+
+
+def test_dia_autodetect_and_correctness(ctx):
+    """TPU-first DIA format: Poisson is banded -> auto-picks DIA."""
+    from vexcl_tpu.utils.poisson import poisson_7pt
+
+    n = 12
+    ptr, col, val = poisson_7pt(n)
+    nn = n ** 3
+    A = vex.SpMat(nn, nn, ptr, col, val, fmt=None, context=ctx)
+    assert A.device.format == "dia"
+    hx = np.random.default_rng(3).random(nn)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(nn, dtype=np.float64, context=ctx)
+    y[:] = A * x
+    np.testing.assert_allclose(np.asarray(y), csr_matvec(ptr, col, val, hx), rtol=1e-10)
+    # rectangular slice still works through explicit dia
+    B = vex.SpMat(nn, nn, ptr, col, val, fmt="dia", context=ctx)
+    y[:] = 0.5 * (B * x) + 1.0
+    np.testing.assert_allclose(
+        np.asarray(y), 0.5 * csr_matvec(ptr, col, val, hx) + 1.0, rtol=1e-10
+    )
+
+
+def test_random_matrix_not_dia(ctx, rng):
+    """Scattered sparsity must fall back to ELL/CSR."""
+    ptr, col, val = random_csr(rng, 256, 256, density=0.05)
+    A = vex.SpMat(256, 256, ptr, col, val, fmt=None, context=ctx)
+    assert A.device.format in ("csr", "ell", "hyb")

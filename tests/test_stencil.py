@@ -1,0 +1,101 @@
+"""Port of tests/stencil.cpp behavior: convolution vs host oracle with edge
+replication, user-body StencilOperator, multi-device halo exchange."""
+
+import numpy as np
+import pytest
+
+import vexcl_tpu as vex
+
+N = 4096
+
+
+def host_stencil(x, s, center):
+    n = len(x)
+    w = len(s)
+    xp = np.pad(x, (center, w - 1 - center), mode="edge")
+    y = np.zeros(n)
+    for k in range(w):
+        y += s[k] * xp[k : k + n]
+    return y
+
+
+def test_stencil_convolution(ctx, rng):
+    hx = rng.random(N)
+    s = [0.1, 0.2, 0.4, 0.2, 0.1]
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(N, dtype=np.float64, context=ctx)
+    st = vex.stencil(s, center=2)
+    y[:] = x * st
+    np.testing.assert_allclose(np.asarray(y), host_stencil(hx, s, 2), rtol=1e-10)
+
+
+def test_asymmetric_stencil(ctx, rng):
+    hx = rng.random(N)
+    s = [1.0, -2.0, 1.0, 0.5]
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(N, dtype=np.float64, context=ctx)
+    st = vex.stencil(s, center=0)
+    y[:] = x * st
+    np.testing.assert_allclose(np.asarray(y), host_stencil(hx, s, 0), rtol=1e-10)
+
+
+def test_stencil_in_expression(ctx, rng):
+    """y = x*s + 2*x fuses into one kernel (stencil terminals compose)."""
+    hx = rng.random(N)
+    s = [1 / 3, 1 / 3, 1 / 3]
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(N, dtype=np.float64, context=ctx)
+    st = vex.stencil(s, center=1)
+    y[:] = x * st + 2 * x
+    np.testing.assert_allclose(
+        np.asarray(y), host_stencil(hx, s, 1) + 2 * hx, rtol=1e-10
+    )
+
+
+def test_stencil_operator(ctx, rng):
+    """User-body stencil: the docs' canonical X[0] + pow3(X[-1]+X[1])."""
+    hx = rng.random(N)
+
+    @vex.stencil_operator(width=3, center=1)
+    def op(X):
+        return X[0] + (X[-1] + X[1]) ** 3
+
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(N, dtype=np.float64, context=ctx)
+    y[:] = op(x)
+
+    xp = np.pad(hx, (1, 1), mode="edge")
+    expect = hx + (xp[:-2] + xp[2:]) ** 3
+    np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-10)
+
+
+def test_halo_exchange_shard_map(ctx, rng):
+    """parallel.halo on the 8-device mesh vs numpy edge-pad oracle."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vexcl_tpu.parallel.halo import with_halo
+
+    n = 64 * ctx.size
+    hx = rng.random(n)
+    xs = jax.device_put(hx, ctx.vector_sharding)
+
+    def f(blk):
+        padded = with_halo(blk, ctx.axis, 2, 1)
+        # simple 4-tap stencil over the padded block
+        nb = blk.shape[0]
+        return padded[0:nb] + padded[1 : nb + 1] + padded[2 : nb + 2] + padded[3 : nb + 3]
+
+    y = jax.jit(
+        jax.shard_map(
+            f, mesh=ctx.mesh, in_specs=P(ctx.axis), out_specs=P(ctx.axis)
+        )
+    )(xs)
+    xp = np.pad(hx, (2, 1), mode="edge")
+    expect = xp[:n] + xp[1 : n + 1] + xp[2 : n + 2] + xp[3 : n + 3]
+    np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-12)
+
+
+def test_bad_center_raises(ctx):
+    with pytest.raises(ValueError):
+        vex.stencil([1, 2, 3], center=5)

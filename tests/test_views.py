@@ -1,0 +1,123 @@
+"""Port of tests/vector_view.cpp + tensordot.cpp behavior: slicing,
+permutation, reshape, slice-reduce, tensordot."""
+
+import numpy as np
+import pytest
+
+import vexcl_tpu as vex
+
+N = 32  # N x N matrix as flat vector, like the reference tests
+
+
+def test_slice_rows_cols(ctx, rng):
+    hx = rng.random(N * N)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(N, dtype=np.float64, context=ctx)
+    slc = vex.slicer((N, N))
+    y[:] = slc[5](x)  # row 5
+    np.testing.assert_allclose(np.asarray(y), hx.reshape(N, N)[5], rtol=1e-12)
+    y[:] = slc[:, 7](x)  # column 7
+    np.testing.assert_allclose(np.asarray(y), hx.reshape(N, N)[:, 7], rtol=1e-12)
+
+
+def test_slice_range_stride(ctx, rng):
+    hx = rng.random(N * N)
+    x = vex.vector(data=hx, context=ctx)
+    slc = vex.slicer((N, N))
+    sub = vex.vector(8 * N, dtype=np.float64, context=ctx)
+    sub[:] = slc[vex.r(0, 2, 16)](x)  # rows 0,2,...,14
+    np.testing.assert_allclose(
+        np.asarray(sub), hx.reshape(N, N)[0:16:2].ravel(), rtol=1e-12
+    )
+
+
+def test_1d_slice_of_vector(ctx, rng):
+    hx = rng.random(N * N)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(100, dtype=np.float64, context=ctx)
+    y[:] = x[200:300]
+    np.testing.assert_allclose(np.asarray(y), hx[200:300], rtol=1e-12)
+
+
+def test_permutation(ctx, rng):
+    hx = rng.random(N * N)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(N * N, dtype=np.float64, context=ctx)
+    # reverse permutation via index expression (expr_permutation)
+    idx = vex.element_index(0, N * N)
+    y[:] = vex.permutation(N * N - 1 - idx)(x)
+    np.testing.assert_allclose(np.asarray(y), hx[::-1], rtol=1e-12)
+    # explicit index vector
+    hperm = rng.permutation(N * N)
+    p = vex.vector(data=hperm.astype(np.int64), context=ctx)
+    y[:] = vex.permutation(p)(x)
+    np.testing.assert_allclose(np.asarray(y), hx[hperm], rtol=1e-12)
+
+
+def test_reshape_transpose(ctx, rng):
+    """vex::reshape with order (1,0): matrix transpose
+    (vector_view.hpp:1099-1125)."""
+    n, m = 12, 17
+    hx = rng.random(n * m)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(n * m, dtype=np.float64, context=ctx)
+    y[:] = vex.reshape(x, (m, n), order=(1, 0))
+    np.testing.assert_allclose(
+        np.asarray(y).reshape(m, n), hx.reshape(n, m).T, rtol=1e-12
+    )
+
+
+def test_reshape_broadcast(ctx, rng):
+    """order a subset of dims -> broadcast along the missing dim."""
+    n, m = 8, 6
+    hv = rng.random(m)
+    v = vex.vector(data=hv, context=ctx)
+    y = vex.vector(n * m, dtype=np.float64, context=ctx)
+    y[:] = vex.reshape(v, (n, m), order=(1,))
+    np.testing.assert_allclose(
+        np.asarray(y).reshape(n, m), np.tile(hv, (n, 1)), rtol=1e-12
+    )
+
+
+def test_slice_reduce(ctx, rng):
+    """vex::reduce<SUM>(slicer[...](x), dims) (reduced_vector_view)."""
+    hx = rng.random(N * N)
+    x = vex.vector(data=hx, context=ctx)
+    slc = vex.slicer((N, N))
+    rowsum = vex.vector(N, dtype=np.float64, context=ctx)
+    rowsum[:] = vex.reduce_view("sum", slc[:, :](x), 1)
+    np.testing.assert_allclose(
+        np.asarray(rowsum), hx.reshape(N, N).sum(axis=1), rtol=1e-10
+    )
+    colmax = vex.vector(N, dtype=np.float64, context=ctx)
+    colmax[:] = vex.reduce_view("max", slc[:, :](x), 0)
+    np.testing.assert_allclose(
+        np.asarray(colmax), hx.reshape(N, N).max(axis=0), rtol=1e-12
+    )
+
+
+def test_tensordot_matmul(ctx, rng):
+    """tensordot == matrix product (tensordot.hpp docs example)."""
+    n = 16
+    ha = rng.random(n * n)
+    hb = rng.random(n * n)
+    a = vex.vector(data=ha, context=ctx)
+    b = vex.vector(data=hb, context=ctx)
+    c = vex.vector(n * n, dtype=np.float64, context=ctx)
+    slc = vex.slicer((n, n))
+    c[:] = vex.tensordot(slc[:, :](a), slc[:, :](b), vex.axes_pairs(1, 0))
+    np.testing.assert_allclose(
+        np.asarray(c).reshape(n, n),
+        ha.reshape(n, n) @ hb.reshape(n, n),
+        rtol=1e-10,
+    )
+
+
+def test_view_in_expression(ctx, rng):
+    hx = rng.random(N * N)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(N, dtype=np.float64, context=ctx)
+    slc = vex.slicer((N, N))
+    y[:] = 2 * slc[3](x) + vex.sin(slc[:, 4](x))
+    expect = 2 * hx.reshape(N, N)[3] + np.sin(hx.reshape(N, N)[:, 4])
+    np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-12)

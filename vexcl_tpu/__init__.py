@@ -50,7 +50,9 @@ from .expr import (
     _,
 )
 from .expr.builtins import *  # noqa: F401,F403 - sin, cos, exp, ...
+from .expr.pointer import constant_pointer, raw_pointer
 from .parallel.partition import reset_partitioning, set_partitioning
+from .utils.util import alignup, nextpow2, precondition
 
 __version__ = "0.1.0"
 
@@ -101,6 +103,16 @@ def __getattr__(name):
         "symbolic": ("vexcl_tpu.generator", "symbolic"),
         "profiler": ("vexcl_tpu.profiler", "profiler"),
         "stopwatch": ("vexcl_tpu.profiler", "stopwatch"),
+        "backend": ("vexcl_tpu.backend", None),
+        "CustomKernel": ("vexcl_tpu.backend", "CustomKernel"),
+        "events": ("vexcl_tpu.events", None),
+        "enqueue": ("vexcl_tpu.events", "enqueue"),
+        "enqueue_marker": ("vexcl_tpu.events", "enqueue_marker"),
+        "enqueue_barrier": ("vexcl_tpu.events", "enqueue_barrier"),
+        "interop": ("vexcl_tpu.interop", None),
+        "image2d": ("vexcl_tpu.ops.image", "image2d"),
+        "svm_vector": ("vexcl_tpu.ops.image", "svm_vector"),
+        "parallel": ("vexcl_tpu.parallel", None),
     }
     if name in _lazy:
         mod_name, attr = _lazy[name]

@@ -99,14 +99,24 @@ def _build_evaluator(
 def _check_sizes(exprs: Sequence[Expr], n: Optional[int]) -> None:
     if config.check_sizes < 2 or n is None:
         return
+    from .node import VectorTerminal
+
     for e in exprs:
-        for t in e.vector_terminals():
-            if t.vec.size != n:
-                raise ValueError(
-                    f"expression size mismatch: vector of size {t.vec.size} "
-                    f"in expression assigned to size {n} "
-                    "(set config.check_sizes=0 to disable)"
-                )
+        # walk only through size-preserving nodes; a size-transforming node
+        # (view/spmv/tensordot/...) validates its own operands
+        stack = [e]
+        while stack:
+            node = stack.pop()
+            if isinstance(node, VectorTerminal):
+                if node.vec.size != n:
+                    raise ValueError(
+                        f"expression size mismatch: vector of size "
+                        f"{node.vec.size} in expression assigned to size {n} "
+                        "(set config.check_sizes=0 to disable)"
+                    )
+                continue
+            if node._size_transparent:
+                stack.extend(node.children)
 
 
 def evaluate(

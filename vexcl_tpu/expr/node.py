@@ -119,6 +119,10 @@ class Expr:
 
     children: Tuple["Expr", ...] = ()
     _opname = "expr"
+    #: False on size-transforming nodes (views, spmv, tensordot, ...):
+    #: vector terminals beneath them are exempt from elementwise size checks
+    #: (the VEXCL_CHECK_SIZES walk stops at such terminals too).
+    _size_transparent = True
 
     # -- structural signature ---------------------------------------------
     def extra_sig(self) -> str:

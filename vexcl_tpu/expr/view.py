@@ -94,6 +94,8 @@ def _key_sig(key: Tuple) -> str:
 class SliceTerminal(Expr):
     """expr[key] over the flat vector (1-D gslice)."""
 
+    _size_transparent = False
+
     _opname = "slice"
 
     def __init__(self, inner: Any, key):
@@ -131,6 +133,8 @@ class MultiSliceView(Expr):
     """N-D strided view of a flat vector: slicer(dims)[key](x)
     (gslice/slicer, vector_view.hpp:264-560).  Emits
     x.reshape(dims)[key] — a strided load fused into the kernel."""
+
+    _size_transparent = False
 
     _opname = "gslice"
 
@@ -199,6 +203,8 @@ class PermutationView(Expr):
     (vector_view.hpp:601-698).  idx may be a vector, array, or index
     expression (expr_permutation)."""
 
+    _size_transparent = False
+
     _opname = "perm"
 
     def __init__(self, index: Any, inner: Any):
@@ -224,6 +230,8 @@ class ReshapeView(Expr):
     shape [dst[o] for o in order].  order a full permutation -> transpose;
     a subset -> broadcast along the missing output dims.
     """
+
+    _size_transparent = False
 
     _opname = "reshape"
 
@@ -282,6 +290,8 @@ class ReducedView(Expr):
     """vex::reduce<SUM>(view, dims): partial reduction over view axes
     (reduced_vector_view, vector_view.hpp:708-).  The result is again a
     (flattened) expression usable inside larger expressions."""
+
+    _size_transparent = False
 
     _opname = "vreduce"
 

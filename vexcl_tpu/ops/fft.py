@@ -1,0 +1,238 @@
+"""FFT: mixed-radix Cooley-Tukey with matmul codelets + Bluestein.
+
+Analog of vexcl/fft/* (FFT terminal fft.hpp:40-, planner plan.hpp:112-145,
+prime_factors :81, radix codelets kernels.hpp:213 / unrolled_dft.hpp,
+Bluestein :344-520).
+
+TPU-native design: the radix-codelet butterflies of the reference become
+small dense DFT matrices applied as *batched complex matmuls* — exactly
+what the MXU is built for — glued by the Cooley-Tukey reshape/twiddle
+recursion (all static shapes, fully traced).  Arbitrary (prime) sizes use
+Bluestein's chirp-z through a padded power-of-two convolution, like the
+reference.  Unlike the reference (single-device only, fft/plan.hpp:218-220)
+batched transforms shard over the mesh on the batch axis.
+
+    f = vex.FFT(n)                      # 1-D complex, forward
+    y[:] = f(x)                         # expression terminal
+    fi = vex.FFT(n, inverse=True)       # scaled by 1/n like the reference
+    f2 = vex.FFT((rows, cols))          # 2-D
+    fb = vex.FFT((batch, n), dims=(1,)) # batched 1-D (fft::none analog)
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cache import ObjectCache
+from ..expr.node import EmitEnv, Expr, as_expr
+
+__all__ = ["FFT", "fft", "ifft", "prime_factors", "plan_cache"]
+
+#: largest direct-DFT codelet (reference: radix 2-11 unrolled codelets;
+#: on the MXU a 32x32 complex matmul is a single efficient op)
+_MAX_CODELET = 32
+
+plan_cache = ObjectCache("fft_plans")
+
+
+def prime_factors(n: int) -> Tuple[int, ...]:
+    """fft/plan.hpp prime_factors :81."""
+    out = []
+    d = 2
+    while d * d <= n:
+        while n % d == 0:
+            out.append(d)
+            n //= d
+        d += 1
+    if n > 1:
+        out.append(n)
+    return tuple(out)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+@lru_cache(maxsize=None)
+def _dft_matrix_np(n: int, sign: float, dtype_str: str) -> np.ndarray:
+    k = np.arange(n)
+    w = np.exp(sign * 2j * np.pi * np.outer(k, k) / n)
+    return w.astype(dtype_str)
+
+
+def _codelet(n: int, sign: float, dtype) -> jnp.ndarray:
+    return jnp.asarray(_dft_matrix_np(n, sign, str(np.dtype(dtype))))
+
+
+def _best_radix(n: int) -> int:
+    """Pick the largest codelet-sized factor (planner policy: big radixes
+    amortize twiddle traffic and feed the MXU bigger matmuls)."""
+    best = 0
+    for r in range(_MAX_CODELET, 1, -1):
+        if n % r == 0:
+            best = r
+            break
+    return best
+
+
+def _fft_1d(x: jnp.ndarray, sign: float) -> jnp.ndarray:
+    """FFT along the last axis (static length), batched over leading axes."""
+    n = x.shape[-1]
+    cdtype = x.dtype
+    if n == 1:
+        return x
+    if n <= _MAX_CODELET:
+        # HIGHEST: keep the MXU in f32 (default would drop to bf16 passes,
+        # ~1e-2 error over the recursion)
+        return jnp.matmul(
+            x, _codelet(n, sign, cdtype), precision=jax.lax.Precision.HIGHEST
+        )
+    r = _best_radix(n)
+    if r == 0:
+        return _bluestein(x, sign)
+    m = n // r
+    batch = x.shape[:-1]
+    # n = m*n1 + n2 split (decimation in time over radix r)
+    xr = x.reshape(batch + (r, m))
+    # codelet DFT over the radix axis: (..., r, m) x (r, r) -> (..., r, m)
+    a = jnp.einsum(
+        "ij,...jm->...im",
+        _codelet(r, sign, cdtype),
+        xr,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    tw = jnp.asarray(
+        np.exp(
+            sign
+            * 2j
+            * np.pi
+            * np.outer(np.arange(r), np.arange(m))
+            / n
+        ).astype(str(np.dtype(cdtype)))
+    )
+    a = a * tw
+    b = _fft_1d(a, sign)  # recurse over last axis (length m), batched
+    # output index is r*k2 + k1 -> swap (k1, k2) axes before ravel
+    return jnp.swapaxes(b, -1, -2).reshape(batch + (n,))
+
+
+def _bluestein(x: jnp.ndarray, sign: float) -> jnp.ndarray:
+    """Chirp-z for arbitrary/prime n (fft/kernels.hpp bluestein_* :344-520)."""
+    n = x.shape[-1]
+    cdtype = x.dtype
+    m = _next_pow2(2 * n - 1)
+    k = np.arange(n)
+    chirp_np = np.exp(sign * 1j * np.pi * (k * k % (2 * n)) / n).astype(
+        str(np.dtype(cdtype))
+    )
+    chirp = jnp.asarray(chirp_np)
+    b_np = np.zeros(m, dtype=str(np.dtype(cdtype)))
+    b_np[:n] = np.conj(chirp_np)
+    b_np[m - n + 1 :] = np.conj(chirp_np[1:][::-1])
+    bf = jnp.asarray(np.fft.fft(b_np).astype(str(np.dtype(cdtype))))
+
+    a = x * chirp
+    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, m - n)])
+    af = _fft_1d(a, -1.0)
+    cf = af * bf
+    c = _fft_1d(cf, +1.0) / m
+    return c[..., :n] * chirp
+
+
+class Plan:
+    """FFT plan over an N-D logical shape (fft/plan.hpp planner)."""
+
+    def __init__(
+        self,
+        shape: Tuple[int, ...],
+        dims: Optional[Tuple[int, ...]],
+        inverse: bool,
+        dtype,
+    ):
+        self.shape = shape
+        self.dims = tuple(dims) if dims is not None else tuple(range(len(shape)))
+        self.inverse = inverse
+        self.dtype = np.dtype(dtype)
+        self.sign = +1.0 if inverse else -1.0
+        self.scale = 1.0 / np.prod([shape[d] for d in self.dims]) if inverse else 1.0
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        flat_in = x.ndim == 1 and len(self.shape) > 1
+        if flat_in:
+            x = x.reshape(self.shape)
+        x = x.astype(self.dtype)
+        for d in self.dims:
+            x = jnp.moveaxis(x, d, -1)
+            x = _fft_1d(x, self.sign)
+            x = jnp.moveaxis(x, -1, d)
+        if self.scale != 1.0:
+            x = x * jnp.asarray(self.scale, dtype=x.dtype)
+        return x.reshape(-1) if flat_in else x
+
+
+class FFTExpr(Expr):
+    _opname = "fft"
+
+    def __init__(self, plan: Plan, x: Any):
+        self.plan = plan
+        self.children = (as_expr(x),)
+
+    def extra_sig(self) -> str:
+        p = self.plan
+        return f"{p.shape}:{p.dims}:{p.inverse}:{p.dtype}"
+
+    def emit(self, env: EmitEnv):
+        return self.plan(self.children[0].emit(env))
+
+    def size_hint(self) -> Optional[int]:
+        return int(np.prod(self.plan.shape))
+
+
+class FFT:
+    """vex::FFT<T> (fft.hpp:40): an expression-terminal transform.
+
+    ``dims`` selects transformed axes; un-listed axes are batch axes (the
+    reference's ``fft::none`` marking).  Vectors are treated as the
+    flattened row-major N-D array of ``shape``.
+    """
+
+    def __init__(
+        self,
+        shape: Union[int, Sequence[int]],
+        *,
+        dims: Optional[Sequence[int]] = None,
+        inverse: bool = False,
+        dtype: Any = None,
+        context=None,
+    ):
+        if isinstance(shape, (int, np.integer)):
+            shape = (int(shape),)
+        shape = tuple(int(s) for s in shape)
+        if dtype is None:
+            dtype = (
+                np.complex128 if jax.config.jax_enable_x64 else np.complex64
+            )
+        key = (shape, tuple(dims) if dims is not None else None, inverse, str(dtype))
+        self.plan = plan_cache.get_or_create(
+            key, lambda: Plan(shape, dims, inverse, dtype)
+        )
+
+    def __call__(self, x) -> FFTExpr:
+        return FFTExpr(self.plan, x)
+
+
+def fft(x, **kwargs) -> FFTExpr:
+    """One-shot ``y[:] = vex.fft(x)`` convenience (1-D forward)."""
+    n = x.size if hasattr(x, "size") else len(x)
+    return FFT(n, **kwargs)(x)
+
+
+def ifft(x, **kwargs) -> FFTExpr:
+    n = x.size if hasattr(x, "size") else len(x)
+    return FFT(n, inverse=True, **kwargs)(x)

@@ -25,13 +25,18 @@ from ..vector import vector
 __all__ = ["inclusive_scan", "exclusive_scan", "scan"]
 
 
-def _scan_impl(op_name, op, exclusive, has_init):
-    key = ("scan", op_name, exclusive, has_init)
+def _scan_impl(op_name, op, exclusive, has_init, use_pallas=False):
+    key = ("scan", op_name, exclusive, has_init, use_pallas)
 
     def factory():
         def run(x, init):
             fn = op or jnp.add
-            y = jax.lax.associative_scan(fn, x)
+            if use_pallas:
+                from .pallas_scan import pallas_cumsum
+
+                y = pallas_cumsum(x)
+            else:
+                y = jax.lax.associative_scan(fn, x)
             if exclusive:
                 y = jnp.concatenate([jnp.zeros((1,), x.dtype), y[:-1]])
                 if has_init:
@@ -62,7 +67,12 @@ def scan(
         dst = vector(src.size, dtype=src.dtype, context=src.context)
     if op is not None and op_name is None:
         op_name = getattr(op, "__name__", repr(op))
-    jfn = _scan_impl(op_name or "add", op, exclusive, init is not None)
+    from .pallas_scan import use_pallas_scan
+
+    jfn = _scan_impl(
+        op_name or "add", op, exclusive, init is not None,
+        use_pallas=use_pallas_scan(src.array, op),
+    )
     dst._set_array(jfn(src.array, 0 if init is None else init).astype(dst.dtype))
     return dst
 

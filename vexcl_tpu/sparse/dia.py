@@ -1,0 +1,94 @@
+"""DIA (diagonal) sparse format — the TPU-first layout for banded matrices.
+
+The reference's hybrid ELL (vexcl/spmat/hybrid_ell.inl) is the right GPU
+format; on TPU its `x[col]` gather is the bottleneck (random access defeats
+the VPU's vector loads).  Matrices from regular grids — including the
+reference's own 7-point Poisson benchmark (examples/benchmark.cpp:353-478)
+— are a small set of dense diagonals, and a diagonal SpMV is pure
+shifted reads + multiply-adds: contiguous, fusable, HBM-bandwidth-bound
+instead of gather-bound.  `SpMat(..., fmt=None)` auto-detects
+diagonal-dominated structure and picks DIA (the TPU analog of the
+reference's ELL-width occupancy heuristic, sparse/ell.hpp:92-121).
+
+Layout: ``offsets`` (d,) int32; ``vals`` (d, n) — vals[k, i] is A[i, i +
+offsets[k]] (zero where out of range).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["DIA", "try_build_dia"]
+
+
+class DIA:
+    format = "dia"
+
+    def __init__(self, n: int, m: int, offsets: np.ndarray, vals: np.ndarray):
+        self.n = int(n)
+        self.m = int(m)
+        self.offsets = tuple(int(o) for o in offsets)  # static: baked in sig
+        self.vals = jnp.asarray(vals)
+        self.nnz = int(np.count_nonzero(vals))
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    def leaves(self) -> Tuple:
+        return (self.vals,)
+
+    @staticmethod
+    def matvec(n: int, m: int, offsets, leaves, x):
+        (vals,) = leaves
+        y = jnp.zeros(n, dtype=jnp.result_type(vals, x))
+        for k, off in enumerate(offsets):
+            # rows i in [lo, hi) have a valid column i+off
+            lo = max(0, -off)
+            hi = min(n, m - off)
+            if hi <= lo:
+                continue
+            seg = vals[k, lo:hi] * jax.lax.dynamic_slice_in_dim(x, lo + off, hi - lo)
+            y = y.at[lo:hi].add(seg)
+        return y
+
+    def apply(self, x):
+        return DIA.matvec(self.n, self.m, self.offsets, self.leaves(), x)
+
+
+def try_build_dia(
+    n: int,
+    m: int,
+    ptr: np.ndarray,
+    col: np.ndarray,
+    val: np.ndarray,
+    max_diags: int = 32,
+    min_fill: float = 0.25,
+) -> Optional[DIA]:
+    """Build DIA if the matrix is diagonal-structured: at most ``max_diags``
+    distinct diagonals, each at least ``min_fill`` occupied on average.
+    Returns None when the structure doesn't fit (caller falls back to
+    ELL/CSR)."""
+    ptr = np.asarray(ptr, dtype=np.int64)
+    col = np.asarray(col)
+    val = np.asarray(val)
+    nnz = int(ptr[-1])
+    if nnz == 0:
+        return None
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(ptr))
+    offs = col.astype(np.int64) - rows
+    uniq = np.unique(offs)
+    if len(uniq) > max_diags:
+        return None
+    if nnz < min_fill * len(uniq) * n:
+        return None
+    vals = np.zeros((len(uniq), n), dtype=val.dtype)
+    off_index = {int(o): k for k, o in enumerate(uniq)}
+    k_idx = np.asarray([off_index[int(o)] for o in offs])
+    # accumulate (duplicate entries on the same position sum, like COO->CSR)
+    np.add.at(vals, (k_idx, rows), val)
+    return DIA(n, m, uniq, vals)

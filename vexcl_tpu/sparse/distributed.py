@@ -1,0 +1,122 @@
+"""Distributed (mesh-sharded) sparse matrix with device-side ghost exchange.
+
+Analog of vexcl/sparse/distributed.hpp:28-216 and the first-gen exchange in
+vexcl/spmat.hpp:120-185 + setup_exchange :291-378.
+
+The reference splits each device's rows into a local part (columns owned by
+the device) and a remote part, gathers the needed ghost x-values on device,
+stages them THROUGH THE HOST, scatters them to neighbors, then runs the
+remote SpMV.  On TPU the ghost exchange is a single `all_gather` over the
+mesh axis, performed by ICI DMAs inside the same compiled step — no host
+staging, no separate queues (XLA overlaps the collective with the local
+matvec where profitable, replacing the reference's duplicate-queue trick,
+spmat.hpp:80-82).
+
+Rows are padded to a multiple of the device count; each shard holds its row
+block of the ELL planes and computes against the gathered global x.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..context import current_context
+from ..expr.node import ArrayTerminal, EmitEnv, Expr, as_expr
+from .formats import choose_ell_width, from_csr_host
+
+__all__ = ["distributed"]
+
+
+class DistSpMVExpr(Expr):
+    _size_transparent = False
+    _opname = "dspmv"
+
+    def __init__(self, mat: "distributed", x: Any):
+        self.mat = mat
+        leaf_terms = tuple(ArrayTerminal(a) for a in mat._leaves)
+        self.children = leaf_terms + (as_expr(x),)
+
+    def extra_sig(self) -> str:
+        m = self.mat
+        return f"{m.n}:{m.axis}:{m.ndev}"
+
+    def emit(self, env: EmitEnv):
+        col, val = (c.emit(env) for c in self.children[:2])
+        x = self.children[-1].emit(env)
+        mat = self.mat
+        mesh = mat.context.mesh
+        axis = mat.axis
+        npad = mat.npad
+
+        xp = jnp.pad(x, (0, npad - x.shape[0])) if x.shape[0] != npad else x
+
+        def shard_fn(col_blk, val_blk, x_blk):
+            # ghost exchange: ICI all-gather of the sharded x
+            xg = jax.lax.all_gather(x_blk, axis, tiled=True)
+            mask = col_blk >= 0
+            gathered = jnp.take(xg, jnp.where(mask, col_blk, 0), axis=0)
+            return jnp.sum(jnp.where(mask, val_blk * gathered, 0), axis=1)
+
+        y = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None), P(axis)),
+            out_specs=P(axis),
+        )(col, val, xp)
+        return y[: mat.n]
+
+    def size_hint(self) -> Optional[int]:
+        return self.mat.n
+
+
+class distributed:
+    """sparse::distributed<ell> analog: row-sharded ELL over the context
+    mesh with all-gather ghost exchange."""
+
+    def __init__(self, n: int, m: Optional[int] = None, ptr=None, col=None,
+                 val=None, *, context=None):
+        self.context = context or current_context()
+        self.axis = self.context.axis
+        self.ndev = self.context.size
+        self.n = int(n)
+        self.m = int(m) if m is not None else int(n)
+
+        ptr = np.asarray(ptr, dtype=np.int64)
+        rl = np.diff(ptr)
+        width = max(1, int(rl.max(initial=0)))
+        ell = from_csr_host(self.n, self.m, ptr, col, val, "ell")
+
+        # pad rows and x-length to a device multiple
+        self.npad = -(-max(self.n, self.m) // self.ndev) * self.ndev
+        ecol = np.asarray(ell.col)
+        eval_ = np.asarray(ell.val)
+        if self.npad != self.n:
+            pad_rows = self.npad - self.n
+            ecol = np.concatenate([ecol, np.full((pad_rows, width), -1, np.int32)])
+            eval_ = np.concatenate([eval_, np.zeros((pad_rows, width), eval_.dtype)])
+
+        sh = NamedSharding(self.context.mesh, P(self.axis, None))
+        self._leaves = (
+            jax.device_put(jnp.asarray(ecol), sh),
+            jax.device_put(jnp.asarray(eval_), sh),
+        )
+        self.nnz = ell.nnz
+
+    @property
+    def dtype(self):
+        return np.dtype(self._leaves[1].dtype)
+
+    def __mul__(self, x) -> DistSpMVExpr:
+        return DistSpMVExpr(self, x)
+
+    def apply(self, x, y, alpha: float = 1.0, append: bool = False) -> None:
+        expr = alpha * DistSpMVExpr(self, x)
+        y.assign(expr, "+=" if append else "=")
+
+    def __repr__(self) -> str:
+        return f"sparse.distributed[{self.n}x{self.m}] over {self.ndev} devices"

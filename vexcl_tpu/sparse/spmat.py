@@ -1,0 +1,228 @@
+"""SpMat / sparse.matrix — sparse matrices as fusable expression terminals.
+
+Analog of vexcl/spmat.hpp:57-398 (SpMat, apply, operator*), the second-gen
+vexcl/sparse/matrix.hpp:28-150, the inline-SpMV terminal
+(vexcl/spmat/inline_spmv.hpp:43-70), and SpMatCCSR
+(vexcl/spmat/ccsr.hpp:54-280).
+
+Design note: in the reference, `y = A * x` is an *additive vector
+transform* executed by a separate kernel (operations.hpp:1511-1576), and
+only `make_inline(A * x)` embeds the SpMV into an expression kernel.  Here
+every SpMV is an expression node that XLA fuses with its surroundings, so
+`make_inline` is the identity (kept for API parity) and expressions like
+`y = alpha * (A * x) + beta * z` compile to one kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..context import current_context
+from ..expr.node import ArrayTerminal, EmitEnv, Expr, as_expr
+from .dia import DIA, try_build_dia
+from .formats import CSR, ELL, Hybrid, from_csr_host
+
+__all__ = ["SpMat", "SpMatCCSR", "make_inline", "matrix"]
+
+
+class SpMVExpr(Expr):
+    """A * x as an expression node; matrix planes are dedup'd leaves."""
+
+    _size_transparent = False
+
+    _opname = "spmv"
+
+    def __init__(self, mat: "SpMat", x: Any):
+        self.mat = mat
+        leaf_terms = tuple(ArrayTerminal(a) for a in mat._leaves)
+        self.children = leaf_terms + (as_expr(x),)
+
+    def extra_sig(self) -> str:
+        m = self.mat
+        extra = (
+            hash(m.device.offsets) if isinstance(m.device, DIA) else
+            int(getattr(m.device, "tail", None) is not None)
+        )
+        return f"{m.device.format}:{m.n}:{extra}"
+
+    def emit(self, env: EmitEnv):
+        nleaves = len(self.children) - 1
+        leaves = tuple(c.emit(env) for c in self.children[:nleaves])
+        x = self.children[-1].emit(env)
+        dev = self.mat.device
+        if isinstance(dev, DIA):
+            return DIA.matvec(dev.n, dev.m, dev.offsets, leaves, x)
+        if isinstance(dev, Hybrid):
+            return Hybrid.matvec(dev.n, leaves, x, dev.tail is not None)
+        if isinstance(dev, ELL):
+            return ELL.matvec(dev.n, leaves, x)
+        return CSR.matvec(dev.n, leaves, x)
+
+    def size_hint(self) -> Optional[int]:
+        return self.mat.n
+
+
+class SpMat:
+    """Row-partitioned sparse matrix (spmat.hpp:57-379).
+
+    Construct from host CSR arrays::
+
+        A = vex.SpMat(n, m, ptr, col, val)          # or fmt="csr"/"ell"
+        y[:] = A * x                                 # fused SpMV
+        y[:] = 2.0 * (A * x) + z                     # still one kernel
+
+    For sharded multi-device operation wrap with
+    ``vexcl_tpu.sparse.distributed``.
+    """
+
+    def __init__(
+        self,
+        n: int,
+        m: Optional[int] = None,
+        ptr=None,
+        col=None,
+        val=None,
+        *,
+        fmt: Optional[str] = None,
+        context=None,
+    ):
+        self.context = context or current_context()
+        if m is None:
+            m = n
+        self.n, self.m = int(n), int(m)
+        if fmt is None:
+            # TPU-first format policy: banded/grid matrices -> DIA (pure
+            # shifted loads, no gather); otherwise the reference policy
+            # (sparse/matrix.hpp:28-150): ELL-family on accelerators, CSR
+            # on CPU devices.
+            import jax
+
+            dia = try_build_dia(self.n, self.m, ptr, col, val)
+            if dia is not None:
+                self.device = dia
+                self._leaves = dia.leaves()
+                return
+            fmt = "csr" if jax.default_backend() == "cpu" else "hyb"
+        elif fmt == "dia":
+            dia = try_build_dia(self.n, self.m, ptr, col, val,
+                                max_diags=1 << 30, min_fill=0.0)
+            if dia is None:
+                raise ValueError("matrix has no entries; cannot build DIA")
+            self.device = dia
+            self._leaves = dia.leaves()
+            return
+        self.device = from_csr_host(self.n, self.m, ptr, col, val, fmt)
+        self._leaves = self.device.leaves()
+
+    @property
+    def nnz(self) -> int:
+        return self.device.nnz
+
+    @property
+    def dtype(self):
+        return np.dtype(self.device.dtype)
+
+    def __mul__(self, x) -> SpMVExpr:
+        return SpMVExpr(self, x)
+
+    def matvec(self, x) -> SpMVExpr:
+        return SpMVExpr(self, x)
+
+    def apply(self, x, y, alpha: float = 1.0, append: bool = False) -> None:
+        """SpMat::apply (spmat.hpp:120-185): y = alpha*A*x (+ y)."""
+        expr = alpha * SpMVExpr(self, x)
+        y.assign(expr, "+=" if append else "=")
+
+    def __repr__(self) -> str:
+        return (
+            f"SpMat<{self.dtype}>[{self.n}x{self.m}] nnz={self.nnz} "
+            f"fmt={self.device.format}"
+        )
+
+
+class CCSRExpr(Expr):
+    _size_transparent = False
+    _opname = "ccsr"
+
+    def __init__(self, mat: "SpMatCCSR", x: Any):
+        self.mat = mat
+        leaf_terms = tuple(ArrayTerminal(a) for a in mat._leaves)
+        self.children = leaf_terms + (as_expr(x),)
+
+    def extra_sig(self) -> str:
+        return f"{self.mat.n}:{self.mat.width}"
+
+    def emit(self, env: EmitEnv):
+        idx, off, val = (c.emit(env) for c in self.children[:3])
+        x = self.children[-1].emit(env)
+        n = self.mat.n
+        # per-row pattern planes: relative column offsets + values
+        row_off = jnp.take(off, idx, axis=0)          # (n, w)
+        row_val = jnp.take(val, idx, axis=0)          # (n, w)
+        rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+        cols = rows + row_off
+        mask = (row_off != _CCSR_PAD) & (cols >= 0) & (cols < self.mat.m)
+        gathered = jnp.take(x, jnp.where(mask, cols, 0), axis=0)
+        return jnp.sum(jnp.where(mask, row_val * gathered, 0), axis=1)
+
+    def size_hint(self) -> Optional[int]:
+        return self.mat.n
+
+
+_CCSR_PAD = np.int32(-(2**31) + 1)
+
+
+class SpMatCCSR:
+    """Compressed CSR: rows sharing one sparsity/value pattern relative to
+    the diagonal store it once (spmat/ccsr.hpp:54-280).  Typical for
+    regular-grid stencil matrices.
+
+    Arguments mirror the reference ctor: ``idx[i]`` selects the unique row
+    pattern of row i; ``row/col/val`` are the CSR of the *unique* patterns
+    with columns as offsets relative to the row index.
+    """
+
+    def __init__(self, n: int, m: Optional[int], idx, row, col, val, *, context=None):
+        self.context = context or current_context()
+        self.n = int(n)
+        self.m = int(m) if m is not None else int(n)
+        idx = np.asarray(idx, dtype=np.int32)
+        row = np.asarray(row, dtype=np.int64)
+        col = np.asarray(col, dtype=np.int32)
+        val = np.asarray(val)
+        nuniq = len(row) - 1
+        width = int(np.diff(row).max(initial=0))
+        self.width = width
+        off = np.full((nuniq, width), _CCSR_PAD, dtype=np.int32)
+        pval = np.zeros((nuniq, width), dtype=val.dtype)
+        for p in range(nuniq):
+            s, e = row[p], row[p + 1]
+            off[p, : e - s] = col[s:e]
+            pval[p, : e - s] = val[s:e]
+        self.nnz = int(np.diff(row).sum())
+        self._leaves = (jnp.asarray(idx), jnp.asarray(off), jnp.asarray(pval))
+
+    @property
+    def dtype(self):
+        return np.dtype(self._leaves[2].dtype)
+
+    def __mul__(self, x) -> CCSRExpr:
+        return CCSRExpr(self, x)
+
+    def apply(self, x, y, alpha: float = 1.0, append: bool = False) -> None:
+        expr = alpha * CCSRExpr(self, x)
+        y.assign(expr, "+=" if append else "=")
+
+
+def make_inline(expr):
+    """vex::make_inline (spmat/inline_spmv.hpp:43-70).  Every SpMV here is
+    already an inlineable expression node, so this is the identity."""
+    return expr
+
+
+def matrix(*args, **kwargs) -> SpMat:
+    """sparse::matrix (sparse/matrix.hpp): backend-appropriate format."""
+    return SpMat(*args, **kwargs)

@@ -1,0 +1,149 @@
+"""ctypes loader for the native C++ helper library.
+
+The reference is native C++ throughout; here the TPU compute path is
+XLA/Pallas and this library covers the host-side runtime hot spots (format
+repacking, merge passes) — see native/vexcl_native.cpp.  Built on first use
+with g++ (cached next to the source); every entry point has a pure-numpy
+fallback at its call site, so a missing toolchain only costs speed.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_SRC = Path(__file__).resolve().parent.parent.parent / "native" / "vexcl_native.cpp"
+
+
+def _build(so_path: Path) -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-fPIC", "-shared", "-fopenmp",
+        str(_SRC), "-o", str(so_path),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        # retry without openmp/march (portability)
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-fPIC", "-shared", str(_SRC), "-o", str(so_path)],
+                check=True, capture_output=True, timeout=120,
+            )
+            return True
+        except Exception:
+            return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _SRC.exists():
+            return None
+        cache_dir = Path(
+            os.environ.get("VEXTPU_CACHE_DIR") or os.path.expanduser("~/.vexcl_tpu")
+        )
+        try:
+            cache_dir.mkdir(parents=True, exist_ok=True)
+        except Exception:
+            return None
+        so_path = cache_dir / "vexcl_native.so"
+        if not so_path.exists() or so_path.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build(so_path):
+                return None
+        try:
+            lib = ctypes.CDLL(str(so_path))
+        except OSError:
+            return None
+
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+
+        lib.csr_to_ell_f64.argtypes = [ctypes.c_int64, i64p, i32p, f64p,
+                                       ctypes.c_int64, i32p, f64p]
+        lib.csr_to_ell_f32.argtypes = [ctypes.c_int64, i64p, i32p, f32p,
+                                       ctypes.c_int64, i32p, f32p]
+        lib.kway_merge_f64.argtypes = [ctypes.c_int64, i64p, f64p, i64p,
+                                       f64p, i64p]
+        lib.philox4x32_host.argtypes = [ctypes.c_int64, ctypes.c_uint32,
+                                        ctypes.c_uint32, u32p]
+        _lib = lib
+        return _lib
+
+
+def _ptr(a: np.ndarray, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def csr_to_ell(n, ptr, col, val, width):
+    """Native CSR->ELL repack; raises if the library is unavailable so the
+    caller can fall back to numpy."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    n = int(n)
+    width = int(width)
+    ptr = np.ascontiguousarray(ptr, dtype=np.int64)
+    col = np.ascontiguousarray(col, dtype=np.int32)
+    ecol = np.full((n, width), -1, dtype=np.int32)
+    if np.asarray(val).dtype == np.float32:
+        val = np.ascontiguousarray(val, dtype=np.float32)
+        eval_ = np.zeros((n, width), dtype=np.float32)
+        lib.csr_to_ell_f32(n, _ptr(ptr, ctypes.c_int64), _ptr(col, ctypes.c_int32),
+                           _ptr(val, ctypes.c_float), width,
+                           _ptr(ecol, ctypes.c_int32), _ptr(eval_, ctypes.c_float))
+    else:
+        val = np.ascontiguousarray(val, dtype=np.float64)
+        eval_ = np.zeros((n, width), dtype=np.float64)
+        lib.csr_to_ell_f64(n, _ptr(ptr, ctypes.c_int64), _ptr(col, ctypes.c_int32),
+                           _ptr(val, ctypes.c_double), width,
+                           _ptr(ecol, ctypes.c_int32), _ptr(eval_, ctypes.c_double))
+    return ecol, eval_
+
+
+def kway_merge(offsets, keys, vals=None):
+    """Merge sorted runs; returns (keys_sorted, payload_order)."""
+    lib = get_lib()
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    keys = np.ascontiguousarray(keys, dtype=np.float64)
+    n = int(offsets[-1])
+    if vals is None:
+        vals = np.arange(n, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    if lib is None:
+        order = np.argsort(keys, kind="stable")
+        return keys[order], vals[order]
+    okeys = np.empty(n, dtype=np.float64)
+    ovals = np.empty(n, dtype=np.int64)
+    lib.kway_merge_f64(len(offsets) - 1, _ptr(offsets, ctypes.c_int64),
+                       _ptr(keys, ctypes.c_double), _ptr(vals, ctypes.c_int64),
+                       _ptr(okeys, ctypes.c_double), _ptr(ovals, ctypes.c_int64))
+    return okeys, ovals
+
+
+def philox_host(n: int, seed: int) -> np.ndarray:
+    """Host Philox4x32-10 reference stream: (n, 4) uint32."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    out = np.empty((int(n), 4), dtype=np.uint32)
+    lib.philox4x32_host(int(n), np.uint32(seed & 0xFFFFFFFF),
+                        np.uint32((seed >> 32) & 0xFFFFFFFF),
+                        _ptr(out, ctypes.c_uint32))
+    return out

@@ -49,6 +49,10 @@ class _ExprOpsMixin:
         return as_expr(o) - self._as_terminal()
 
     def __mul__(self, o):
+        try:
+            o = as_expr(o)
+        except TypeError:
+            return NotImplemented  # let stencil/other types __rmul__ handle it
         return self._as_terminal() * o
 
     def __rmul__(self, o):
@@ -102,6 +106,49 @@ class _ExprOpsMixin:
     __hash__ = object.__hash__
 
 
+def _complex_workaround_needed(dt) -> bool:
+    """The axon TPU backend supports complex64 inside compiled programs but
+    not in eager kernels or host<->device transfers; shuttle complex data
+    across the host boundary as (real, imag) float pairs."""
+    return (
+        np.issubdtype(np.dtype(dt), np.complexfloating)
+        and jax.default_backend() not in ("cpu",)
+    )
+
+
+def _device_fill(n: int, dt) -> jax.Array:
+    if _complex_workaround_needed(dt):
+        return jax.jit(lambda: jnp.zeros(n, dtype=dt))()
+    return jnp.zeros(n, dtype=dt)
+
+
+@jax.jit
+def _combine_complex(re, im):
+    return jax.lax.complex(re, im).astype(jnp.complex64)
+
+
+@jax.jit
+def _split_complex(z):
+    return jnp.real(z), jnp.imag(z)
+
+
+def _host_to_device_any(host: np.ndarray, sharding) -> jax.Array:
+    host = np.asarray(host)
+    if _complex_workaround_needed(host.dtype):
+        scalar = np.float32 if host.dtype == np.complex64 else np.float64
+        re = jax.device_put(np.ascontiguousarray(host.real, dtype=scalar), sharding)
+        im = jax.device_put(np.ascontiguousarray(host.imag, dtype=scalar), sharding)
+        return _combine_complex(re, im)
+    return jax.device_put(host, sharding)
+
+
+def _device_to_host_any(arr: jax.Array) -> np.ndarray:
+    if _complex_workaround_needed(arr.dtype):
+        re, im = _split_complex(arr)
+        return np.asarray(re) + 1j * np.asarray(im)
+    return np.asarray(arr)
+
+
 class vector(_ExprOpsMixin):
     """Multi-device 1-D array container."""
 
@@ -140,18 +187,26 @@ class vector(_ExprOpsMixin):
             if fill is not None:
                 arr = np.full(n, fill, dtype=dt)
             else:
-                arr = jnp.zeros(n, dtype=dt)
+                arr = _device_fill(n, dt)
 
         self._sharded = sharded if sharded is not None else self.context.size > 1
         self._array = self._place(arr)
 
     # -- storage -----------------------------------------------------------
     def _place(self, arr) -> jax.Array:
-        sh = (
-            self.context.vector_sharding
-            if self._sharded
-            else jax.sharding.SingleDeviceSharding(self.context.devices[0])
-        )
+        n = int(np.shape(arr)[0]) if np.ndim(arr) else 0
+        if self._sharded and n % self.context.size == 0 and n > 0:
+            # even block sharding over the mesh (the part[] analog)
+            sh = self.context.vector_sharding
+        elif self._sharded:
+            # GSPMD rejects uneven shards; replicate instead (the weighted
+            # uneven partitions of the reference map to shard_map-level
+            # logic, not XLA shardings — see parallel/partition.py)
+            sh = self.context.replicated
+        else:
+            sh = jax.sharding.SingleDeviceSharding(self.context.devices[0])
+        if isinstance(arr, np.ndarray):
+            return _host_to_device_any(arr, sh)
         return jax.device_put(arr, sh)
 
     @property
@@ -192,9 +247,7 @@ class vector(_ExprOpsMixin):
             self._array = self._place(value.array.astype(self.dtype))
             return self
         if isinstance(value, (int, float, complex, bool, np.generic)) and op == "=":
-            self._array = self._place(
-                jnp.full(self.size, value, dtype=self.dtype)
-            )
+            self._array = self._place(np.full(self.size, value, dtype=self.dtype))
             return self
         arr = evaluate(
             value,
@@ -273,7 +326,7 @@ class vector(_ExprOpsMixin):
 
     # -- host transfer (read_data/write_data/map, vector.hpp:805-911) ----------
     def to_numpy(self) -> np.ndarray:
-        return np.asarray(self._array)
+        return _device_to_host_any(self._array)
 
     def __array__(self, dtype=None):
         a = self.to_numpy()
@@ -281,7 +334,7 @@ class vector(_ExprOpsMixin):
 
     def read_data(self, offset: int = 0, size: Optional[int] = None) -> np.ndarray:
         size = self.size - offset if size is None else size
-        return np.asarray(self._array[offset : offset + size])
+        return self.to_numpy()[offset : offset + size]
 
     def write_data(self, host: Any, offset: int = 0) -> None:
         host = np.asarray(host, dtype=self.dtype)
