@@ -45,7 +45,7 @@ def _fetch(out):
     return float(jnp.real(leaf)) if jnp.iscomplexobj(leaf) else float(leaf)
 
 
-def slope_seconds(step, x0, lo=8, hi=40, reps=3):
+def slope_seconds(step, x0, lo=64, hi=512, reps=3):
     """Per-iteration seconds of `step` (array -> array), measured as the
     slope between two chained-run lengths."""
 
@@ -71,18 +71,22 @@ def slope_seconds(step, x0, lo=8, hi=40, reps=3):
 
 
 def bench_fused_elementwise(n=1 << 24):
-    """a = 2*b + sin(c): 3 arrays touched (benchmark.cpp:153-216)."""
+    """a = sin(2.5*a + c): 3 arrays touched (benchmark.cpp:153-216).
+
+    The chained map must stay bounded AND never reach a fixed point or
+    inf — the runtime elides bitwise-identical executions (see module
+    docstring) — so the step is a chaotic bounded map."""
     c = jnp.full(n, 0.5, jnp.float32)
-    x0 = jnp.zeros(n, jnp.float32)
-    # c participates via the loop carry so it cannot be hoisted
-    t = slope_seconds(lambda v: 2.0 * v + jnp.sin(c + v[0] * 1e-20), x0)
+    x0 = jnp.asarray(np.random.rand(n).astype(np.float32))
+    t = slope_seconds(lambda v: jnp.sin(2.5 * v + c), x0, lo=64, hi=768)
     return 3 * n * 4 / t / 1e9, t
 
 
 def bench_saxpy(n=1 << 24):
-    b = jnp.full(n, 0.5, jnp.float32)
-    x0 = jnp.zeros(n, jnp.float32)
-    t = slope_seconds(lambda v: 0.999 * v + b, x0)
+    b = jnp.full(n, 0.317, jnp.float32)
+    x0 = jnp.asarray(np.random.rand(n).astype(np.float32))
+    # irrational-rotation map: closed in [0,1) under f32, never settles
+    t = slope_seconds(lambda v: (1.618034 * v + b) % 1.0, x0, lo=64, hi=768)
     return 3 * n * 4 / t / 1e9, t
 
 
@@ -90,30 +94,32 @@ def bench_reduction(n=1 << 24):
     """sum(a*b) (benchmark.cpp:220-280): chain mutates a cheaply so each
     iteration re-reads both arrays."""
     b = jnp.full(n, 0.5, jnp.float32)
-    x0 = jnp.ones(n, jnp.float32)
+    x0 = jnp.asarray(np.random.rand(n).astype(np.float32))
 
     def step(v):
         s = jnp.sum(v * b)
-        return v + s * 1e-30  # dependency without changing the workload
+        # rotation map keeps every iteration's bytes distinct (f32-closed)
+        return (1.618034 * v + 0.317) % 1.0 + s * 1e-30
 
-    t = slope_seconds(step, x0, lo=8, hi=40)
-    # each iteration: reduction reads 2 arrays + the update touches 2 more;
-    # report the reduction's own traffic share (2 reads) of measured time
-    return 2 * n * 4 / (t / 2) / 1e9, t
+    t = slope_seconds(step, x0, lo=64, hi=512)
+    # per iteration: reduce reads v+b, update reads v writes v = 4 passes;
+    # report achieved bandwidth over the 4 passes
+    return 4 * n * 4 / t / 1e9, t
 
 
 def bench_stencil(n=1 << 24, w=5):
-    coeff = jnp.asarray(np.linspace(0.1, 0.5, w), dtype=jnp.float32)
-    x0 = jnp.ones(n, jnp.float32)
+    c = np.linspace(0.1, 0.5, w)
+    coeff = jnp.asarray(c / c.sum(), dtype=jnp.float32)  # sums to 1
+    x0 = jnp.asarray(np.random.rand(n).astype(np.float32))
 
     def step(x):
         xp = jnp.pad(x, (w // 2, w - 1 - w // 2), mode="edge")
         y = jnp.zeros_like(x)
         for k in range(w):
             y = y + coeff[k] * xp[k : k + n]
-        return y * 0.399  # keep magnitudes stable across the chain
+        return 3.9 * y * (1.0 - y)  # chaotic, stays in [0,1]
 
-    t = slope_seconds(step, x0, lo=4, hi=20)
+    t = slope_seconds(step, x0, lo=32, hi=256)
     return 2 * w * n / t / 1e9, 2 * n * 4 / t / 1e9, t
 
 
@@ -126,8 +132,8 @@ def bench_spmv(m=64, fmt=None):
     A = vex.SpMat(n, n, ptr, col, val, fmt=fmt)
     nnz = int(ptr[-1])
     dev = A.device
-    x0 = jnp.ones(n, jnp.float32)
-    t = slope_seconds(lambda x: dev.apply(x) * 0.083, x0, lo=4, hi=20)
+    x0 = jnp.asarray(np.random.rand(n).astype(np.float32))
+    t = slope_seconds(lambda x: jnp.sin(dev.apply(x)), x0, lo=32, hi=256)
     return (2 * nnz + n) / t / 1e9, t
 
 
@@ -137,19 +143,19 @@ def bench_sort(n=1 << 24):
 
     def step(k):
         # cheap bit-mix so every iteration sorts fresh keys
-        k = (k * np.int32(0x9E3779B1)) ^ (k >> 7)
+        k = (k * np.int32(-1640531535)) ^ (k >> 7)  # 0x9E3779B1 as i32
         return jax.lax.sort(k)
 
-    t = slope_seconds(step, x0, lo=2, hi=8)
+    t = slope_seconds(step, x0, lo=4, hi=24)
     return n / t / 1e6, t
 
 
 def bench_scan(n=1 << 24):
     from vexcl_tpu.ops.pallas_scan import pallas_cumsum, use_pallas_scan
 
-    x0 = jnp.ones(n, jnp.float32)
+    x0 = jnp.asarray(np.random.rand(n).astype(np.float32))
     impl = pallas_cumsum if use_pallas_scan(x0, None) else jnp.cumsum
-    t = slope_seconds(lambda v: impl(v) * 1e-7, x0, lo=4, hi=20)
+    t = slope_seconds(lambda v: jnp.cos(impl(v) * 1e-4), x0, lo=16, hi=128)
     return n / t / 1e9, t
 
 
@@ -163,7 +169,7 @@ def bench_rng(n=1 << 24):
         b = philox4x32(idx, z, z, z, jnp.uint32(42), jnp.uint32(0))
         return b[0]  # feeds next iteration: fresh counters each time
 
-    t = slope_seconds(step, x0, lo=4, hi=20)
+    t = slope_seconds(step, x0, lo=16, hi=128)
     return n / t / 1e9, t
 
 
@@ -171,8 +177,9 @@ def bench_fft(n=1 << 20):
     from vexcl_tpu.ops.fft import Plan
 
     plan = Plan((n,), None, False, np.complex64)
-    x0 = jnp.ones(n, jnp.float32)
-    t = slope_seconds(lambda v: jnp.abs(plan(v)) * 1e-3, x0, lo=2, hi=8)
+    x0 = jnp.asarray(np.random.rand(n).astype(np.float32))
+    # cos-normalize: bounded, chaotic, cannot saturate to inf
+    t = slope_seconds(lambda v: jnp.cos(jnp.abs(plan(v)) * 1e-3), x0, lo=4, hi=24)
     return 5 * n * np.log2(n) / t / 1e9, t
 
 
@@ -190,6 +197,8 @@ def main():
     extra["stencil_GBs"] = round(st_gbs, 1)
     spmv_gflops, _ = bench_spmv()
     extra["spmv_poisson64_GFLOPs"] = round(spmv_gflops, 2)
+    spmv256_gflops, _ = bench_spmv(m=256)  # BASELINE.md config
+    extra["spmv_poisson256_GFLOPs"] = round(spmv256_gflops, 2)
     sort_mkeys, _ = bench_sort()
     extra["sort_Mkeys_s"] = round(sort_mkeys, 1)
     scan_gelems, _ = bench_scan()

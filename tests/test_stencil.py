@@ -99,3 +99,24 @@ def test_halo_exchange_shard_map(ctx, rng):
 def test_bad_center_raises(ctx):
     with pytest.raises(ValueError):
         vex.stencil([1, 2, 3], center=5)
+
+
+def test_distributed_scan(ctx, rng):
+    """Device-side shard scan + ICI tail propagation
+    (parallel/collectives.py, scan.hpp:426-458 analog)."""
+    import jax
+    from vexcl_tpu.parallel.collectives import distributed_scan
+
+    n = 128 * ctx.size
+    hx = rng.random(n)
+    xs = jax.device_put(hx, ctx.vector_sharding)
+    inc = jax.jit(
+        lambda v: distributed_scan(v, ctx.mesh, ctx.axis, exclusive=False)
+    )(xs)
+    np.testing.assert_allclose(np.asarray(inc), np.cumsum(hx), rtol=1e-10)
+    exc = jax.jit(
+        lambda v: distributed_scan(v, ctx.mesh, ctx.axis, exclusive=True)
+    )(xs)
+    np.testing.assert_allclose(
+        np.asarray(exc), np.concatenate([[0], np.cumsum(hx)[:-1]]), rtol=1e-10
+    )

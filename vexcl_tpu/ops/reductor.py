@@ -116,6 +116,13 @@ class Reductor:
         self._combined = isinstance(self.kinds, tuple)
 
     def __call__(self, expr: Any) -> Union[float, Tuple[float, ...]]:
+        # multivector expressions reduce per component, like the reference
+        # (Reductor over a multivector returns std::array<T,N>,
+        # reductor.hpp:302-439 + multivector grammar)
+        if hasattr(expr, "_as_multi"):
+            expr = expr._as_multi()
+        if hasattr(expr, "components"):
+            return tuple(self(c) for c in expr.components)
         expr = as_expr(expr)
         n, _ctx = expression_properties(expr)
         kinds = self.kinds if self._combined else (self.kinds,)

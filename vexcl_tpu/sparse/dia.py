@@ -44,16 +44,22 @@ class DIA:
 
     @staticmethod
     def matvec(n: int, m: int, offsets, leaves, x):
+        """y[i] = sum_k vals[k, i] * x[i + off_k].
+
+        Formulated as full-length shifted-window products over a
+        zero-padded x: no scatter, no masks (vals are already zero at
+        out-of-range rows by construction), so XLA fuses the whole SpMV
+        into one bandwidth-bound pass."""
         (vals,) = leaves
-        y = jnp.zeros(n, dtype=jnp.result_type(vals, x))
+        if not offsets:
+            return jnp.zeros(n, dtype=jnp.result_type(vals, x))
+        lpad = max(0, -min(offsets))
+        rpad = max(0, n + max(offsets) - m)
+        xp = jnp.pad(x, (lpad, rpad))
+        y = None
         for k, off in enumerate(offsets):
-            # rows i in [lo, hi) have a valid column i+off
-            lo = max(0, -off)
-            hi = min(n, m - off)
-            if hi <= lo:
-                continue
-            seg = vals[k, lo:hi] * jax.lax.dynamic_slice_in_dim(x, lo + off, hi - lo)
-            y = y.at[lo:hi].add(seg)
+            seg = vals[k] * jax.lax.dynamic_slice_in_dim(xp, lpad + off, n)
+            y = seg if y is None else y + seg
         return y
 
     def apply(self, x):

@@ -85,6 +85,30 @@ class _ExprOpsMixin:
     def __invert__(self):
         return ~self._as_terminal()
 
+    def __and__(self, o):
+        return self._as_terminal() & as_expr(o)
+
+    def __rand__(self, o):
+        return as_expr(o) & self._as_terminal()
+
+    def __or__(self, o):
+        return self._as_terminal() | as_expr(o)
+
+    def __ror__(self, o):
+        return as_expr(o) | self._as_terminal()
+
+    def __xor__(self, o):
+        return self._as_terminal() ^ as_expr(o)
+
+    def __rxor__(self, o):
+        return as_expr(o) ^ self._as_terminal()
+
+    def __lshift__(self, o):
+        return self._as_terminal() << as_expr(o)
+
+    def __rshift__(self, o):
+        return self._as_terminal() >> as_expr(o)
+
     def __lt__(self, o):
         return self._as_terminal() < as_expr(o)
 
