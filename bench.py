@@ -45,81 +45,104 @@ def _fetch(out):
     return float(jnp.real(leaf)) if jnp.iscomplexobj(leaf) else float(leaf)
 
 
-def slope_seconds(step, x0, lo=64, hi=512, reps=3):
+def slope_seconds(step, x0, lo=64, hi=512, reps=3, extra=()):
     """Per-iteration seconds of `step` (array -> array), measured as the
-    slope between two chained-run lengths."""
+    slope between two chained-run lengths.
+
+    Large device arrays the step needs must go in `extra` (passed as jit
+    ARGUMENTS): closed-over arrays are embedded as program constants and
+    blow the remote-compile request size (HTTP 413 at ~hundreds of MB).
+    """
 
     def make(inner):
         @jax.jit
-        def run(v):
-            return jax.lax.fori_loop(0, inner, lambda i, a: step(a), v)
+        def run(v, *ex):
+            return jax.lax.fori_loop(0, inner, lambda i, a: step(a, *ex), v)
 
         return run
 
     times = {}
     for inner in (lo, hi):
         run = make(inner)
-        _fetch(run(x0))  # compile + warm
+        _fetch(run(x0, *extra))  # compile + warm
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = run(x0)
+            out = run(x0, *extra)
             _fetch(out)
             ts.append(time.perf_counter() - t0)
         times[inner] = min(ts)
     return max((times[hi] - times[lo]) / (hi - lo), 1e-9)
 
 
-def bench_fused_elementwise(n=1 << 24):
-    """a = sin(2.5*a + c): 3 arrays touched (benchmark.cpp:153-216).
+def bench_fused_elementwise(n=1 << 26):
+    """a = (a + b + c*d) %% 1 — the reference's fused kernel a += b + c*d
+    (benchmark.cpp:153-216): 4 reads + 1 write = 5 arrays.
 
-    The chained map must stay bounded AND never reach a fixed point or
-    inf — the runtime elides bitwise-identical executions (see module
-    docstring) — so the step is a chaotic bounded map."""
-    c = jnp.full(n, 0.5, jnp.float32)
-    x0 = jnp.asarray(np.random.rand(n).astype(np.float32))
-    t = slope_seconds(lambda v: jnp.sin(2.5 * v + c), x0, lo=64, hi=768)
+    Two timing hazards on this runtime (see module docstring): chains that
+    saturate to a fixed point/inf get elided, and working sets that fit
+    VMEM never touch HBM (impossible GB/s).  So: bounded chaotic update
+    (mod 1) over DISTINCT random arrays, 5 x 256 MiB per iteration."""
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.random(n, dtype=np.float32))
+    c = jnp.asarray(rng.random(n, dtype=np.float32))
+    d = jnp.asarray(rng.random(n, dtype=np.float32))
+    x0 = jnp.asarray(rng.random(n, dtype=np.float32))
+    t = slope_seconds(
+        lambda v, b_, c_, d_: (v + b_ + c_ * d_) % 1.0,
+        x0, lo=8, hi=48, extra=(b, c, d),
+    )
+    return 5 * n * 4 / t / 1e9, t
+
+
+def bench_saxpy(n=1 << 26):
+    """a = (2*a + b) %% 1 (benchmark.cpp:84-148): 2 reads + 1 write."""
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.random(n, dtype=np.float32))
+    x0 = jnp.asarray(rng.random(n, dtype=np.float32))
+    t = slope_seconds(lambda v, b_: (2.0 * v + b_) % 1.0, x0,
+                      lo=8, hi=48, extra=(b,))
     return 3 * n * 4 / t / 1e9, t
 
 
-def bench_saxpy(n=1 << 24):
-    b = jnp.full(n, 0.317, jnp.float32)
-    x0 = jnp.asarray(np.random.rand(n).astype(np.float32))
-    # irrational-rotation map: closed in [0,1) under f32, never settles
-    t = slope_seconds(lambda v: (1.618034 * v + b) % 1.0, x0, lo=64, hi=768)
-    return 3 * n * 4 / t / 1e9, t
+def bench_reduction(n=1 << 26):
+    """sum(a*b) (benchmark.cpp:220-280): chain mutates a so each iteration
+    re-reads both arrays from HBM."""
+    rng = np.random.default_rng(2)
+    b = jnp.asarray(rng.random(n, dtype=np.float32))
+    x0 = jnp.asarray(rng.random(n, dtype=np.float32))
+
+    def step(v, b_):
+        s = jnp.sum(v * b_)
+        return (v + b_) % 1.0 + s * 1e-30
+
+    t = slope_seconds(step, x0, lo=8, hi=48, extra=(b,))
+    # per iteration: reduce reads v+b, update reads v+b writes v; XLA fuses
+    # the two passes over (v, b) -> ~2 reads + 1 write of n each, plus the
+    # reduction output.  Report the reduction's 2-read traffic.
+    return 2 * n * 4 / t / 1e9, t
 
 
-def bench_reduction(n=1 << 24):
-    """sum(a*b) (benchmark.cpp:220-280): chain mutates a cheaply so each
-    iteration re-reads both arrays."""
-    b = jnp.full(n, 0.5, jnp.float32)
-    x0 = jnp.asarray(np.random.rand(n).astype(np.float32))
-
-    def step(v):
-        s = jnp.sum(v * b)
-        # rotation map keeps every iteration's bytes distinct (f32-closed)
-        return (1.618034 * v + 0.317) % 1.0 + s * 1e-30
-
-    t = slope_seconds(step, x0, lo=64, hi=512)
-    # per iteration: reduce reads v+b, update reads v writes v = 4 passes;
-    # report achieved bandwidth over the 4 passes
-    return 4 * n * 4 / t / 1e9, t
-
-
-def bench_stencil(n=1 << 24, w=5):
+def bench_stencil(n=1 << 26, w=5):
     c = np.linspace(0.1, 0.5, w)
     coeff = jnp.asarray(c / c.sum(), dtype=jnp.float32)  # sums to 1
-    x0 = jnp.asarray(np.random.rand(n).astype(np.float32))
+    x0 = jnp.asarray(np.random.default_rng(3).random(n, dtype=np.float32))
+
+    from vexcl_tpu.ops.pallas_stencil import stencil_pallas, use_pallas_stencil
+
+    cnp = np.asarray(c / c.sum(), dtype=np.float32)
 
     def step(x):
-        xp = jnp.pad(x, (w // 2, w - 1 - w // 2), mode="edge")
-        y = jnp.zeros_like(x)
-        for k in range(w):
-            y = y + coeff[k] * xp[k : k + n]
-        return 3.9 * y * (1.0 - y)  # chaotic, stays in [0,1]
+        if use_pallas_stencil(n, w, x.dtype):
+            y = stencil_pallas(x, cnp, w // 2)
+        else:
+            xp = jnp.pad(x, (w // 2, w - 1 - w // 2), mode="edge")
+            y = jnp.zeros_like(x)
+            for k in range(w):
+                y = y + coeff[k] * xp[k : k + n]
+        return (y + 0.318) % 1.0  # bounded, never settles
 
-    t = slope_seconds(step, x0, lo=32, hi=256)
+    t = slope_seconds(step, x0, lo=8, hi=48)
     return 2 * w * n / t / 1e9, 2 * n * 4 / t / 1e9, t
 
 
@@ -133,7 +156,9 @@ def bench_spmv(m=64, fmt=None):
     nnz = int(ptr[-1])
     dev = A.device
     x0 = jnp.asarray(np.random.rand(n).astype(np.float32))
-    t = slope_seconds(lambda x: jnp.sin(dev.apply(x)), x0, lo=32, hi=256)
+    leaves = dev.leaves()
+    step = lambda x, *lv: jnp.sin(dev.apply_leaves(lv, x))
+    t = slope_seconds(step, x0, lo=32, hi=256, extra=leaves)
     return (2 * nnz + n) / t / 1e9, t
 
 

@@ -148,3 +148,22 @@ def test_gather_scatter(ctx, rng):
     mask = np.ones(N, bool)
     mask[idx] = False
     np.testing.assert_allclose(hx2[mask], hx[mask])
+
+
+def test_sort_sharded_vector(ctx, rng):
+    """Sort of a mesh-sharded vector: XLA redistributes device-side
+    (replaces the reference's host k-way merge, sort.hpp:1924-2068)."""
+    n = 1 << 13  # divisible by 8 -> sharded storage
+    hk = rng.random(n)
+    k = vex.vector(data=hk, context=ctx)
+    assert k.nparts == ctx.size
+    vex.sort(k)
+    np.testing.assert_allclose(np.asarray(k), np.sort(hk))
+
+
+def test_scan_sharded_vector(ctx, rng):
+    n = 1 << 13
+    hx = rng.random(n)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.inclusive_scan(x)
+    np.testing.assert_allclose(np.asarray(y), np.cumsum(hx), rtol=1e-10)

@@ -91,3 +91,18 @@ def test_plan_cache(ctx):
     a = len(plan_cache)
     vex.FFT(2048)
     assert len(plan_cache) == a
+
+
+def test_batched_fft_sharded(ctx, rng):
+    """Batched FFT over a mesh-sharded vector (beyond the reference's
+    single-device restriction, fft/plan.hpp:218-220)."""
+    batch, n = 16, 64  # batch divisible by the 8-device mesh
+    hx = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    x = vex.vector(data=hx.ravel(), dtype=np.complex128, context=ctx)
+    assert x.nparts == ctx.size
+    y = vex.vector(batch * n, dtype=np.complex128, context=ctx)
+    y[:] = vex.FFT((batch, n), dims=(1,))(x)
+    np.testing.assert_allclose(
+        np.asarray(y).reshape(batch, n), np.fft.fft(hx, axis=1),
+        rtol=1e-7, atol=1e-8,
+    )

@@ -74,11 +74,12 @@ def as_linear_operator(A):
     from scipy.sparse.linalg import LinearOperator
 
     n, m = A.n, A.m
-
-    jit_mv = jax.jit(lambda x: A.device.apply(x) if hasattr(A, "device") else None)
+    dev = A.device if hasattr(A, "device") else A
+    leaves = dev.leaves()
+    jit_mv = jax.jit(lambda x, *lv: dev.apply_leaves(lv, x))
 
     def matvec(x):
-        return np.asarray(jit_mv(jnp.asarray(x)))
+        return np.asarray(jit_mv(jnp.asarray(x), *leaves))
 
     return LinearOperator((n, m), matvec=matvec, dtype=A.dtype)
 
@@ -95,15 +96,19 @@ def cg(
     n = b.size
     maxiter = maxiter if maxiter is not None else 10 * n
     dev = A.device if hasattr(A, "device") else A
+    leaves = dev.leaves()
 
     bb = b.array
     x_init = x0.array if x0 is not None else jnp.zeros_like(bb)
 
-    def mv(x):
-        return dev.apply(x).astype(bb.dtype)
-
+    # matrix planes travel as jit ARGUMENTS: closed-over arrays would be
+    # embedded as program constants (huge executables; the axon tunnel
+    # rejects oversized compile requests outright)
     @jax.jit
-    def solve(b_arr, x_arr):
+    def solve(b_arr, x_arr, *lv):
+        def mv(x):
+            return dev.apply_leaves(lv, x).astype(bb.dtype)
+
         r = b_arr - mv(x_arr)
         p = r
         rs = jnp.vdot(r, r)
@@ -127,5 +132,5 @@ def cg(
         )
         return x, it
 
-    x_arr, iters = solve(bb, x_init)
+    x_arr, iters = solve(bb, x_init, *leaves)
     return vector(data=x_arr, context=b.context), int(iters)

@@ -1,0 +1,100 @@
+"""Pallas TPU kernel for 1-D stencil convolution.
+
+Analog of the reference's local-memory tiled stencil kernel
+(vexcl/stencil.hpp:168-430): each block DMAs its x window (block + width-1
+halo) HBM->VMEM once, applies the taps as shifted VMEM reads, and writes
+one output block — 1 read + 1 write of n elements total, where the XLA
+pad+slice formulation materializes intermediates.  Coefficients are baked
+into the kernel as compile-time scalars (they key the expression cache the
+same way the reference's generated source embeds them).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import config
+
+__all__ = ["stencil_pallas", "use_pallas_stencil"]
+
+BLOCK = 1024 * 128  # 131072 elements = 512 KiB f32
+
+
+def _align(x, m=1024):
+    """1-D HBM DMA slices must be length-aligned to 1024 on Mosaic."""
+    return -(-x // m) * m
+
+
+def _kernel(xp_hbm, o_ref, xwin, sem, *, coeffs, width, block):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        xp_hbm.at[pl.ds(i * block, block + _align(width - 1))],
+        xwin,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    acc = None
+    for k in range(width):
+        seg = coeffs[k] * xwin[k : k + block]
+        acc = seg if acc is None else acc + seg
+    o_ref[...] = acc
+
+
+def stencil_pallas(x, coeffs, center: int):
+    """y[i] = sum_k coeffs[k] * x_edgepad[i + k - center]."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = x.shape[0]
+    w = len(coeffs)
+    nblocks = -(-n // BLOCK)
+    npad = nblocks * BLOCK
+    # edge-replicated pad (stencil.hpp halo semantics) + block tail pad
+    # (+ DMA alignment slack)
+    xp = jnp.pad(x, (center, w - 1 - center), mode="edge")
+    tail = (npad - n) + (_align(w - 1) - (w - 1))
+    if tail:
+        xp = jnp.pad(xp, (0, tail))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, coeffs=tuple(float(c) for c in coeffs), width=w,
+            block=BLOCK,
+        ),
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((BLOCK,), lambda i: (i,),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad,), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK + _align(w - 1),), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=config.pallas_interpret(),
+    )(xp)
+    return out[:n]
+
+
+def use_pallas_stencil(n: int, width: int, dtype) -> bool:
+    # Opt-in until the double-buffered variant beats the XLA formulation
+    # (single-buffered measured 105 GB/s vs 172 for XLA at 2^26).
+    import os
+
+    if os.environ.get("VEXTPU_PALLAS_STENCIL") != "1":
+        return False
+    if config.pallas_interpret():
+        return False
+    if np.dtype(dtype) not in (np.float32,):
+        return False
+    if width > 128 or n < 2 * BLOCK:
+        return False
+    return True

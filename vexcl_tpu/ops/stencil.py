@@ -62,6 +62,12 @@ class StencilExpr(Expr):
         coeff = self.children[0].emit(env)
         x = self.children[1].emit(env)
         n = x.shape[0]
+        from .pallas_stencil import stencil_pallas, use_pallas_stencil
+
+        if use_pallas_stencil(n, self.st.width, x.dtype):
+            return stencil_pallas(
+                x, np.asarray(self.st.coeff), self.st.center
+            )
         lpad = self.st.center
         rpad = self.st.width - 1 - self.st.center
         # edge replication at domain ends (exchange_halos :138-154)

@@ -53,6 +53,10 @@ class DIA:
         (vals,) = leaves
         if not offsets:
             return jnp.zeros(n, dtype=jnp.result_type(vals, x))
+        from .pallas_dia import dia_matvec_pallas, use_pallas_dia
+
+        if use_pallas_dia(offsets, vals) and x.dtype == vals.dtype:
+            return dia_matvec_pallas(n, m, offsets, vals, x)
         lpad = max(0, -min(offsets))
         rpad = max(0, n + max(offsets) - m)
         xp = jnp.pad(x, (lpad, rpad))
@@ -61,6 +65,9 @@ class DIA:
             seg = vals[k] * jax.lax.dynamic_slice_in_dim(xp, lpad + off, n)
             y = seg if y is None else y + seg
         return y
+
+    def apply_leaves(self, leaves, x):
+        return DIA.matvec(self.n, self.m, self.offsets, leaves, x)
 
     def apply(self, x):
         return DIA.matvec(self.n, self.m, self.offsets, self.leaves(), x)

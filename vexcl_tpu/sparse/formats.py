@@ -57,6 +57,11 @@ class CSR:
         prod = val * jnp.take(x, col, axis=0)
         return jax.ops.segment_sum(prod, row_ids, num_segments=n)
 
+    def apply_leaves(self, leaves, x):
+        """Matvec with arrays passed in (for jit-argument plumbing; only
+        static config is read from self)."""
+        return CSR.matvec(self.n, leaves, x)
+
     def apply(self, x):
         return CSR.matvec(self.n, self.leaves(), x)
 
@@ -89,6 +94,9 @@ class ELL:
         prod = jnp.where(mask, val * gathered, 0)
         return jnp.sum(prod, axis=1)
 
+    def apply_leaves(self, leaves, x):
+        return ELL.matvec(self.n, leaves, x)
+
     def apply(self, x):
         return ELL.matvec(self.n, self.leaves(), x)
 
@@ -120,6 +128,9 @@ class Hybrid:
         if has_tail:
             y = y + CSR.matvec(n, leaves[2:], x)
         return y
+
+    def apply_leaves(self, leaves, x):
+        return Hybrid.matvec(self.n, leaves, x, self.tail is not None)
 
     def apply(self, x):
         return Hybrid.matvec(self.n, self.leaves(), x, self.tail is not None)
