@@ -127,6 +127,44 @@ class Reductor:
         n, _ctx = expression_properties(expr)
         kinds = self.kinds if self._combined else (self.kinds,)
         analysis = analyze(expr)
+
+        # Pallas fast path: single SUM/MIN/MAX over a large elementwise f32
+        # expression — one-pass blocked map-reduce (reductor.hpp analog)
+        from .pallas_reduce import pallas_map_reduce, reducible_with_pallas
+
+        if (
+            self.dtype in (None, np.dtype(np.float32))
+            and reducible_with_pallas(expr, kinds, n)
+        ):
+            is_arr = [getattr(p, "ndim", 0) == 1 for p in analysis.leaves]
+            kind = kinds[0].name
+            key = ("pallas_reduce", analysis.sig, kind, n)
+
+            def factory():
+                def run(*leaves):
+                    arrays = [l for l, f in zip(leaves, is_arr) if f]
+                    scalars = [l for l, f in zip(leaves, is_arr) if not f]
+
+                    def emit(blocks, scalar_vals):
+                        bi = iter(blocks)
+                        si = iter(scalar_vals)
+                        full = [
+                            next(bi) if f else next(si) for f in is_arr
+                        ]
+                        env = _env_from(analysis, (expr,), full, None)
+                        return expr.emit(env)
+
+                    return pallas_map_reduce(arrays, scalars, emit, kind)
+
+                return jax.jit(run)
+
+            jfn = (
+                kernel_cache.get_or_create(key, factory)
+                if config.cache_kernels
+                else factory()
+            )
+            return float(jfn(*analysis.leaves))
+
         key = (
             "reduce",
             analysis.sig,
