@@ -87,3 +87,14 @@ def test_threefry_reference_vector():
     out = threefry2x32(jnp.zeros(1, jnp.uint32), jnp.zeros(1, jnp.uint32), 0, 0)
     got = [int(o[0]) for o in out]
     assert got == [0x6B200159, 0x99BA4EFE]
+
+
+def test_pltpu_generator_fallback(ctx):
+    """The hardware-PRNG generator falls back to philox off-TPU and keeps
+    the statistical contract."""
+    rnd = vex.Random(np.float32, "pltpu")
+    x = vex.vector(N, dtype=np.float32, context=ctx)
+    x[:] = rnd(vex.element_index(), 3)
+    h = np.asarray(x)
+    assert 0 <= h.min() and h.max() < 1
+    assert abs(h.mean() - 0.5) < 0.02

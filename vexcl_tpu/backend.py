@@ -20,7 +20,7 @@ non-TPU backends (the JIT/OpenMP backend analog).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

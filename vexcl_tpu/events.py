@@ -18,7 +18,7 @@ On TPU, XLA's dataflow order already serializes dependent work per device
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -17,7 +17,7 @@ from typing import Any, Optional
 
 import jax.numpy as jnp
 
-from .node import EmitEnv, Expr, VectorTerminal, as_expr
+from .node import EmitEnv, Expr, as_expr
 
 __all__ = ["raw_pointer", "constant_pointer", "RawPointer"]
 

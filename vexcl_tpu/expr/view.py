@@ -249,7 +249,6 @@ class ReshapeView(Expr):
         xr = x.reshape(src_shape)
         # place source axis j at output dim order[j]
         out_ndim = len(self.dst)
-        expanded = list(range(len(src_shape)))
         # build transpose+expand: start with xr axes in src order, create
         # output by inserting size-1 dims for missing outputs then transposing
         missing = [d for d in range(out_ndim) if d not in self.order]

@@ -18,7 +18,7 @@ kernel for maximum throughput (not bit-compatible with Random123).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -120,6 +120,43 @@ def _normal_from_uniform(u1, u2, dtype):
     return (r * jnp.cos(theta)).astype(dtype)
 
 
+def _pltpu_uniform_bits(n: int, seed):
+    """Uniform u32 stream from the TPU's hardware PRNG (Pallas kernel).
+
+    Deterministic per (seed, n) but NOT a counter-based Random123 stream:
+    the index expression only supplies the length.  Use for maximum
+    throughput when bit-compatibility with the reference doesn't matter.
+    """
+    import functools
+
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..config import config
+
+    LANE, BR = 128, 2048
+    block = BR * LANE
+    nblocks = max(1, -(-n // block))
+
+    def kern(seed_ref, o_ref):
+        i = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + i)
+        o_ref[...] = pltpu.bitcast(
+            pltpu.prng_random_bits((BR, LANE)), jnp.uint32
+        )
+
+    out = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((BR, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks * BR, LANE), jnp.uint32),
+        interpret=config.pallas_interpret(),
+    )(jnp.asarray(seed, jnp.int32).reshape(1))
+    return out.reshape(-1)[:n]
+
+
 class _CBRNG:
     """Callable generator object usable inside expressions."""
 
@@ -141,6 +178,19 @@ class _CBRNG:
         if self.generator == "threefry":
             b0, b1 = threefry2x32(idx, hi, s0, s1)
             b2, b3 = threefry2x32(idx ^ np.uint32(0xDEADBEEF), hi, s0, s1)
+            return b0, b1, b2, b3
+        if self.generator in ("pltpu", "hw"):
+            from ..config import config
+
+            n = idx.shape[0]
+            if config.pallas_interpret():
+                # CPU fallback: philox (hardware PRNG needs a TPU)
+                return philox4x32(idx, hi, jnp.zeros_like(idx),
+                                  jnp.zeros_like(idx), s0, s1)
+            b0 = _pltpu_uniform_bits(n, s0)
+            b1 = _pltpu_uniform_bits(n, s0 ^ np.uint32(0x85EBCA6B))
+            b2 = _pltpu_uniform_bits(n, s0 ^ np.uint32(0xC2B2AE35))
+            b3 = _pltpu_uniform_bits(n, s0 ^ np.uint32(0x27D4EB2F))
             return b0, b1, b2, b3
         raise ValueError(f"unknown generator {self.generator!r}")
 

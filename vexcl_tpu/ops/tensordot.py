@@ -16,7 +16,7 @@ XLA automatically.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np

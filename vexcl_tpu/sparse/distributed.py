@@ -27,7 +27,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..context import current_context
 from ..expr.node import ArrayTerminal, EmitEnv, Expr, as_expr
-from .formats import choose_ell_width, from_csr_host
+from .formats import from_csr_host
 
 __all__ = ["distributed"]
 
