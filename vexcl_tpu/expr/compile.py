@@ -44,11 +44,15 @@ ASSIGN_OPS = {
 
 def _env_from(analysis: Analysis, exprs: Sequence[Expr], leaves, n):
     values = {}
+    seen = set()
     for e in exprs:
         stack = [e]
         while stack:
             node = stack.pop()
             nid = id(node)
+            if nid in seen:
+                continue
+            seen.add(nid)
             if nid in analysis.slot_of:
                 values[nid] = leaves[analysis.slot_of[nid]]
             stack.extend(node.children)
@@ -71,7 +75,7 @@ def _build_evaluator(
 
     def run(*leaves):
         env = _env_from(analysis, exprs, leaves, n)
-        outs = [e.emit(env) for e in exprs]
+        outs = [e.emit_cached(env) for e in exprs]
         if dtypes is not None:
             outs = [
                 o if dt is None else o.astype(dt) for o, dt in zip(outs, dtypes)
@@ -101,12 +105,16 @@ def _check_sizes(exprs: Sequence[Expr], n: Optional[int]) -> None:
         return
     from .node import VectorTerminal
 
+    seen = set()
     for e in exprs:
         # walk only through size-preserving nodes; a size-transforming node
         # (view/spmv/tensordot/...) validates its own operands
         stack = [e]
         while stack:
             node = stack.pop()
+            if id(node) in seen:
+                continue
+            seen.add(id(node))
             if isinstance(node, VectorTerminal):
                 if node.vec.size != n:
                     raise ValueError(
@@ -162,7 +170,7 @@ def evaluate(
     def factory():
         def run(old_val, *leaves):
             env = _env_from(analysis, (expr,), leaves, n)
-            val = expr.emit(env)
+            val = expr.emit_cached(env)
             if jnp.ndim(val) == 0 and n is not None:
                 val = jnp.broadcast_to(val, (n,))
             res = combine(old_val, val)
@@ -224,7 +232,7 @@ def evaluate_multi(
             oi = 0
             for i, e in enumerate(exprs):
                 env.n = ns[i]
-                val = e.emit(env)
+                val = e.emit_cached(env)
                 if jnp.ndim(val) == 0 and ns[i] is not None:
                     val = jnp.broadcast_to(val, (ns[i],))
                 if need_old[i]:

@@ -94,6 +94,11 @@ class _SigCtx:
         self.leaves: List[Any] = []
         self.slot_of: Dict[int, int] = {}
         self._key_slot: Dict[Any, int] = {}
+        # DAG handling: expressions built by host algorithms (e.g. the
+        # symbolic generator recording an RK4 step) share subtrees; a naive
+        # tree walk re-visits them exponentially.  Shared nodes get a
+        # back-reference "@k" in the signature and are traversed once.
+        self.node_ref: Dict[int, int] = {}
 
     def slot(self, node: "Expr") -> int:
         key = node.leaf_key()
@@ -108,9 +113,9 @@ class _SigCtx:
 
 
 def analyze(*exprs: "Expr") -> Analysis:
-    """One deterministic preorder traversal over (possibly several) trees."""
+    """One deterministic preorder traversal over (possibly several) DAGs."""
     ctx = _SigCtx()
-    sigs = [e._sig(ctx) for e in exprs]
+    sigs = [e.sig_cached(ctx) for e in exprs]
     return Analysis(";".join(sigs), ctx.leaves, ctx.slot_of)
 
 
@@ -128,8 +133,16 @@ class Expr:
     def extra_sig(self) -> str:
         return ""
 
+    def sig_cached(self, ctx: _SigCtx) -> str:
+        """Signature with shared-subtree back-references (DAG-safe)."""
+        ref = ctx.node_ref.get(id(self))
+        if ref is not None:
+            return f"@{ref}"
+        ctx.node_ref[id(self)] = len(ctx.node_ref)
+        return self._sig(ctx)
+
     def _sig(self, ctx: _SigCtx) -> str:
-        inner = ",".join(c._sig(ctx) for c in self.children)
+        inner = ",".join(c.sig_cached(ctx) for c in self.children)
         ex = self.extra_sig()
         return f"{self._opname}{'[' + ex + ']' if ex else ''}({inner})"
 
@@ -141,6 +154,16 @@ class Expr:
         raise NotImplementedError
 
     # -- trace --------------------------------------------------------------
+    def emit_cached(self, env: "EmitEnv"):
+        """Emit with per-node memoization (DAG-safe; shared subexpressions
+        trace once, like the reference's CSE over generated source)."""
+        vid = id(self)
+        if vid in env.values:
+            return env.values[vid]
+        v = self.emit(env)
+        env.values[vid] = v
+        return v
+
     def emit(self, env: EmitEnv):
         raise NotImplementedError
 
@@ -155,8 +178,12 @@ class Expr:
     def vector_terminals(self) -> List["VectorTerminal"]:
         out: List[VectorTerminal] = []
         stack: List[Expr] = [self]
+        seen = set()
         while stack:
             e = stack.pop()
+            if id(e) in seen:
+                continue
+            seen.add(id(e))
             if isinstance(e, VectorTerminal):
                 out.append(e)
             stack.extend(e.children)
@@ -313,8 +340,8 @@ class BinOp(Expr):
         return self.op
 
     def emit(self, env: EmitEnv):
-        a = self.children[0].emit(env)
-        b = self.children[1].emit(env)
+        a = self.children[0].emit_cached(env)
+        b = self.children[1].emit_cached(env)
         return _BINOPS[self.op](a, b)
 
 
@@ -329,7 +356,7 @@ class UnOp(Expr):
         return self.op
 
     def emit(self, env: EmitEnv):
-        return _UNOPS[self.op](self.children[0].emit(env))
+        return _UNOPS[self.op](self.children[0].emit_cached(env))
 
 
 class FuncCall(Expr):
@@ -351,7 +378,7 @@ class FuncCall(Expr):
         return self.name
 
     def emit(self, env: EmitEnv):
-        return self.impl(*[c.emit(env) for c in self.children])
+        return self.impl(*[c.emit_cached(env) for c in self.children])
 
 
 class Where(Expr):
@@ -364,7 +391,7 @@ class Where(Expr):
         self.children = (as_expr(c), as_expr(a), as_expr(b))
 
     def emit(self, env: EmitEnv):
-        c, a, b = (x.emit(env) for x in self.children)
+        c, a, b = (x.emit_cached(env) for x in self.children)
         return jnp.where(c, a, b)
 
 
@@ -551,7 +578,7 @@ class Temporary(Expr):
     def emit(self, env: EmitEnv):
         key = ("temp", self.tag_id)
         if key not in env.temps:
-            env.temps[key] = self.children[0].emit(env)
+            env.temps[key] = self.children[0].emit_cached(env)
         return env.temps[key]
 
 
@@ -568,7 +595,7 @@ class CastExpr(Expr):
         return str(self.dtype)
 
     def emit(self, env: EmitEnv):
-        return self.children[0].emit(env).astype(self.dtype)
+        return self.children[0].emit_cached(env).astype(self.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -30,8 +30,8 @@ class PointerDeref(Expr):
         self.children = (base, as_expr(index))
 
     def emit(self, env: EmitEnv):
-        x = self.children[0].emit(env)
-        idx = self.children[1].emit(env)
+        x = self.children[0].emit_cached(env)
+        idx = self.children[1].emit_cached(env)
         return jnp.take(x, idx.astype(jnp.int32), axis=0)
 
     def size_hint(self) -> Optional[int]:

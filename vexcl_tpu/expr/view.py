@@ -112,10 +112,10 @@ class SliceTerminal(Expr):
         return _key_sig(self._static_key)
 
     def emit(self, env: EmitEnv):
-        x = self.children[0].emit(env)
+        x = self.children[0].emit_cached(env)
         leaves = iter(self.children[1:])
         key = tuple(
-            k if isinstance(k, (slice, int, np.integer)) else next(leaves).emit(env)
+            k if isinstance(k, (slice, int, np.integer)) else next(leaves).emit_cached(env)
             for k in self._static_key
         )
         return x[key if len(key) > 1 else key[0]]
@@ -155,10 +155,10 @@ class MultiSliceView(Expr):
         return f"{self.dims}|{_key_sig(self._static_key)}"
 
     def emit(self, env: EmitEnv):
-        x = self.children[0].emit(env).reshape(self.dims)
+        x = self.children[0].emit_cached(env).reshape(self.dims)
         leaves = iter(self.children[1:])
         key = tuple(
-            k if isinstance(k, (slice, int, np.integer)) else next(leaves).emit(env)
+            k if isinstance(k, (slice, int, np.integer)) else next(leaves).emit_cached(env)
             for k in self._static_key
         )
         return x[key]
@@ -211,8 +211,8 @@ class PermutationView(Expr):
         self.children = (as_expr(inner), as_expr(index))
 
     def emit(self, env: EmitEnv):
-        x = self.children[0].emit(env)
-        idx = self.children[1].emit(env)
+        x = self.children[0].emit_cached(env)
+        idx = self.children[1].emit_cached(env)
         return jnp.take(x, idx.astype(jnp.int32), axis=0)
 
     def size_hint(self) -> Optional[int]:
@@ -244,7 +244,7 @@ class ReshapeView(Expr):
         return f"{self.dst}|{self.order}"
 
     def emit(self, env: EmitEnv):
-        x = self.children[0].emit(env)
+        x = self.children[0].emit_cached(env)
         src_shape = tuple(self.dst[o] for o in self.order)
         xr = x.reshape(src_shape)
         # place source axis j at output dim order[j]
@@ -303,7 +303,7 @@ class ReducedView(Expr):
         return f"{self.op}|{self.axes}"
 
     def emit(self, env: EmitEnv):
-        x = self.children[0].emit(env)
+        x = self.children[0].emit_cached(env)
         out = _REDUCERS[self.op](x, axis=self.axes)
         return out.reshape(-1)
 

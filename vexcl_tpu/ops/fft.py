@@ -188,7 +188,7 @@ class FFTExpr(Expr):
         return f"{p.shape}:{p.dims}:{p.inverse}:{p.dtype}"
 
     def emit(self, env: EmitEnv):
-        return self.plan(self.children[0].emit(env))
+        return self.plan(self.children[0].emit_cached(env))
 
     def size_hint(self) -> Optional[int]:
         return int(np.prod(self.plan.shape))

@@ -39,9 +39,9 @@ class Image2DSample(Expr):
         return f"{self.img.filter}:{self.img.shape}"
 
     def emit(self, env: EmitEnv):
-        data = self.children[0].emit(env)
-        x = self.children[1].emit(env)
-        y = self.children[2].emit(env)
+        data = self.children[0].emit_cached(env)
+        x = self.children[1].emit_cached(env)
+        y = self.children[2].emit_cached(env)
         h, w = self.img.shape
 
         def clamp_gather(iy, ix):

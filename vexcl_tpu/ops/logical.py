@@ -30,7 +30,7 @@ def _pred(expr: Any, mode: str) -> bool:
     def factory():
         def run(*leaves):
             env = _env_from(analysis, (expr,), leaves, n)
-            val = expr.emit(env)
+            val = expr.emit_cached(env)
             return jnp.any(val) if mode == "any" else jnp.all(val)
 
         return jax.jit(run)

@@ -102,8 +102,8 @@ class MBAExpr(Expr):
     def emit(self, env: EmitEnv):
         ip = self.interp
         nlev = len(ip.grids)
-        lattices = [self.children[i].emit(env) for i in range(nlev)]
-        coords = [c.emit(env) for c in self.children[nlev:]]
+        lattices = [self.children[i].emit_cached(env) for i in range(nlev)]
+        coords = [c.emit_cached(env) for c in self.children[nlev:]]
         d = ip.ndim
         out = 0.0
         for grid, lattice in zip(ip.grids, lattices):

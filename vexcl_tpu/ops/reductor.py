@@ -152,7 +152,7 @@ class Reductor:
                             next(bi) if f else next(si) for f in is_arr
                         ]
                         env = _env_from(analysis, (expr,), full, None)
-                        return expr.emit(env)
+                        return expr.emit_cached(env)
 
                     return pallas_map_reduce(arrays, scalars, emit, kind)
 
@@ -176,7 +176,7 @@ class Reductor:
         def factory():
             def run(*leaves):
                 env = _env_from(analysis, (expr,), leaves, n)
-                val = expr.emit(env)
+                val = expr.emit_cached(env)
                 if self.dtype is not None:
                     val = val.astype(self.dtype)
                 if jnp.ndim(val) == 0 and n is not None:

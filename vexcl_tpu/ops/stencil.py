@@ -59,8 +59,8 @@ class StencilExpr(Expr):
         return f"{self.st.width}:{self.st.center}"
 
     def emit(self, env: EmitEnv):
-        coeff = self.children[0].emit(env)
-        x = self.children[1].emit(env)
+        coeff = self.children[0].emit_cached(env)
+        x = self.children[1].emit_cached(env)
         n = x.shape[0]
         from .pallas_stencil import stencil_pallas, use_pallas_stencil
 
@@ -110,7 +110,7 @@ class StencilOpExpr(Expr):
         return f"{self.op.name}:{self.op.width}:{self.op.center}"
 
     def emit(self, env: EmitEnv):
-        x = self.children[0].emit(env)
+        x = self.children[0].emit_cached(env)
         n = x.shape[0]
         lpad = self.op.center
         rpad = self.op.width - 1 - self.op.center

@@ -45,8 +45,8 @@ class TensordotExpr(Expr):
         return repr(self.axes)
 
     def emit(self, env: EmitEnv):
-        a = self.children[0].emit(env)
-        b = self.children[1].emit(env)
+        a = self.children[0].emit_cached(env)
+        b = self.children[1].emit_cached(env)
         out = jnp.tensordot(a, b, axes=self.axes)
         return out.reshape(-1)
 

@@ -46,8 +46,8 @@ class DistSpMVExpr(Expr):
         return f"{m.n}:{m.axis}:{m.ndev}"
 
     def emit(self, env: EmitEnv):
-        col, val = (c.emit(env) for c in self.children[:2])
-        x = self.children[-1].emit(env)
+        col, val = (c.emit_cached(env) for c in self.children[:2])
+        x = self.children[-1].emit_cached(env)
         mat = self.mat
         mesh = mat.context.mesh
         axis = mat.axis

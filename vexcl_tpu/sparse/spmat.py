@@ -50,8 +50,8 @@ class SpMVExpr(Expr):
 
     def emit(self, env: EmitEnv):
         nleaves = len(self.children) - 1
-        leaves = tuple(c.emit(env) for c in self.children[:nleaves])
-        x = self.children[-1].emit(env)
+        leaves = tuple(c.emit_cached(env) for c in self.children[:nleaves])
+        x = self.children[-1].emit_cached(env)
         dev = self.mat.device
         if isinstance(dev, DIA):
             return DIA.matvec(dev.n, dev.m, dev.offsets, leaves, x)
@@ -156,8 +156,8 @@ class CCSRExpr(Expr):
         return f"{self.mat.n}:{self.mat.width}"
 
     def emit(self, env: EmitEnv):
-        idx, off, val = (c.emit(env) for c in self.children[:3])
-        x = self.children[-1].emit(env)
+        idx, off, val = (c.emit_cached(env) for c in self.children[:3])
+        x = self.children[-1].emit_cached(env)
         n = self.mat.n
         # per-row pattern planes: relative column offsets + values
         row_off = jnp.take(off, idx, axis=0)          # (n, w)
