@@ -206,7 +206,8 @@ def bench_rng(n=1 << 24):
 def bench_fft(n=1 << 20):
     from vexcl_tpu.ops.fft import Plan
 
-    plan = Plan((n,), None, False, np.complex64)
+    plan = Plan((n,), None, False, np.complex64)          # xla engine
+    plan_ct = Plan((n,), None, False, np.complex64, impl="ct")
     x0 = jnp.asarray(np.random.rand(n).astype(np.float32))
     # cos-normalize: bounded, chaotic, cannot saturate to inf
     t = slope_seconds(lambda v: jnp.cos(jnp.abs(plan(v)) * 1e-3), x0, lo=4, hi=24)

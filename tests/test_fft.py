@@ -106,3 +106,15 @@ def test_batched_fft_sharded(ctx, rng):
         np.asarray(y).reshape(batch, n), np.fft.fft(hx, axis=1),
         rtol=1e-7, atol=1e-8,
     )
+
+
+@pytest.mark.parametrize("n", [4096, 729, 1009])
+def test_ct_engine_matches_xla_engine(ctx, rng, n):
+    """Both FFT engines agree (impl='ct' is the from-scratch planner)."""
+    hx = rng.standard_normal(n)
+    x = vex.vector(data=hx, context=ctx)
+    y1 = vex.vector(n, dtype=np.complex128, context=ctx)
+    y1[:] = vex.FFT(n, impl="xla")(x)
+    y2 = vex.vector(n, dtype=np.complex128, context=ctx)
+    y2[:] = vex.FFT(n, impl="ct")(x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-7, atol=1e-8)
