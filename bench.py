@@ -210,8 +210,11 @@ def bench_fft(n=1 << 20):
     plan_ct = Plan((n,), None, False, np.complex64, impl="ct")
     x0 = jnp.asarray(np.random.rand(n).astype(np.float32))
     # cos-normalize: bounded, chaotic, cannot saturate to inf
-    t = slope_seconds(lambda v: jnp.cos(jnp.abs(plan(v)) * 1e-3), x0, lo=4, hi=24)
-    return 5 * n * np.log2(n) / t / 1e9, t
+    t = slope_seconds(lambda v: jnp.cos(jnp.abs(plan(v)) * 1e-3), x0, lo=8, hi=96)
+    t_ct = slope_seconds(lambda v: jnp.cos(jnp.abs(plan_ct(v)) * 1e-3), x0,
+                         lo=8, hi=96)
+    gf = 5 * n * np.log2(n) / 1e9
+    return gf / t, gf / t_ct
 
 
 def main():
@@ -236,8 +239,9 @@ def main():
     extra["scan_Gelem_s"] = round(scan_gelems, 2)
     rng_grands, _ = bench_rng()
     extra["philox_Grand_s"] = round(rng_grands, 2)
-    fft_gflops, _ = bench_fft()
+    fft_gflops, fft_ct_gflops = bench_fft()
     extra["fft_2^20_GFLOPs"] = round(fft_gflops, 1)
+    extra["fft_2^20_ct_planner_GFLOPs"] = round(fft_ct_gflops, 1)
 
     pct = 100.0 * fused_gbs * 1e9 / HBM_SOL
     result = {

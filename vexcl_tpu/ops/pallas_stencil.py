@@ -29,24 +29,50 @@ def _align(x, m=1024):
     return -(-x // m) * m
 
 
-def _kernel(xp_hbm, o_ref, xwin, sem, *, coeffs, width, block):
+def _kernel(xp_hbm, o_ref, xwin0, xwin1, sem, *, coeffs, width, block):
+    """Double-buffered window DMA (same pattern as sparse/pallas_dia.py)."""
+    import jax
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    import jax.numpy as jnp
 
     i = pl.program_id(0)
-    dma = pltpu.make_async_copy(
-        xp_hbm.at[pl.ds(i * block, block + _align(width - 1))],
-        xwin,
-        sem,
-    )
-    dma.start()
-    dma.wait()
+    nb = pl.num_programs(0)
+    win = block + _align(width - 1)
 
-    acc = None
-    for k in range(width):
-        seg = coeffs[k] * xwin[k : k + block]
-        acc = seg if acc is None else acc + seg
-    o_ref[...] = acc
+    def dma(buf, slot, blk_idx):
+        return pltpu.make_async_copy(
+            xp_hbm.at[pl.ds(blk_idx * block, win)],
+            buf,
+            sem.at[slot],
+        )
+
+    def run(cur, cur_slot, nxt, nxt_slot):
+        @pl.when(i == 0)
+        def _():
+            dma(cur, cur_slot, i).start()
+
+        @pl.when(i + 1 < nb)
+        def _():
+            dma(nxt, nxt_slot, i + 1).start()
+
+        dma(cur, cur_slot, i).wait()
+
+        acc = None
+        for k in range(width):
+            seg = coeffs[k] * cur[k : k + block]
+            acc = seg if acc is None else acc + seg
+        o_ref[...] = acc
+
+    even = jax.lax.rem(i, 2) == 0
+
+    @pl.when(even)
+    def _():
+        run(xwin0, 0, xwin1, 1)
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        run(xwin1, 1, xwin0, 0)
 
 
 def stencil_pallas(x, coeffs, center: int):
@@ -77,7 +103,8 @@ def stencil_pallas(x, coeffs, center: int):
         out_shape=jax.ShapeDtypeStruct((npad,), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((BLOCK + _align(w - 1),), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((BLOCK + _align(w - 1),), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=config.pallas_interpret(),
     )(xp)
