@@ -166,3 +166,41 @@ def test_random_matrix_not_dia(ctx, rng):
     ptr, col, val = random_csr(rng, 256, 256, density=0.05)
     A = vex.SpMat(256, 256, ptr, col, val, fmt=None, context=ctx)
     assert A.device.format in ("csr", "ell", "hyb")
+
+
+def test_distributed_banded_halo_exchange(ctx):
+    """Banded distributed SpMV: ghost exchange is neighbor-only ppermute
+    halos (minimal ghost sets, like spmat.hpp setup_exchange) instead of
+    all-gather."""
+    from vexcl_tpu.utils.poisson import poisson_7pt
+
+    nd = 8
+    ptr, col, val = poisson_7pt(nd)
+    n = nd ** 3  # 512, divisible by 8; band = +-64 < shard 64? no: == 64
+    A = sparse.distributed(n, n, ptr, col, val, context=ctx)
+    hx = np.random.default_rng(5).random(n)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(n, dtype=np.float64, context=ctx)
+    y[:] = A * x
+    np.testing.assert_allclose(np.asarray(y), csr_matvec(ptr, col, val, hx), rtol=1e-10)
+
+
+def test_distributed_1d_laplace_halo(ctx):
+    n = 1024
+    ptr, col, val = [0], [], []
+    for i in range(n):
+        for j, v in ((i - 1, -1.0), (i, 2.0), (i + 1, -1.0)):
+            if 0 <= j < n:
+                col.append(j)
+                val.append(v)
+        ptr.append(len(col))
+    ptr, col, val = np.asarray(ptr), np.asarray(col, np.int32), np.asarray(val)
+    A = sparse.distributed(n, n, ptr, col, val, context=ctx)
+    assert A.mode == "dia_halo"
+    hx = np.random.default_rng(6).random(n)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(n, dtype=np.float64, context=ctx)
+    y[:] = 2.0 * (A * x) + 1.0
+    np.testing.assert_allclose(
+        np.asarray(y), 2 * csr_matvec(ptr, col, val, hx) + 1, rtol=1e-10
+    )

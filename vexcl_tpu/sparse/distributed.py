@@ -6,14 +6,22 @@ vexcl/spmat.hpp:120-185 + setup_exchange :291-378.
 The reference splits each device's rows into a local part (columns owned by
 the device) and a remote part, gathers the needed ghost x-values on device,
 stages them THROUGH THE HOST, scatters them to neighbors, then runs the
-remote SpMV.  On TPU the ghost exchange is a single `all_gather` over the
-mesh axis, performed by ICI DMAs inside the same compiled step — no host
-staging, no separate queues (XLA overlaps the collective with the local
-matvec where profitable, replacing the reference's duplicate-queue trick,
-spmat.hpp:80-82).
+remote SpMV (setup_exchange computes the minimal ghost sets once).
 
-Rows are padded to a multiple of the device count; each shard holds its row
-block of the ELL planes and computes against the gathered global x.
+TPU-native exchange, picked automatically per matrix structure:
+
+* **banded matrices** (DIA-detected, band within one shard): the ghost set
+  is exactly a halo of band-width — exchanged with `lax.ppermute`
+  NEIGHBOR traffic only (`parallel/halo.py`), the faithful analog of the
+  reference's minimal ghost sets, riding ICI point-to-point;
+* **general matrices**: one `all_gather` of x over the mesh axis (a
+  bandwidth-robust superset of the ghost set; minimal general ghost
+  exchange needs data-dependent all-to-all and is future work).
+
+Either way the exchange happens inside the compiled step — no host
+staging, no separate queues (XLA overlaps collective and compute,
+replacing the reference's duplicate-queue trick, spmat.hpp:80-82).
+Rows are padded to a multiple of the device count.
 """
 
 from __future__ import annotations
@@ -27,6 +35,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..context import current_context
 from ..expr.node import ArrayTerminal, EmitEnv, Expr, as_expr
+from .dia import try_build_dia
 from .formats import from_csr_host
 
 __all__ = ["distributed"]
@@ -43,17 +52,45 @@ class DistSpMVExpr(Expr):
 
     def extra_sig(self) -> str:
         m = self.mat
-        return f"{m.n}:{m.axis}:{m.ndev}"
+        return f"{m.n}:{m.axis}:{m.ndev}:{m.mode}"
 
     def emit(self, env: EmitEnv):
-        col, val = (c.emit_cached(env) for c in self.children[:2])
-        x = self.children[-1].emit_cached(env)
         mat = self.mat
         mesh = mat.context.mesh
         axis = mat.axis
         npad = mat.npad
-
+        x = self.children[-1].emit_cached(env)
         xp = jnp.pad(x, (0, npad - x.shape[0])) if x.shape[0] != npad else x
+
+        if mat.mode == "dia_halo":
+            from ..parallel.halo import with_halo
+
+            (vals,) = tuple(c.emit_cached(env) for c in self.children[:1])
+            offsets = mat.offsets
+            lhalo = max(0, -min(offsets))
+            rhalo = max(0, max(offsets))
+            def shard_fn(vals_blk, x_blk):
+                # neighbor-only ghost exchange (ppermute halos); the halo
+                # values multiply by the zero padding of out-of-range vals,
+                # so edge replication at the domain ends is harmless
+                xw = with_halo(x_blk, axis, lhalo, rhalo)
+                nb = x_blk.shape[0]
+                acc = None
+                for k, off in enumerate(offsets):
+                    base = lhalo + off  # xw = [lhalo | block | rhalo]
+                    seg = vals_blk[k] * xw[base : base + nb]
+                    acc = seg if acc is None else acc + seg
+                return acc
+
+            y = jax.shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(P(None, axis), P(axis)),
+                out_specs=P(axis),
+            )(vals, xp)
+            return y[: mat.n]
+
+        col, val = (c.emit_cached(env) for c in self.children[:2])
 
         def shard_fn(col_blk, val_blk, x_blk):
             # ghost exchange: ICI all-gather of the sharded x
@@ -87,12 +124,34 @@ class distributed:
         self.m = int(m) if m is not None else int(n)
 
         ptr = np.asarray(ptr, dtype=np.int64)
+        self.npad = -(-max(self.n, self.m) // self.ndev) * self.ndev
+        shard = self.npad // self.ndev
+
+        # banded fast path: halo exchange instead of all-gather
+        dia = try_build_dia(self.n, self.m, ptr, col, val)
+        if (
+            dia is not None
+            and max(dia.offsets) < shard
+            and -min(dia.offsets) < shard
+        ):
+            self.mode = "dia_halo"
+            self.offsets = dia.offsets
+            vals = np.asarray(dia.vals)
+            if self.npad != self.n:
+                vals = np.concatenate(
+                    [vals, np.zeros((vals.shape[0], self.npad - self.n),
+                                    vals.dtype)], axis=1
+                )
+            sh = NamedSharding(self.context.mesh, P(None, self.axis))
+            self._leaves = (jax.device_put(jnp.asarray(vals), sh),)
+            self.nnz = dia.nnz
+            return
+
+        self.mode = "ell_allgather"
         rl = np.diff(ptr)
         width = max(1, int(rl.max(initial=0)))
         ell = from_csr_host(self.n, self.m, ptr, col, val, "ell")
 
-        # pad rows and x-length to a device multiple
-        self.npad = -(-max(self.n, self.m) // self.ndev) * self.ndev
         ecol = np.asarray(ell.col)
         eval_ = np.asarray(ell.val)
         if self.npad != self.n:
