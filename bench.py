@@ -167,6 +167,37 @@ def bench_spmv(m=64, fmt=None):
     return (2 * nnz + n) / t / 1e9, t
 
 
+def bench_spmv_ccsr(m=64):
+    """CCSR SpMV (benchmark.cpp:481-607): 27 shared row patterns."""
+    from vexcl_tpu.utils.poisson import poisson_7pt_ccsr
+
+    idx, row, col, val = poisson_7pt_ccsr(m, dtype=np.float32)
+    n = m ** 3
+    A = vex.SpMatCCSR(n, n, idx, row, col, val)
+    nnz = A.nnz_expanded if hasattr(A, "nnz_expanded") else 7 * n
+    leaves = A._leaves
+
+    union = A.offset_union
+    lpad = max(0, -min(union))
+
+    def step(x, idx_a, table_a):
+        # the library's banded CCSR path (one-hot matmul coefficient
+        # expansion + DIA-style shifts; see sparse/spmat.py CCSRExpr)
+        onehot = jax.nn.one_hot(idx_a, table_a.shape[0], dtype=table_a.dtype)
+        coeffs = onehot @ table_a
+        xp = jnp.pad(x, (lpad, max(0, max(union))))
+        y = None
+        for k, o in enumerate(union):
+            seg = coeffs[:, k] * jax.lax.dynamic_slice_in_dim(xp, lpad + o, n)
+            y = seg if y is None else y + seg
+        return jnp.sin(y)
+
+    x0 = jnp.asarray(np.random.rand(n).astype(np.float32))
+    t = slope_seconds(step, x0, lo=8, hi=48,
+                      extra=(A._leaves[0], A._union_table_dev))
+    return (2 * 7 * n + n) / t / 1e9, t
+
+
 def bench_sort(n=1 << 24):
     x0 = jax.random.randint(jax.random.PRNGKey(0), (n,), 0, 1 << 30,
                             dtype=jnp.int32)
@@ -233,6 +264,8 @@ def main():
     extra["spmv_poisson64_GFLOPs"] = round(spmv_gflops, 2)
     spmv256_gflops, _ = bench_spmv(m=256)  # BASELINE.md config
     extra["spmv_poisson256_GFLOPs"] = round(spmv256_gflops, 2)
+    ccsr_gflops, _ = bench_spmv_ccsr()
+    extra["spmv_ccsr64_GFLOPs"] = round(ccsr_gflops, 2)
     sort_mkeys, _ = bench_sort()
     extra["sort_Mkeys_s"] = round(sort_mkeys, 1)
     scan_gelems, _ = bench_scan()

@@ -204,3 +204,20 @@ def test_distributed_1d_laplace_halo(ctx):
     np.testing.assert_allclose(
         np.asarray(y), 2 * csr_matvec(ptr, col, val, hx) + 1, rtol=1e-10
     )
+
+
+def test_ccsr_poisson(ctx):
+    """CCSR on the canonical Poisson workload (benchmark.cpp:481-607)."""
+    from vexcl_tpu.utils.poisson import poisson_7pt, poisson_7pt_ccsr
+
+    n = 10
+    idx, row, col, val = poisson_7pt_ccsr(n)
+    A = vex.SpMatCCSR(n ** 3, n ** 3, idx, row, col, val, context=ctx)
+    ptr2, col2, val2 = poisson_7pt(n)
+    hx = np.random.default_rng(9).random(n ** 3)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(n ** 3, dtype=np.float64, context=ctx)
+    y[:] = A * x
+    np.testing.assert_allclose(
+        np.asarray(y), csr_matvec(ptr2, col2, val2, hx), rtol=1e-10
+    )

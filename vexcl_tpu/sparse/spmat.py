@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -158,8 +159,27 @@ class CCSRExpr(Expr):
     def emit(self, env: EmitEnv):
         idx, off, val = (c.emit_cached(env) for c in self.children[:3])
         x = self.children[-1].emit_cached(env)
-        n = self.mat.n
-        # per-row pattern planes: relative column offsets + values
+        n, m = self.mat.n, self.mat.m
+        union = self.mat.offset_union
+        if union is not None:
+            # TPU-first path: the union of all pattern offsets is small, so
+            # the matrix is effectively banded.  Expand per-row coefficients
+            # with a one-hot matmul over the tiny (nuniq, d) table (MXU,
+            # fuses) and apply DIA-style shifted reads — no gathers.
+            table = self.mat._union_table_dev  # (nuniq, d)
+            onehot = jax.nn.one_hot(idx, table.shape[0], dtype=table.dtype)
+            coeffs = onehot @ table                     # (n, d)
+            lpad = max(0, -min(union))
+            rpad = max(0, n - 1 + max(union) - (m - 1))
+            xp = jnp.pad(x, (lpad, rpad))
+            y = None
+            for k, o in enumerate(union):
+                seg = coeffs[:, k] * jax.lax.dynamic_slice_in_dim(
+                    xp, lpad + o, n
+                )
+                y = seg if y is None else y + seg
+            return y
+        # general path: per-row pattern planes + gather
         row_off = jnp.take(off, idx, axis=0)          # (n, w)
         row_val = jnp.take(val, idx, axis=0)          # (n, w)
         rows = jnp.arange(n, dtype=jnp.int32)[:, None]
@@ -204,6 +224,22 @@ class SpMatCCSR:
             pval[p, : e - s] = val[s:e]
         self.nnz = int(np.diff(row).sum())
         self._leaves = (jnp.asarray(idx), jnp.asarray(off), jnp.asarray(pval))
+
+        # banded fast-path setup: union of all pattern offsets, with a
+        # (nuniq, d) coefficient table aligned to the union (zero where a
+        # pattern lacks an offset)
+        uni = np.unique(col)
+        if len(uni) <= 64:
+            table = np.zeros((nuniq, len(uni)), dtype=val.dtype)
+            pos = {int(o): k for k, o in enumerate(uni)}
+            for p in range(nuniq):
+                for j in range(row[p], row[p + 1]):
+                    table[p, pos[int(col[j])]] = val[j]
+            self.offset_union = tuple(int(o) for o in uni)
+            self._union_table_dev = jnp.asarray(table)
+        else:
+            self.offset_union = None
+            self._union_table_dev = None
 
     @property
     def dtype(self):
