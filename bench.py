@@ -137,15 +137,17 @@ def bench_stencil(n=1 << 26, w=5):
 
     cnp = np.asarray(c / c.sum(), dtype=np.float32)
 
+    post = lambda v: (v + 0.318) % 1.0  # bounded, never settles
+
     def step(x):
         if use_pallas_stencil(n, w, x.dtype):
-            y = stencil_pallas(x, cnp, w // 2)
-        else:
-            xp = jnp.pad(x, (w // 2, w - 1 - w // 2), mode="edge")
-            y = jnp.zeros_like(x)
-            for k in range(w):
-                y = y + coeff[k] * xp[k : k + n]
-        return (y + 0.318) % 1.0  # bounded, never settles
+            # post-op fused into the kernel: true 1-read+1-write step
+            return stencil_pallas(x, cnp, w // 2, post=post)
+        xp = jnp.pad(x, (w // 2, w - 1 - w // 2), mode="edge")
+        y = jnp.zeros_like(x)
+        for k in range(w):
+            y = y + coeff[k] * xp[k : k + n]
+        return post(y)
 
     t = slope_seconds(step, x0, lo=8, hi=48)
     return 2 * w * n / t / 1e9, 2 * n * 4 / t / 1e9, t

@@ -120,3 +120,34 @@ def test_distributed_scan(ctx, rng):
     np.testing.assert_allclose(
         np.asarray(exc), np.concatenate([[0], np.cumsum(hx)[:-1]]), rtol=1e-10
     )
+
+
+def test_pallas_stencil_kernel_interpret(rng):
+    """The roll-based Pallas stencil kernel (interpret mode): flat shifts
+    as lane rolls + row-slice selects, in-kernel edge replication, fused
+    post-op.  Covers cross-row taps (width > 128) and both edges."""
+    import jax
+    import jax.numpy as jnp
+
+    from vexcl_tpu.ops.pallas_stencil import stencil_pallas
+
+    for n, w, c in [(1 << 16, 5, 2), (1 << 16, 3, 0), (1 << 16, 129, 64)]:
+        hx = rng.random(n).astype(np.float32)
+        s = (rng.random(w).astype(np.float32) - 0.5) / w
+        got = np.asarray(
+            jax.jit(lambda v: stencil_pallas(v, s, c))(jnp.asarray(hx))
+        )
+        ref = host_stencil(hx, s, c)
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+    # fused post-op
+    hx = rng.random(1 << 16).astype(np.float32)
+    s = np.asarray([0.25, 0.5, 0.25], np.float32)
+    got = np.asarray(
+        jax.jit(
+            lambda v: stencil_pallas(v, s, 1, post=lambda a: 2.0 * a + 1.0)
+        )(jnp.asarray(hx))
+    )
+    np.testing.assert_allclose(
+        got, 2.0 * host_stencil(hx, s, 1) + 1.0, rtol=2e-5, atol=2e-6
+    )
