@@ -165,7 +165,11 @@ def bench_spmv(m=64, fmt=None):
     x0 = jnp.asarray(np.random.rand(n).astype(np.float32))
     leaves = dev.leaves()
     step = lambda x, *lv: jnp.sin(dev.apply_leaves(lv, x))
-    t = slope_seconds(step, x0, lo=32, hi=256, extra=leaves)
+    # chain lengths scaled so the slope rises above the ~5 ms tunnel
+    # noise: small problems need thousands of chained SpMVs
+    lo, hi = (256, 2048) if n <= 1 << 19 else (
+        (64, 512) if n <= 1 << 22 else (16, 96))
+    t = slope_seconds(step, x0, lo=lo, hi=hi, extra=leaves)
     return (2 * nnz + n) / t / 1e9, t
 
 

@@ -221,3 +221,61 @@ def test_ccsr_poisson(ctx):
     np.testing.assert_allclose(
         np.asarray(y), csr_matvec(ptr2, col2, val2, hx), rtol=1e-10
     )
+
+
+def test_pallas_dia_roll_kernel_interpret(rng):
+    """Roll-based DIA kernel (interpret mode): lane-roll shifts, window
+    DMA, zero-pad boundary semantics."""
+    import jax
+    import jax.numpy as jnp
+
+    from vexcl_tpu.sparse.pallas_dia import dia_matvec_pallas_roll
+
+    n = 1 << 18
+    for offs in [(-1, 0, 1), (-4096, -64, -1, 0, 1, 64, 4096)]:
+        d = len(offs)
+        vals = rng.random((d, n)).astype(np.float32)
+        i = np.arange(n)
+        for k, o in enumerate(offs):
+            vals[k, (i + o < 0) | (i + o >= n)] = 0
+        x = rng.random(n).astype(np.float32)
+        ref = np.zeros(n)
+        for k, o in enumerate(offs):
+            msk = (i + o >= 0) & (i + o < n)
+            ref[msk] += vals[k, msk].astype(np.float64) * x[(i + o)[msk]]
+        got = np.asarray(
+            jax.jit(
+                lambda v, xx, offs=offs: dia_matvec_pallas_roll(
+                    n, n, offs, v, xx
+                )
+            )(jnp.asarray(vals), jnp.asarray(x))
+        )
+        np.testing.assert_allclose(got, ref, rtol=3e-5, atol=3e-5)
+
+
+def test_pallas_dia_ring_kernel_interpret(rng):
+    """Ring DIA kernel (interpret mode): plane offsets as whole neighbor
+    core blocks in a 4-ring, small taps via halo concat."""
+    import jax
+    import jax.numpy as jnp
+
+    from vexcl_tpu.sparse.pallas_dia import dia_matvec_pallas_ring
+
+    n = 8 * 512 * 128
+    offs = (-65536, -256, -1, 0, 1, 256, 65536)
+    d = len(offs)
+    vals = rng.random((d, n)).astype(np.float32)
+    i = np.arange(n)
+    for k, o in enumerate(offs):
+        vals[k, (i + o < 0) | (i + o >= n)] = 0
+    x = rng.random(n).astype(np.float32)
+    ref = np.zeros(n)
+    for k, o in enumerate(offs):
+        msk = (i + o >= 0) & (i + o < n)
+        ref[msk] += vals[k, msk].astype(np.float64) * x[(i + o)[msk]]
+    got = np.asarray(
+        jax.jit(lambda v, xx: dia_matvec_pallas_ring(n, n, offs, v, xx))(
+            jnp.asarray(vals), jnp.asarray(x)
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=3e-5, atol=3e-5)

@@ -53,8 +53,19 @@ class DIA:
         (vals,) = leaves
         if not offsets:
             return jnp.zeros(n, dtype=jnp.result_type(vals, x))
-        from .pallas_dia import dia_matvec_pallas, use_pallas_dia
+        from .pallas_dia import (
+            dia_matvec_pallas,
+            dia_matvec_pallas_ring,
+            dia_matvec_pallas_roll,
+            use_pallas_dia,
+            use_pallas_dia_ring,
+            use_pallas_dia_roll,
+        )
 
+        if use_pallas_dia_ring(n, m, offsets, vals) and x.dtype == vals.dtype:
+            return dia_matvec_pallas_ring(n, m, offsets, vals, x)
+        if use_pallas_dia_roll(n, m, offsets, vals) and x.dtype == vals.dtype:
+            return dia_matvec_pallas_roll(n, m, offsets, vals, x)
         if use_pallas_dia(offsets, vals) and x.dtype == vals.dtype:
             return dia_matvec_pallas(n, m, offsets, vals, x)
         lpad = max(0, -min(offsets))
@@ -94,14 +105,22 @@ def try_build_dia(
         return None
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(ptr))
     offs = col.astype(np.int64) - rows
-    uniq = np.unique(offs)
+    # presence-table unique: O(nnz), no 10^8-entry sort
+    base = np.int64(m)
+    present = np.zeros(n + m + 1, dtype=bool)
+    present[offs + base] = True
+    uniq = np.flatnonzero(present) - base
     if len(uniq) > max_diags:
         return None
     if nnz < min_fill * len(uniq) * n:
         return None
-    vals = np.zeros((len(uniq), n), dtype=val.dtype)
-    off_index = {int(o): k for k, o in enumerate(uniq)}
-    k_idx = np.asarray([off_index[int(o)] for o in offs])
+    lookup = np.cumsum(present) - 1
+    k_idx = lookup[offs + base]
     # accumulate (duplicate entries on the same position sum, like COO->CSR)
-    np.add.at(vals, (k_idx, rows), val)
+    # via bincount: C-speed, unlike np.add.at (~100x slower at 10^8 nnz)
+    flat = np.bincount(
+        k_idx * np.int64(n) + rows, weights=val,
+        minlength=len(uniq) * n,
+    )
+    vals = flat.reshape(len(uniq), n).astype(val.dtype)
     return DIA(n, m, uniq, vals)

@@ -9,39 +9,34 @@ __all__ = ["poisson_7pt"]
 
 
 def poisson_7pt(n: int, dtype=np.float64):
-    """CSR arrays (ptr, col, val) of the n^3 7-point Poisson matrix."""
-    idx = np.arange(n ** 3).reshape(n, n, n)
-    rows, cols, vals = [], [], []
+    """CSR arrays (ptr, col, val) of the n^3 7-point Poisson matrix.
 
-    def add(mask, neighbor, v):
-        rows.append(idx[mask].ravel())
-        cols.append(neighbor.ravel())
-        vals.append(np.full(neighbor.size, v, dtype=dtype))
-
-    full = np.ones((n, n, n), bool)
-    add(full, idx, 6.0)
-    m = np.zeros((n, n, n), bool); m[1:] = True
-    add(m, idx[:-1], -1.0)
-    m = np.zeros((n, n, n), bool); m[:-1] = True
-    add(m, idx[1:], -1.0)
-    m = np.zeros((n, n, n), bool); m[:, 1:] = True
-    add(m, idx[:, :-1], -1.0)
-    m = np.zeros((n, n, n), bool); m[:, :-1] = True
-    add(m, idx[:, 1:], -1.0)
-    m = np.zeros((n, n, n), bool); m[:, :, 1:] = True
-    add(m, idx[:, :, :-1], -1.0)
-    m = np.zeros((n, n, n), bool); m[:, :, :-1] = True
-    add(m, idx[:, :, 1:], -1.0)
-
-    rows = np.concatenate(rows)
-    cols = np.concatenate(cols)
-    vals = np.concatenate(vals)
-    order = np.lexsort((cols, rows))
-    rows, cols, vals = rows[order], cols[order], vals[order]
-    ptr = np.zeros(n ** 3 + 1, dtype=np.int64)
-    np.add.at(ptr, rows + 1, 1)
-    ptr = np.cumsum(ptr)
-    return ptr, cols.astype(np.int32), vals
+    Emitted directly in CSR order (columns of a 7-point row are already
+    ascending: i-n^2 < i-n < i-1 < i < i+1 < i+n < i+n^2), so no 117M-entry
+    lexsort — builds 256^3 in seconds instead of minutes."""
+    N = n ** 3
+    i = np.arange(N, dtype=np.int64)
+    zi, zj, zk = i // (n * n), (i // n) % n, i % n
+    offs = (-n * n, -n, -1, 0, 1, n, n * n)
+    valid = np.empty((N, 7), dtype=bool)
+    valid[:, 0] = zi > 0
+    valid[:, 1] = zj > 0
+    valid[:, 2] = zk > 0
+    valid[:, 3] = True
+    valid[:, 4] = zk < n - 1
+    valid[:, 5] = zj < n - 1
+    valid[:, 6] = zi < n - 1
+    flat = valid.ravel()
+    colmat = (i[:, None] + np.asarray(offs, dtype=np.int64)[None, :]).astype(
+        np.int32)
+    col = colmat.ravel()[flat]
+    del colmat
+    kmat = np.broadcast_to(np.arange(7, dtype=np.int8), (N, 7))
+    kkept = kmat.ravel()[flat]
+    val = np.where(kkept == 3, dtype(6.0), dtype(-1.0)).astype(dtype)
+    ptr = np.zeros(N + 1, dtype=np.int64)
+    np.cumsum(valid.sum(axis=1, dtype=np.int64), out=ptr[1:])
+    return ptr, col, val
 
 
 def poisson_7pt_ccsr(n: int, dtype=np.float64):
