@@ -221,8 +221,12 @@ def bench_scan(n=1 << 24):
     from vexcl_tpu.ops.pallas_scan import pallas_cumsum, use_pallas_scan
 
     x0 = jnp.asarray(np.random.rand(n).astype(np.float32))
-    impl = pallas_cumsum if use_pallas_scan(x0, None) else jnp.cumsum
-    t = slope_seconds(lambda v: jnp.cos(impl(v) * 1e-4), x0, lo=16, hi=128)
+    post = lambda v: jnp.cos(v * 1e-4)  # bounded chain, fused in-kernel
+    if use_pallas_scan(x0, None):
+        step = lambda v: pallas_cumsum(v, post=post)
+    else:
+        step = lambda v: post(jnp.cumsum(v))
+    t = slope_seconds(step, x0, lo=16, hi=128)
     return n / t / 1e9, t
 
 
