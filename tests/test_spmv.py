@@ -279,3 +279,49 @@ def test_pallas_dia_ring_kernel_interpret(rng):
         )
     )
     np.testing.assert_allclose(got, ref, rtol=3e-5, atol=3e-5)
+
+
+def test_distributed_a2a_minimal_ghost(ctx, rng):
+    """General sparse coupling: minimal per-pair ghost sets exchanged with
+    one all-to-all (the setup_exchange analog, spmat.hpp:291-378) instead
+    of a full all-gather."""
+    n = 4096
+    nnz_per_row = 5
+    col = np.zeros((n, nnz_per_row), np.int64)
+    for r in range(n):
+        base = (r // 512) * 512
+        local = rng.integers(base, base + 512, 3)
+        remote = rng.integers(0, n, 2)
+        col[r] = np.concatenate([local, remote])
+    colf = np.sort(col, axis=1).ravel()
+    val = rng.random(n * nnz_per_row)
+    ptr = np.arange(n + 1) * nnz_per_row
+
+    A = sparse.distributed(n, n, ptr, colf, val, context=ctx)
+    assert A.mode == "ell_a2a"
+    hx = rng.random(n)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(n, dtype=np.float64, context=ctx)
+    y[:] = A * x
+    np.testing.assert_allclose(
+        np.asarray(y), csr_matvec(ptr, colf, val, hx), rtol=1e-6
+    )
+
+
+def test_distributed_a2a_dense_falls_back(ctx, rng):
+    """Densely coupled matrices keep the all-gather exchange."""
+    n = 1024
+    nnz_per_row = 4
+    col = rng.integers(0, n, (n, nnz_per_row))  # uniformly random: dense
+    colf = np.sort(col, axis=1).ravel()
+    val = rng.random(n * nnz_per_row)
+    ptr = np.arange(n + 1) * nnz_per_row
+    A = sparse.distributed(n, n, ptr, colf, val, context=ctx)
+    assert A.mode == "ell_allgather"
+    hx = rng.random(n)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(n, dtype=np.float64, context=ctx)
+    y[:] = A * x
+    np.testing.assert_allclose(
+        np.asarray(y), csr_matvec(ptr, colf, val, hx), rtol=1e-6
+    )

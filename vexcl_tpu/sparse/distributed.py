@@ -14,9 +14,16 @@ TPU-native exchange, picked automatically per matrix structure:
   is exactly a halo of band-width — exchanged with `lax.ppermute`
   NEIGHBOR traffic only (`parallel/halo.py`), the faithful analog of the
   reference's minimal ghost sets, riding ICI point-to-point;
-* **general matrices**: one `all_gather` of x over the mesh axis (a
-  bandwidth-robust superset of the ghost set; minimal general ghost
-  exchange needs data-dependent all-to-all and is future work).
+* **general matrices with sparse coupling**: minimal ghost sets, the
+  faithful analog of the reference's setup_exchange (spmat.hpp:291-378):
+  at construction, for every (owner, requester) device pair the needed
+  remote columns are computed on the host; at apply time each shard
+  gathers its outgoing values and ONE `lax.all_to_all` delivers every
+  pair's ghost set over ICI; ELL column indices are pre-remapped into
+  [local | ghost] space so the remote part is a plain gather — no host
+  staging ever;
+* **densely coupled matrices**: one `all_gather` of x over the mesh axis
+  (cheaper than all_to_all once ghost sets approach the full vector).
 
 Either way the exchange happens inside the compiled step — no host
 staging, no separate queues (XLA overlaps collective and compute,
@@ -61,6 +68,36 @@ class DistSpMVExpr(Expr):
         npad = mat.npad
         x = self.children[-1].emit_cached(env)
         xp = jnp.pad(x, (0, npad - x.shape[0])) if x.shape[0] != npad else x
+
+        if mat.mode == "ell_a2a":
+            col2, val = (c.emit_cached(env) for c in self.children[:2])
+            sidx = self.children[2].emit_cached(env)
+            mc = mat.ghost_count
+
+            def shard_fn(col_blk, val_blk, sidx_blk, x_blk):
+                # minimal ghost exchange: gather outgoing values per
+                # destination, one all-to-all over ICI, then the ELL
+                # gather runs over [local x | ghost values]
+                send = jnp.take(x_blk, sidx_blk[0], axis=0)  # (ndev, mc)
+                ghost = jax.lax.all_to_all(
+                    send, mat.axis, split_axis=0, concat_axis=0,
+                    tiled=True,
+                ).reshape(-1)
+                xfull = jnp.concatenate([x_blk, ghost])
+                mask = col_blk >= 0
+                gathered = jnp.take(xfull, jnp.where(mask, col_blk, 0),
+                                    axis=0)
+                return jnp.sum(jnp.where(mask, val_blk * gathered, 0),
+                               axis=1)
+
+            y = jax.shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(P(mat.axis, None), P(mat.axis, None),
+                          P(mat.axis, None, None), P(mat.axis)),
+                out_specs=P(mat.axis),
+            )(col2, val, sidx, xp)
+            return y[: mat.n]
 
         if mat.mode == "dia_halo":
             from ..parallel.halo import with_halo
@@ -147,7 +184,6 @@ class distributed:
             self.nnz = dia.nnz
             return
 
-        self.mode = "ell_allgather"
         rl = np.diff(ptr)
         width = max(1, int(rl.max(initial=0)))
         ell = from_csr_host(self.n, self.m, ptr, col, val, "ell")
@@ -160,6 +196,61 @@ class distributed:
             eval_ = np.concatenate([eval_, np.zeros((pad_rows, width), eval_.dtype)])
 
         sh = NamedSharding(self.context.mesh, P(self.axis, None))
+
+        # minimal ghost sets (setup_exchange analog): per (requester r,
+        # owner o) pair, the unique remote columns r needs from o
+        S = self.npad // self.ndev
+        rows2d = np.broadcast_to(
+            np.arange(self.npad, dtype=np.int64)[:, None], ecol.shape)
+        valid = ecol >= 0
+        rsh = rows2d // S
+        csh = np.where(valid, ecol // S, rsh)  # self for masked entries
+        remote = valid & (csh != rsh)
+
+        key = rsh[remote] * np.int64(self.npad) + ecol[remote]
+        uk = np.unique(key)  # sorted by (requester shard, column)
+        u_r = uk // self.npad
+        u_c = uk % self.npad
+        u_o = u_c // S
+
+        # ghost slot within the (r, o) group
+        grp = u_r * self.ndev + u_o
+        counts = np.bincount(grp, minlength=self.ndev * self.ndev)
+        mc = int(counts.max(initial=0))
+        mc = -(-max(mc, 1) // 128) * 128  # lane-align the exchange rows
+
+        # all_to_all wins while ghost traffic stays below the all-gather
+        if mc * self.ndev <= self.npad // 2 and self.ndev > 1:
+            self.mode = "ell_a2a"
+            self.ghost_count = mc
+            starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+            pos_in_grp = np.arange(len(uk)) - starts[grp]
+            # slot in the requester's ghost vector: owner-major
+            slot = u_o * mc + pos_in_grp
+
+            # send tables: shard o sends local index (c - o*S) of the
+            # p-th column requested by r as send_idx[o, r, p]
+            send_idx = np.zeros((self.ndev, self.ndev, mc), np.int32)
+            send_idx[u_o, u_r, pos_in_grp] = (u_c - u_o * S).astype(np.int32)
+
+            # remap ELL columns: local -> c - r*S, remote -> S + slot
+            col2 = np.where(valid, ecol - rsh * S, -1).astype(np.int32)
+            ek = rsh[remote] * np.int64(self.npad) + ecol[remote]
+            eslot = slot[np.searchsorted(uk, ek)]
+            col2[remote] = (S + eslot).astype(np.int32)
+
+            self._leaves = (
+                jax.device_put(jnp.asarray(col2), sh),
+                jax.device_put(jnp.asarray(eval_), sh),
+                jax.device_put(
+                    jnp.asarray(send_idx),
+                    NamedSharding(self.context.mesh, P(self.axis, None, None)),
+                ),
+            )
+            self.nnz = ell.nnz
+            return
+
+        self.mode = "ell_allgather"
         self._leaves = (
             jax.device_put(jnp.asarray(ecol), sh),
             jax.device_put(jnp.asarray(eval_), sh),
