@@ -183,24 +183,17 @@ def bench_spmv_ccsr(m=64):
     nnz = A.nnz_expanded if hasattr(A, "nnz_expanded") else 7 * n
     leaves = A._leaves
 
-    union = A.offset_union
-    lpad = max(0, -min(union))
-
-    def step(x, idx_a, table_a):
-        # the library's banded CCSR path (one-hot matmul coefficient
-        # expansion + DIA-style shifts; see sparse/spmat.py CCSRExpr)
-        onehot = jax.nn.one_hot(idx_a, table_a.shape[0], dtype=table_a.dtype)
-        coeffs = onehot @ table_a
-        xp = jnp.pad(x, (lpad, max(0, max(union))))
-        y = None
-        for k, o in enumerate(union):
-            seg = coeffs[:, k] * jax.lax.dynamic_slice_in_dim(xp, lpad + o, n)
-            y = seg if y is None else y + seg
-        return jnp.sin(y)
+    def step(x, idx_a):
+        # the library's banded CCSR path (one-hot coefficient expansion
+        # feeding the DIA roll kernel; see sparse/spmat.py banded_matvec).
+        # The expansion must stay INSIDE the timed chain (it is the cost
+        # of the compressed format per apply) — tie idx to the carry so
+        # XLA cannot hoist it out of the fori_loop.
+        idx_dep = idx_a + (x[0] * 0).astype(idx_a.dtype)
+        return jnp.sin(A.banded_matvec(idx_dep, x))
 
     x0 = jnp.asarray(np.random.rand(n).astype(np.float32))
-    t = slope_seconds(step, x0, lo=8, hi=48,
-                      extra=(A._leaves[0], A._union_table_dev))
+    t = slope_seconds(step, x0, lo=256, hi=2048, extra=(A._leaves[0],))
     return (2 * 7 * n + n) / t / 1e9, t
 
 

@@ -162,23 +162,7 @@ class CCSRExpr(Expr):
         n, m = self.mat.n, self.mat.m
         union = self.mat.offset_union
         if union is not None:
-            # TPU-first path: the union of all pattern offsets is small, so
-            # the matrix is effectively banded.  Expand per-row coefficients
-            # with a one-hot matmul over the tiny (nuniq, d) table (MXU,
-            # fuses) and apply DIA-style shifted reads — no gathers.
-            table = self.mat._union_table_dev  # (nuniq, d)
-            onehot = jax.nn.one_hot(idx, table.shape[0], dtype=table.dtype)
-            coeffs = onehot @ table                     # (n, d)
-            lpad = max(0, -min(union))
-            rpad = max(0, n - 1 + max(union) - (m - 1))
-            xp = jnp.pad(x, (lpad, rpad))
-            y = None
-            for k, o in enumerate(union):
-                seg = coeffs[:, k] * jax.lax.dynamic_slice_in_dim(
-                    xp, lpad + o, n
-                )
-                y = seg if y is None else y + seg
-            return y
+            return self.mat.banded_matvec(idx, x)
         # general path: per-row pattern planes + gather
         row_off = jnp.take(off, idx, axis=0)          # (n, w)
         row_val = jnp.take(val, idx, axis=0)          # (n, w)
@@ -244,6 +228,34 @@ class SpMatCCSR:
     @property
     def dtype(self):
         return np.dtype(self._leaves[2].dtype)
+
+    def banded_matvec(self, idx, x):
+        """TPU-first banded path: the union of all pattern offsets is
+        small, so the matrix is effectively banded.  Expand per-row
+        coefficients with a one-hot matmul over the tiny (nuniq, d) table
+        (MXU; HIGHEST so f32 table values survive exactly — one-hot is
+        0/1) and run the DIA roll kernel; XLA shifted reads as fallback.
+        ``idx`` and ``x`` may be traced."""
+        table = self._union_table_dev                   # (nuniq, d)
+        union = self.offset_union
+        n, m = self.n, self.m
+        onehot = jax.nn.one_hot(idx, table.shape[0], dtype=table.dtype,
+                                axis=0)                 # (nuniq, n)
+        coeffs = jnp.dot(table.T, onehot,
+                         precision=jax.lax.Precision.HIGHEST)  # (d, n)
+
+        from .pallas_dia import dia_matvec_pallas_roll, use_pallas_dia_roll
+
+        if use_pallas_dia_roll(n, m, union, coeffs) and x.dtype == coeffs.dtype:
+            return dia_matvec_pallas_roll(n, m, union, coeffs, x)
+        lpad = max(0, -min(union))
+        rpad = max(0, n - 1 + max(union) - (m - 1))
+        xp = jnp.pad(x, (lpad, rpad))
+        y = None
+        for k, o in enumerate(union):
+            seg = coeffs[k] * jax.lax.dynamic_slice_in_dim(xp, lpad + o, n)
+            y = seg if y is None else y + seg
+        return y
 
     def __mul__(self, x) -> CCSRExpr:
         return CCSRExpr(self, x)
