@@ -150,7 +150,17 @@ def bench_stencil(n=1 << 26, w=5):
         return post(y)
 
     t = slope_seconds(step, x0, lo=8, hi=48)
-    return 2 * w * n / t / 1e9, 2 * n * 4 / t / 1e9, t
+
+    # in-place (donated) variant: the same-buffer r+w stream runs ~2x
+    # faster on this runtime (docs/tpu_kernel_notes.md); the kernel is
+    # old-value-safe so x <- stencil(x) is well-defined (the reference
+    # cannot express this at all)
+    t_ip = t
+    if use_pallas_stencil(n, w, np.float32):
+        step_ip = lambda x: stencil_pallas(x, cnp, w // 2, post=post,
+                                           donate=True)
+        t_ip = slope_seconds(step_ip, x0, lo=8, hi=48)
+    return 2 * w * n / t / 1e9, 2 * n * 4 / t / 1e9, 2 * n * 4 / t_ip / 1e9
 
 
 def bench_spmv(m=64, fmt=None):
@@ -261,8 +271,9 @@ def main():
     extra["saxpy_GBs"] = round(saxpy_gbs, 1)
     red_gbs, _ = bench_reduction()
     extra["reduction_GBs"] = round(red_gbs, 1)
-    st_gflops, st_gbs, _ = bench_stencil()
+    st_gflops, st_gbs, st_ip_gbs = bench_stencil()
     extra["stencil_GBs"] = round(st_gbs, 1)
+    extra["stencil_inplace_GBs"] = round(st_ip_gbs, 1)
     spmv_gflops, _ = bench_spmv()
     extra["spmv_poisson64_GFLOPs"] = round(spmv_gflops, 2)
     spmv256_gflops, _ = bench_spmv(m=256)  # BASELINE.md config

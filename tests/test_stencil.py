@@ -140,6 +140,17 @@ def test_pallas_stencil_kernel_interpret(rng):
         ref = host_stencil(hx, s, c)
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
 
+    # in-place (donated): taps still read pre-update values
+    hx = rng.random(1 << 17).astype(np.float32)
+    s = (rng.random(7).astype(np.float32) - 0.5) / 7
+    got = np.asarray(
+        jax.jit(lambda v: stencil_pallas(v, s, 3, donate=True))(
+            jnp.asarray(hx)
+        )
+    )
+    np.testing.assert_allclose(got, host_stencil(hx, s, 3), rtol=2e-5,
+                               atol=2e-6)
+
     # fused post-op
     hx = rng.random(1 << 16).astype(np.float32)
     s = np.asarray([0.25, 0.5, 0.25], np.float32)
