@@ -120,7 +120,8 @@ def dia_matvec_pallas(n: int, m: int, offsets, vals, x):
         ],
         out_specs=pl.BlockSpec((BLOCK,), lambda i: (i,),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((npad,), vals.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (npad,), jnp.promote_types(vals.dtype, x.dtype)),
         scratch_shapes=[
             pltpu.VMEM((BLOCK + _align(span),), x.dtype),
             pltpu.VMEM((BLOCK + _align(span),), x.dtype),
@@ -267,7 +268,8 @@ def dia_matvec_pallas_roll(n, m, offsets, vals, x):
         ],
         out_specs=pl.BlockSpec((BLOCK,), lambda i: (i,),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((npad,), vals.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (npad,), jnp.promote_types(vals.dtype, x.dtype)),
         scratch_shapes=[
             pltpu.VMEM((win,), x.dtype),
             pltpu.VMEM((win,), x.dtype),
@@ -281,7 +283,7 @@ def dia_matvec_pallas_roll(n, m, offsets, vals, x):
 def use_pallas_dia_roll(n, m, offsets, vals) -> bool:
     if config.pallas_interpret():
         return False
-    if vals.dtype != jnp.float32:
+    if vals.dtype not in (jnp.float32, jnp.bfloat16):
         return False
     span = max(offsets) - min(offsets)
     d = len(offsets)
@@ -431,7 +433,8 @@ def dia_matvec_pallas_ring(n, m, offsets, vals, x):
         ],
         out_specs=pl.BlockSpec((R, LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, LANE), vals.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (rows, LANE), jnp.promote_types(vals.dtype, x.dtype)),
         scratch_shapes=[
             pltpu.VMEM((R, LANE), x.dtype),
             pltpu.VMEM((R, LANE), x.dtype),
@@ -456,7 +459,7 @@ def use_pallas_dia_ring(n, m, offsets, vals) -> bool:
         return False
     if config.pallas_interpret():
         return False
-    if vals.dtype != jnp.float32:
+    if vals.dtype not in (jnp.float32, jnp.bfloat16):
         return False
     if n != m or n % LANE != 0:
         return False
