@@ -1,0 +1,212 @@
+"""Reference-parity edge cases: non-square / empty-row / vector-valued
+sparse matrices (tests/spmv.cpp:61-146,440-530), SpMat x multivector
+products (:200-260), atomic eval (tests/eval.cpp:10-28), and view edge
+cases (tests/vector_view.cpp: negative_stride, check_zero_size_perm,
+nested_reduce)."""
+
+import numpy as np
+import pytest
+
+import vexcl_tpu as vex
+
+
+def random_csr(rng, n, m, row_nnz=8):
+    """Dense-random CSR like the reference's random_matrix helper."""
+    dens = (rng.random((n, m)) < row_nnz / m) * rng.random((n, m))
+    ptr = [0]
+    col = []
+    val = []
+    for i in range(n):
+        nz = np.flatnonzero(dens[i])
+        col.extend(nz.tolist())
+        val.extend(dens[i, nz].tolist())
+        ptr.append(len(col))
+    return (
+        np.asarray(ptr, np.int64),
+        np.asarray(col, np.int32),
+        np.asarray(val, np.float64),
+        dens,
+    )
+
+
+def test_non_square_matrix(ctx, rng):
+    n, m = 96, 192
+    ptr, col, val, dens = random_csr(rng, n, m)
+    A = vex.SpMat(n, m, ptr, col, val, context=ctx)
+    x = vex.vector(data=rng.random(m), context=ctx)
+    y = vex.vector(n, dtype=np.float64, context=ctx)
+    y[:] = A * x
+    np.testing.assert_allclose(np.asarray(y), dens @ np.asarray(x), rtol=1e-10)
+
+    # wide-and-short too (offsets biased the other way)
+    ptr, col, val, dens = random_csr(rng, m, n)
+    A = vex.SpMat(m, n, ptr, col, val, context=ctx)
+    x2 = vex.vector(data=rng.random(n), context=ctx)
+    y2 = vex.vector(m, dtype=np.float64, context=ctx)
+    y2[:] = A * x2
+    np.testing.assert_allclose(np.asarray(y2), dens @ np.asarray(x2), rtol=1e-10)
+
+
+def test_non_square_dia(ctx):
+    # bidiagonal rectangular matrix forced through the DIA build
+    n, m = 64, 128
+    rows = np.arange(n)
+    ptr = np.arange(0, 2 * n + 1, 2)
+    col = np.stack([rows, rows + 64], 1).ravel()
+    val = np.stack([np.full(n, 2.0), np.full(n, -1.0)], 1).ravel()
+    A = vex.SpMat(n, m, ptr, col, val, fmt="dia", context=ctx)
+    assert A.device.format == "dia"
+    x = vex.vector(data=np.arange(m, dtype=np.float64), context=ctx)
+    y = vex.vector(n, dtype=np.float64, context=ctx)
+    y[:] = A * x
+    expect = 2.0 * np.arange(n) - 1.0 * (np.arange(n) + 64)
+    np.testing.assert_allclose(np.asarray(y), expect)
+
+
+def test_empty_rows(ctx, rng):
+    n = 128
+    ptr, col, val, dens = random_csr(rng, 32, n)
+    ptr = np.concatenate([ptr, np.full(n - 32, ptr[-1], np.int64)])
+    dens = np.vstack([dens, np.zeros((n - 32, n))])
+    A = vex.SpMat(n, n, ptr, col, val, context=ctx)
+    x = vex.vector(data=rng.random(n), context=ctx)
+    y = vex.vector(n, dtype=np.float64, context=ctx)
+    y[:] = A * x
+    np.testing.assert_allclose(np.asarray(y), dens @ np.asarray(x), rtol=1e-10)
+
+
+def test_spmat_times_multivector(ctx, rng):
+    """Scalar matrix x multivector: same matrix on each component
+    (tests/spmv.cpp multivector_product)."""
+    n = 96
+    ptr, col, val, dens = random_csr(rng, n, n)
+    A = vex.SpMat(n, n, ptr, col, val, context=ctx)
+    X = vex.multivector(n, 2, dtype=np.float64, context=ctx)
+    hx = rng.random((2, n))
+    X(0)[:] = vex.vector(data=hx[0], context=ctx)
+    X(1)[:] = vex.vector(data=hx[1], context=ctx)
+    Y = vex.multivector(n, 2, dtype=np.float64, context=ctx)
+    Y[:] = A * X
+    for c in range(2):
+        np.testing.assert_allclose(np.asarray(Y(c)), dens @ hx[c], rtol=1e-10)
+    # inline in an expression: one fused kernel per component
+    Y[:] = 0.5 * (A * X) + X
+    for c in range(2):
+        np.testing.assert_allclose(
+            np.asarray(Y(c)), 0.5 * (dens @ hx[c]) + hx[c], rtol=1e-10
+        )
+
+
+def test_vector_valued_matrix(ctx, rng):
+    """cl_double2-valued matrix (tests/spmv.cpp:440-466): values are
+    2-component, product is componentwise."""
+    n = 96
+    ptr, col, val, dens = random_csr(rng, n, n)
+    val2 = np.stack([val, 2.0 * val], axis=1)  # (nnz, 2)
+    A = vex.SpMat(n, n, ptr, col, val2, context=ctx)
+    hx = rng.random((2, n))
+    X = vex.multivector(n, 2, dtype=np.float64, context=ctx)
+    X(0)[:] = vex.vector(data=hx[0], context=ctx)
+    X(1)[:] = vex.vector(data=hx[1], context=ctx)
+    Y = vex.multivector(n, 2, dtype=np.float64, context=ctx)
+    Y[:] = A * X
+    np.testing.assert_allclose(np.asarray(Y(0)), dens @ hx[0], rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(Y(1)), 2.0 * (dens @ hx[1]), rtol=1e-10)
+    with pytest.raises(TypeError):
+        A * vex.vector(n, dtype=np.float64, context=ctx)
+
+
+def test_vector_valued_ccsr(ctx):
+    """Vector-valued CCSR (tests/spmv.cpp:473-530): 1-D Poisson patterns
+    with 2-component values."""
+    n = 32
+    h2i = (n - 1) * (n - 1)
+    idx = np.array([0] + [1] * (n - 2) + [2])
+    row = np.array([0, 2, 5, 8])
+    col = np.array([0, 1, -1, 0, 1, -1, 0, 0])
+    base = np.array([1.0, 0.0, -h2i, 2 * h2i, -h2i, 0.0, 1.0, 0.0])
+    val2 = np.stack([base, 3.0 * base], axis=1)
+    A = vex.SpMatCCSR(n, n, idx, row, col, val2, context=ctx)
+    hx = np.random.default_rng(7).random(n)
+    X = vex.multivector(n, 2, dtype=np.float64, context=ctx)
+    X(0)[:] = vex.vector(data=hx, context=ctx)
+    X(1)[:] = vex.vector(data=hx, context=ctx)
+    Y = vex.multivector(n, 2, dtype=np.float64, context=ctx)
+    Y[:] = A * X
+
+    dense = np.zeros((n, n))
+    for i in range(n):
+        p = idx[i]
+        for j in range(row[p], row[p + 1]):
+            c = i + col[j]
+            if 0 <= c < n:
+                dense[i, c] += base[j]
+    np.testing.assert_allclose(np.asarray(Y(0)), dense @ hx, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(Y(1)), 3.0 * (dense @ hx), rtol=1e-8)
+
+
+def test_eval_atomic(ctx):
+    """vex::eval(atomic_add(&permutation(x)(y), 1)) histograms into y
+    (tests/eval.cpp:10-28); duplicate indices accumulate exactly."""
+    M, C = 16, 64
+    N = M * C
+    x = vex.vector(N, dtype=np.int32, context=ctx)
+    y = vex.vector(M, dtype=np.int32, context=ctx)
+    y[:] = 0
+    x[:] = vex.element_index() % M
+    vex.eval(vex.atomic_add(vex.permutation(x)(y), 1))
+    np.testing.assert_array_equal(np.asarray(y), np.full(M, C))
+    vex.eval(vex.atomic_sub(vex.permutation(x)(y), 1))
+    np.testing.assert_array_equal(np.asarray(y), np.zeros(M))
+
+
+def test_atomic_min_max_and_expr_values(ctx, rng):
+    n = 256
+    idx_h = rng.integers(0, 8, n)
+    vals_h = rng.random(n)
+    idx = vex.vector(data=idx_h.astype(np.int32), context=ctx)
+    v = vex.vector(data=vals_h, context=ctx)
+    lo = vex.vector(8, dtype=np.float64, fill=np.inf, context=ctx)
+    hi = vex.vector(8, dtype=np.float64, fill=-np.inf, context=ctx)
+    vex.eval(vex.atomic_min(vex.permutation(idx)(lo), 2 * v))
+    vex.eval(vex.atomic_max(vex.permutation(idx)(hi), 2 * v))
+    for b in range(8):
+        sel = vals_h[idx_h == b]
+        np.testing.assert_allclose(np.asarray(lo)[b], 2 * sel.min())
+        np.testing.assert_allclose(np.asarray(hi)[b], 2 * sel.max())
+
+
+def test_negative_stride_views(ctx):
+    """negative_stride (tests/vector_view.cpp): reversed/strided slices."""
+    v = vex.vector(data=np.arange(64, dtype=np.float64), context=ctx)
+    w = vex.vector(32, dtype=np.float64, context=ctx)
+    w[:] = v[::-2]
+    np.testing.assert_allclose(np.asarray(w), np.arange(64)[::-2])
+    w[:] = 2.0 * v[62::-2] + 1.0
+    np.testing.assert_allclose(np.asarray(w), 2.0 * np.arange(64)[62::-2] + 1)
+
+
+def test_zero_size_permutation(ctx):
+    """check_zero_size_perm: empty index set yields an empty result."""
+    v = vex.vector(data=np.arange(16, dtype=np.float64), context=ctx)
+    idx = vex.vector(data=np.zeros(0, dtype=np.int32), context=ctx)
+    z = vex.vector(0, dtype=np.float64, context=ctx)
+    z[:] = vex.permutation(idx)(v)
+    assert z.size == 0
+
+
+def test_nested_reduce(ctx, rng):
+    """nested_reduce (tests/vector_view.cpp): reduce over one axis of a
+    2-D view, then reduce the result again inside an expression."""
+    n = 32
+    h = rng.random((n, n))
+    x = vex.vector(data=h.ravel(), context=ctx)
+    slc = vex.slicer(n, n)
+    rowsum = vex.reduce_view("SUM", slc[:, :](x), 1)
+    y = vex.vector(n, dtype=np.float64, context=ctx)
+    y[:] = rowsum
+    np.testing.assert_allclose(np.asarray(y), h.sum(1), rtol=1e-10)
+    # nested: reduce the reduced view again
+    z = vex.vector(1, dtype=np.float64, context=ctx)
+    z[:] = vex.reduce_view("SUM", rowsum, 0)
+    np.testing.assert_allclose(np.asarray(z)[0], h.sum(), rtol=1e-10)

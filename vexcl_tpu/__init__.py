@@ -51,6 +51,12 @@ from .expr import (
 )
 from .expr.builtins import *  # noqa: F401,F403 - sin, cos, exp, ...
 from .expr.pointer import constant_pointer, raw_pointer
+
+# Bind these class names eagerly: a submodule import anywhere (e.g.
+# `from ..multivector import MultiExpr` inside sparse/) would otherwise set
+# the package attribute to the MODULE and shadow the lazy __getattr__ below.
+from .multivector import MultiExpr, multivector, tie  # noqa: E402
+from .profiler import profiler, stopwatch  # noqa: E402
 from .parallel.partition import reset_partitioning, set_partitioning
 from .utils.util import alignup, nextpow2, precondition
 
@@ -80,6 +86,10 @@ def __getattr__(name):
         "inclusive_scan_by_key": ("vexcl_tpu.ops.scan_by_key", "inclusive_scan_by_key"),
         "exclusive_scan_by_key": ("vexcl_tpu.ops.scan_by_key", "exclusive_scan_by_key"),
         "reduce_by_key": ("vexcl_tpu.ops.reduce_by_key", "reduce_by_key"),
+        "atomic_add": ("vexcl_tpu.ops.atomic", "atomic_add"),
+        "atomic_sub": ("vexcl_tpu.ops.atomic", "atomic_sub"),
+        "atomic_min": ("vexcl_tpu.ops.atomic", "atomic_min"),
+        "atomic_max": ("vexcl_tpu.ops.atomic", "atomic_max"),
         "gather": ("vexcl_tpu.ops.gather", "gather"),
         "scatter": ("vexcl_tpu.ops.gather", "scatter"),
         "Gather": ("vexcl_tpu.ops.gather", "Gather"),

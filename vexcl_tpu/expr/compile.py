@@ -259,6 +259,10 @@ def eval_expr(expr: Expr):
     without assigning to a container; returns the computed array."""
     from .node import as_expr, expression_properties
 
+    from ..ops.atomic import AtomicUpdate
+
+    if isinstance(expr, AtomicUpdate):
+        return expr.execute()
     expr = as_expr(expr)
     n, _ = expression_properties(expr)
     return evaluate(expr, n=n)

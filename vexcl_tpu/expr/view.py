@@ -314,4 +314,7 @@ class ReducedView(Expr):
 def reduce_view(op: str, view: Any, axes) -> ReducedView:
     if isinstance(axes, (int, np.integer)):
         axes = (int(axes),)
+    op = str(op).lower()  # accept the reference's SUM/MIN/MAX spellings
+    if op not in _REDUCERS:
+        raise ValueError(f"unknown reduction {op!r}; one of {sorted(_REDUCERS)}")
     return ReducedView(op, view, axes)

@@ -118,8 +118,9 @@ def try_build_dia(
         return None
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(ptr))
     offs = col.astype(np.int64) - rows
-    # presence-table unique: O(nnz), no 10^8-entry sort
-    base = np.int64(m)
+    # presence-table unique: O(nnz), no 10^8-entry sort.  Offsets span
+    # [-(n-1), m-1], so bias by n to index the (n+m+1)-entry table.
+    base = np.int64(n)
     present = np.zeros(n + m + 1, dtype=bool)
     present[offs + base] = True
     uniq = np.flatnonzero(present) - base
@@ -131,9 +132,11 @@ def try_build_dia(
     k_idx = lookup[offs + base]
     # accumulate (duplicate entries on the same position sum, like COO->CSR)
     # via bincount: C-speed, unlike np.add.at (~100x slower at 10^8 nnz)
-    flat = np.bincount(
-        k_idx * np.int64(n) + rows, weights=val,
-        minlength=len(uniq) * n,
-    )
+    pos = k_idx * np.int64(n) + rows
+    if np.issubdtype(val.dtype, np.complexfloating):
+        flat = np.bincount(pos, weights=val.real, minlength=len(uniq) * n) \
+            + 1j * np.bincount(pos, weights=val.imag, minlength=len(uniq) * n)
+    else:
+        flat = np.bincount(pos, weights=val, minlength=len(uniq) * n)
     vals = flat.reshape(len(uniq), n).astype(val.dtype)
     return DIA(n, m, uniq, vals)

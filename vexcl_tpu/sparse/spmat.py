@@ -29,6 +29,17 @@ from .formats import CSR, ELL, Hybrid, from_csr_host
 __all__ = ["SpMat", "SpMatCCSR", "make_inline", "matrix"]
 
 
+def _multi_components(x):
+    """Components of a multivector / MultiExpr argument, else None."""
+    from ..multivector import MultiExpr, multivector
+
+    if isinstance(x, multivector):
+        return [c[:] for c in x.components]
+    if isinstance(x, MultiExpr):
+        return list(x.components)
+    return None
+
+
 class SpMVExpr(Expr):
     """A * x as an expression node; matrix planes are dedup'd leaves."""
 
@@ -94,6 +105,22 @@ class SpMat:
         if m is None:
             m = n
         self.n, self.m = int(n), int(m)
+        # vector-valued matrices (reference cl_double2 values,
+        # tests/spmv.cpp:440-466): val shape (nnz, k) means each entry is a
+        # k-component value multiplied componentwise — exactly k independent
+        # scalar SpMVs, one per value plane, applied to a k-component
+        # multivector.
+        val_arr = np.asarray(val) if val is not None else None
+        if val_arr is not None and val_arr.ndim == 2:
+            self._components = tuple(
+                SpMat(n, m, ptr, col, np.ascontiguousarray(val_arr[:, c]),
+                      fmt=fmt, context=self.context)
+                for c in range(val_arr.shape[1])
+            )
+            self.device = self._components[0].device
+            self._leaves = ()
+            return
+        self._components = None
         if fmt is None:
             # TPU-first format policy: banded/grid matrices -> DIA (pure
             # shifted loads, no gather); otherwise the reference policy
@@ -126,15 +153,36 @@ class SpMat:
     def dtype(self):
         return np.dtype(self.device.dtype)
 
-    def __mul__(self, x) -> SpMVExpr:
-        return SpMVExpr(self, x)
+    def __mul__(self, x):
+        return self.matvec(x)
 
-    def matvec(self, x) -> SpMVExpr:
+    def matvec(self, x):
+        multi = _multi_components(x)
+        if multi is not None:
+            from ..multivector import MultiExpr
+
+            if self._components is not None:
+                # vector-valued matrix: plane c applies to component c
+                if len(multi) != len(self._components):
+                    raise ValueError(
+                        f"matrix with {len(self._components)}-component values "
+                        f"applied to {len(multi)}-component multivector"
+                    )
+                return MultiExpr(
+                    [SpMVExpr(A, xc) for A, xc in zip(self._components, multi)]
+                )
+            # scalar matrix x multivector: same matrix on each component
+            # (tests/spmv.cpp multivector_product :200-260)
+            return MultiExpr([SpMVExpr(self, xc) for xc in multi])
+        if self._components is not None:
+            raise TypeError(
+                "vector-valued SpMat must be applied to a multivector"
+            )
         return SpMVExpr(self, x)
 
     def apply(self, x, y, alpha: float = 1.0, append: bool = False) -> None:
         """SpMat::apply (spmat.hpp:120-185): y = alpha*A*x (+ y)."""
-        expr = alpha * SpMVExpr(self, x)
+        expr = alpha * self.matvec(x)
         y.assign(expr, "+=" if append else "=")
 
     def __repr__(self) -> str:
@@ -193,6 +241,23 @@ class SpMatCCSR:
         self.context = context or current_context()
         self.n = int(n)
         self.m = int(m) if m is not None else int(n)
+        # vector-valued CCSR (tests/spmv.cpp:473-530): k independent planes
+        val_arr = np.asarray(val)
+        if val_arr.ndim == 2:
+            self._components = tuple(
+                SpMatCCSR(n, m, idx, row, np.ascontiguousarray(col),
+                          np.ascontiguousarray(val_arr[:, c]),
+                          context=self.context)
+                for c in range(val_arr.shape[1])
+            )
+            first = self._components[0]
+            self.width = first.width
+            self.nnz = first.nnz
+            self.offset_union = first.offset_union
+            self._union_table_dev = first._union_table_dev
+            self._leaves = first._leaves
+            return
+        self._components = None
         idx = np.asarray(idx, dtype=np.int32)
         row = np.asarray(row, dtype=np.int64)
         col = np.asarray(col, dtype=np.int32)
@@ -218,7 +283,8 @@ class SpMatCCSR:
             pos = {int(o): k for k, o in enumerate(uni)}
             for p in range(nuniq):
                 for j in range(row[p], row[p + 1]):
-                    table[p, pos[int(col[j])]] = val[j]
+                    # duplicates on one offset sum (CSR matvec semantics)
+                    table[p, pos[int(col[j])]] += val[j]
             self.offset_union = tuple(int(o) for o in uni)
             self._union_table_dev = jnp.asarray(table)
         else:
@@ -257,11 +323,29 @@ class SpMatCCSR:
             y = seg if y is None else y + seg
         return y
 
-    def __mul__(self, x) -> CCSRExpr:
+    def __mul__(self, x):
+        multi = _multi_components(x)
+        if multi is not None:
+            from ..multivector import MultiExpr
+
+            if self._components is not None:
+                if len(multi) != len(self._components):
+                    raise ValueError(
+                        f"matrix with {len(self._components)}-component values "
+                        f"applied to {len(multi)}-component multivector"
+                    )
+                return MultiExpr(
+                    [CCSRExpr(A, xc) for A, xc in zip(self._components, multi)]
+                )
+            return MultiExpr([CCSRExpr(self, xc) for xc in multi])
+        if self._components is not None:
+            raise TypeError(
+                "vector-valued SpMatCCSR must be applied to a multivector"
+            )
         return CCSRExpr(self, x)
 
     def apply(self, x, y, alpha: float = 1.0, append: bool = False) -> None:
-        expr = alpha * CCSRExpr(self, x)
+        expr = alpha * (self * x)
         y.assign(expr, "+=" if append else "=")
 
 
