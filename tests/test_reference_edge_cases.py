@@ -210,3 +210,97 @@ def test_nested_reduce(ctx, rng):
     z = vex.vector(1, dtype=np.float64, context=ctx)
     z[:] = vex.reduce_view("SUM", rowsum, 0)
     np.testing.assert_allclose(np.asarray(z)[0], h.sum(), rtol=1e-10)
+
+
+def test_assign_to_view(ctx, rng):
+    """assign_to_view (tests/vector_view.cpp): write through slicer /
+    slice / permutation views with = and compound ops."""
+    n = 32
+    h = np.zeros((n, n))
+    X = vex.vector(data=h.ravel(), context=ctx)
+    x = vex.vector(data=rng.random(n), context=ctx)
+    slc = vex.slicer(n, n)
+    for i in range(n):
+        slc[i](X).assign(x)  # slc[i](X) = x
+    expect = np.tile(np.asarray(x), (n, 1))
+    np.testing.assert_allclose(np.asarray(X).reshape(n, n), expect)
+    # compound through a view
+    slc[3](X).assign(2.0 * x, "+=")
+    expect[3] += 2.0 * np.asarray(x)
+    np.testing.assert_allclose(np.asarray(X).reshape(n, n), expect)
+    # strided 1-D slice write
+    v = vex.vector(data=np.zeros(16), context=ctx)
+    v[:] = 0.0
+    w = vex.vector(data=np.arange(8, dtype=np.float64), context=ctx)
+    v[1::2].assign(w)
+    out = np.zeros(16)
+    out[1::2] = np.arange(8)
+    np.testing.assert_allclose(np.asarray(v), out)
+
+
+def test_assign_to_permutation(ctx, rng):
+    """Scatter-assign through a permutation view (reversed write)."""
+    n = 64
+    y = vex.vector(n, dtype=np.float64, context=ctx)
+    y[:] = 0.0
+    x = vex.vector(data=rng.random(n), context=ctx)
+    idx = vex.vector(data=np.arange(n - 1, -1, -1, dtype=np.int32), context=ctx)
+    vex.permutation(idx)(y).assign(x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x)[::-1])
+    vex.permutation(idx)(y).assign(x, "+=")
+    np.testing.assert_allclose(np.asarray(y), 2 * np.asarray(x)[::-1])
+
+
+def test_initialize_with_expression(ctx, rng):
+    """initialize_with_expression (tests/vector_create.cpp): construct a
+    vector directly from a lazy expression."""
+    h = rng.random(64)
+    x = vex.vector(data=h, context=ctx)
+    y = vex.vector(2 * x + 1, context=ctx)
+    np.testing.assert_allclose(np.asarray(y), 2 * h + 1, rtol=1e-12)
+    z = vex.vector(data=vex.sin(x), dtype=np.float32, context=ctx)
+    assert z.dtype == np.float32
+    np.testing.assert_allclose(np.asarray(z), np.sin(h), rtol=1e-6)
+
+
+def test_nested_temporary(ctx, rng):
+    """nested_temporary (tests/temporary.cpp): a temp built from another
+    temp evaluates once and composes."""
+    h = rng.random(128)
+    x = vex.vector(data=h, context=ctx)
+    t1 = vex.make_temp(1, x * 2)
+    t2 = vex.make_temp(2, t1 + 1)
+    y = vex.vector(128, dtype=np.float64, context=ctx)
+    y[:] = t2 * t2 - t1
+    expect = (h * 2 + 1) ** 2 - h * 2
+    np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-12)
+
+
+def test_reduce_temporary(ctx, rng):
+    """reduce_temporary (tests/temporary.cpp): Reductor over an expression
+    containing make_temp."""
+    h = rng.random(256)
+    x = vex.vector(data=h, context=ctx)
+    t = vex.make_temp("t", x - 0.5)
+    Sum = vex.Reductor(vex.SUM, context=ctx)
+    got = Sum(t * t)
+    np.testing.assert_allclose(got, ((h - 0.5) ** 2).sum(), rtol=1e-10)
+
+
+def test_temporary_inside_tag(ctx, rng):
+    """temporary_inside_tag (tests/tagged_terminal.cpp)."""
+    h = rng.random(64)
+    x = vex.vector(data=h, context=ctx)
+    t = vex.make_temp(7, vex.tag(1, x) + vex.tag(1, x))
+    y = vex.vector(64, dtype=np.float64, context=ctx)
+    y[:] = t + t
+    np.testing.assert_allclose(np.asarray(y), 4 * h, rtol=1e-12)
+
+
+def test_multivector_from_stl(ctx, rng):
+    """stl_container_of_multivector analog: build from a list of arrays /
+    interleaved host data (multivector_create.cpp)."""
+    h = rng.random((3, 32))
+    mv = vex.multivector(data=h.ravel(), m=3, dtype=np.float64, context=ctx)
+    for c in range(3):
+        np.testing.assert_allclose(np.asarray(mv(c)), h[c])

@@ -40,6 +40,66 @@ __all__ = [
 ]
 
 
+def _flat_indices_of_view(view) -> np.ndarray:
+    """Host-side flat indices a static-keyed view reads from its base
+    vector; used for the write path (assign-to-view)."""
+    if isinstance(view, SliceTerminal):
+        n = view.children[0].size_hint()
+        (k,) = view._static_key[:1]
+        if isinstance(k, slice):
+            return np.arange(*k.indices(n))
+        raise TypeError("assignment needs a static slice key")
+    if isinstance(view, MultiSliceView):
+        grid = np.arange(int(np.prod(view.dims))).reshape(view.dims)
+        key = view._static_key
+        if any(not isinstance(k, (slice, int, np.integer)) for k in key):
+            raise TypeError("assignment needs static slice/int keys")
+        return np.ravel(grid[tuple(key)])
+    raise TypeError(f"cannot assign into {type(view).__name__}")
+
+
+class _ViewAssignMixin:
+    """Write path for views over a vector (vex: assign_to_view,
+    vector_view.hpp — `slc[i](X) = expr;` writes through the view).  The
+    update compiles to one fused kernel ending in an XLA scatter."""
+
+    def assign(self, value, op: str = "="):
+        from .node import VectorTerminal
+
+        base = self.children[0]
+        if not isinstance(base, VectorTerminal):
+            raise TypeError("can only assign into a view of a vector")
+        vec = base.vec
+        if isinstance(self, PermutationView):
+            from ..ops.atomic import _scatter_assign_dynamic
+
+            return _scatter_assign_dynamic(vec, self.children[1], value, op)
+        idx = _flat_indices_of_view(self)
+        from .compile import evaluate
+
+        val = evaluate(as_expr(value), n=len(idx)) if not np.isscalar(value) \
+            else value
+        arr = vec.array
+        if np.isscalar(val):
+            val = jnp.full(len(idx), val, dtype=arr.dtype)
+        val = val.astype(arr.dtype)
+        at = arr.at[idx]
+        from ..expr.compile import ASSIGN_OPS
+
+        if op == "=":
+            vec._set_array(at.set(val))
+        elif op == "+=":
+            vec._set_array(at.add(val))
+        elif op == "*=":
+            vec._set_array(at.multiply(val))
+        elif op in ASSIGN_OPS:
+            cur = arr[idx]
+            vec._set_array(at.set(ASSIGN_OPS[op](cur, val).astype(arr.dtype)))
+        else:
+            raise ValueError(f"unsupported view assignment op {op!r}")
+        return self
+
+
 class _UnderscoreType:
     """vex::_ — the whole-dimension placeholder (vector_view.hpp:446)."""
 
@@ -91,7 +151,7 @@ def _key_sig(key: Tuple) -> str:
     return ",".join(parts)
 
 
-class SliceTerminal(Expr):
+class SliceTerminal(_ViewAssignMixin, Expr):
     """expr[key] over the flat vector (1-D gslice)."""
 
     _size_transparent = False
@@ -129,7 +189,7 @@ class SliceTerminal(Expr):
         return None
 
 
-class MultiSliceView(Expr):
+class MultiSliceView(_ViewAssignMixin, Expr):
     """N-D strided view of a flat vector: slicer(dims)[key](x)
     (gslice/slicer, vector_view.hpp:264-560).  Emits
     x.reshape(dims)[key] — a strided load fused into the kernel."""
@@ -198,7 +258,7 @@ class slicer:
         return _Bound()
 
 
-class PermutationView(Expr):
+class PermutationView(_ViewAssignMixin, Expr):
     """permutation(idx)(x): x gathered at idx
     (vector_view.hpp:601-698).  idx may be a vector, array, or index
     expression (expr_permutation)."""

@@ -83,6 +83,47 @@ class AtomicUpdate:
         return self.vec
 
 
+def _scatter_assign_dynamic(vec, index_expr, value, op: str = "="):
+    """Assign through a permutation view: ``permutation(idx)(y).assign(v)``
+    scatters v into y at idx (vector_view.hpp assign-to-permutation)."""
+    index_expr = as_expr(index_expr)
+    value = as_expr(value)
+    analysis = analyze(index_expr, value)
+    cache_key = ("scatter-assign", op, analysis.sig)
+
+    def factory():
+        def run(dest, *leaves):
+            from ..expr.compile import _env_from
+
+            env = _env_from(analysis, (index_expr, value), leaves, None)
+            idx = index_expr.emit_cached(env).astype(jnp.int32)
+            val = value.emit_cached(env)
+            if jnp.ndim(val) == 0:
+                val = jnp.broadcast_to(val, idx.shape)
+            val = val.astype(dest.dtype)
+            if op == "=":
+                return dest.at[idx].set(val)
+            if op == "+=":
+                return dest.at[idx].add(val)
+            if op == "*=":
+                return dest.at[idx].multiply(val)
+            from ..expr.compile import ASSIGN_OPS
+
+            cur = dest[idx]
+            return dest.at[idx].set(ASSIGN_OPS[op](cur, val).astype(dest.dtype))
+
+        donate = (0,) if config.donate else ()
+        return jax.jit(run, donate_argnums=donate)
+
+    jfn = (
+        kernel_cache.get_or_create(cache_key, factory)
+        if config.cache_kernels
+        else factory()
+    )
+    vec._set_array(jfn(vec.array, *analysis.leaves))
+    return vec
+
+
 def atomic_add(target, value) -> AtomicUpdate:
     return AtomicUpdate("add", target, value)
 

@@ -190,6 +190,14 @@ class vector(_ExprOpsMixin):
         if data is None and not isinstance(arg, (int, np.integer)) and arg is not None:
             data, arg = arg, None
 
+        if isinstance(data, Expr) or (data is None and isinstance(arg, Expr)):
+            # initialize_with_expression (tests/vector_create.cpp): build the
+            # vector directly from a lazy expression
+            from .expr.compile import eval_expr
+
+            expr = data if isinstance(data, Expr) else arg
+            data, arg = eval_expr(expr), None
+
         if data is not None:
             host = (
                 data
