@@ -100,31 +100,20 @@ def _build_evaluator(
     return jfn
 
 
-def _check_sizes(exprs: Sequence[Expr], n: Optional[int]) -> None:
+def _check_sizes(analysis: Analysis, n: Optional[int]) -> None:
+    """Elementwise size validation (VEXCL_CHECK_SIZES,
+    operations.hpp:1442-1458): vector terminals reached only through
+    size-preserving nodes must match the assignment size.  The sizes were
+    collected during the analyze() walk — no extra traversal."""
     if config.check_sizes < 2 or n is None:
         return
-    from .node import VectorTerminal
-
-    seen = set()
-    for e in exprs:
-        # walk only through size-preserving nodes; a size-transforming node
-        # (view/spmv/tensordot/...) validates its own operands
-        stack = [e]
-        while stack:
-            node = stack.pop()
-            if id(node) in seen:
-                continue
-            seen.add(id(node))
-            if isinstance(node, VectorTerminal):
-                if node.vec.size != n:
-                    raise ValueError(
-                        f"expression size mismatch: vector of size "
-                        f"{node.vec.size} in expression assigned to size {n} "
-                        "(set config.check_sizes=0 to disable)"
-                    )
-                continue
-            if node._size_transparent:
-                stack.extend(node.children)
+    for sz in analysis.elementwise_sizes:
+        if sz != n:
+            raise ValueError(
+                f"expression size mismatch: vector of size {sz} in "
+                f"expression assigned to size {n} "
+                "(set config.check_sizes=0 to disable)"
+            )
 
 
 def evaluate(
@@ -139,12 +128,12 @@ def evaluate(
     from .node import as_expr
 
     expr = as_expr(expr)
-    _check_sizes((expr,), n)
     combine = ASSIGN_OPS[op]
 
     if combine is None:
         analysis = analyze(expr)
-        cache_key = (analysis.sig, "=", n, str(out_dtype))
+        _check_sizes(analysis, n)
+        cache_key = (analysis.sig, "=", n, out_dtype)
 
         def factory():
             def post(val):
@@ -165,7 +154,8 @@ def evaluate(
 
     # compound: old value becomes leaf 0
     analysis = analyze(expr)
-    cache_key = (analysis.sig, op, n, str(out_dtype))
+    _check_sizes(analysis, n)
+    cache_key = (analysis.sig, op, n, out_dtype)
 
     def factory():
         def run(old_val, *leaves):
@@ -213,14 +203,15 @@ def evaluate_multi(
     from .node import as_expr
 
     exprs = tuple(as_expr(e) for e in exprs)
-    for e, n in zip(exprs, ns):
-        _check_sizes((e,), n)
+    if config.check_sizes >= 2:
+        for e, n in zip(exprs, ns):
+            _check_sizes(analyze(e), n)
     analysis = analyze(*exprs)
     cache_key = (
         analysis.sig,
         tuple(ops),
         tuple(ns),
-        tuple(str(d) for d in out_dtypes),
+        tuple(out_dtypes),
     )
 
     need_old = [ASSIGN_OPS[op] is not None for op in ops]

@@ -81,12 +81,14 @@ class EmitEnv:
 class Analysis:
     """Result of one structural traversal: cache signature + flat leaves."""
 
-    __slots__ = ("sig", "leaves", "slot_of")
+    __slots__ = ("sig", "leaves", "slot_of", "elementwise_sizes")
 
-    def __init__(self, sig: str, leaves: List[Any], slot_of: Dict[int, int]):
+    def __init__(self, sig: str, leaves: List[Any], slot_of: Dict[int, int],
+                 elementwise_sizes: List[int] = ()):
         self.sig = sig
         self.leaves = leaves
         self.slot_of = slot_of
+        self.elementwise_sizes = elementwise_sizes
 
 
 class _SigCtx:
@@ -99,6 +101,11 @@ class _SigCtx:
         # tree walk re-visits them exponentially.  Shared nodes get a
         # back-reference "@k" in the signature and are traversed once.
         self.node_ref: Dict[int, int] = {}
+        # sizes of vector terminals reached only through size-preserving
+        # nodes — collected during THIS walk so VEXCL_CHECK_SIZES needs no
+        # second traversal (operations.hpp:1442-1458 analog)
+        self.elementwise_sizes: List[int] = []
+        self.transparent: bool = True
 
     def slot(self, node: "Expr") -> int:
         key = node.leaf_key()
@@ -116,7 +123,8 @@ def analyze(*exprs: "Expr") -> Analysis:
     """One deterministic preorder traversal over (possibly several) DAGs."""
     ctx = _SigCtx()
     sigs = [e.sig_cached(ctx) for e in exprs]
-    return Analysis(";".join(sigs), ctx.leaves, ctx.slot_of)
+    return Analysis(";".join(sigs), ctx.leaves, ctx.slot_of,
+                    ctx.elementwise_sizes)
 
 
 class Expr:
@@ -142,7 +150,14 @@ class Expr:
         return self._sig(ctx)
 
     def _sig(self, ctx: _SigCtx) -> str:
-        inner = ",".join(c.sig_cached(ctx) for c in self.children)
+        if self._size_transparent or not ctx.transparent:
+            inner = ",".join(c.sig_cached(ctx) for c in self.children)
+        else:
+            # size-transforming node: vector terminals below are exempt
+            # from the elementwise size check
+            ctx.transparent = False
+            inner = ",".join(c.sig_cached(ctx) for c in self.children)
+            ctx.transparent = True
         ex = self.extra_sig()
         return f"{self._opname}{'[' + ex + ']' if ex else ''}({inner})"
 
@@ -419,6 +434,8 @@ class VectorTerminal(Expr):
 
     def _sig(self, ctx: _SigCtx) -> str:
         s = ctx.slot(self)
+        if ctx.transparent:
+            ctx.elementwise_sizes.append(self.vec.size)
         return f"v{s}"
 
     def leaf_key(self) -> Any:
