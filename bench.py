@@ -61,18 +61,29 @@ def slope_seconds(step, x0, lo=64, hi=512, reps=3, extra=()):
 
         return run
 
-    times = {}
+    runs = {inner: make(inner) for inner in (lo, hi)}
     for inner in (lo, hi):
-        run = make(inner)
-        _fetch(run(x0, *extra))  # compile + warm
-        ts = []
+        _fetch(runs[inner](x0, *extra))  # compile + warm
+
+    def measure(inner):
+        t0 = time.perf_counter()
+        out = runs[inner](x0, *extra)
+        _fetch(out)
+        return time.perf_counter() - t0
+
+    # median over INTERLEAVED lo/hi pairs, with a sanity retry: the axon
+    # tunnel occasionally ACKs a fetch early, deflating one measurement and
+    # producing impossible (non-positive) slopes
+    for _attempt in range(3):
+        ts = {lo: [], hi: []}
         for _ in range(reps):
-            t0 = time.perf_counter()
-            out = run(x0, *extra)
-            _fetch(out)
-            ts.append(time.perf_counter() - t0)
-        times[inner] = min(ts)
-    return max((times[hi] - times[lo]) / (hi - lo), 1e-9)
+            ts[lo].append(measure(lo))
+            ts[hi].append(measure(hi))
+        med = {k: sorted(v)[len(v) // 2] for k, v in ts.items()}
+        slope = (med[hi] - med[lo]) / (hi - lo)
+        if slope > 0:
+            return slope
+    return 1e-9
 
 
 def bench_fused_elementwise(n=1 << 26):
@@ -224,7 +235,11 @@ def bench_scan(n=1 << 24):
     from vexcl_tpu.ops.pallas_scan import pallas_cumsum, use_pallas_scan
 
     x0 = jnp.asarray(np.random.rand(n).astype(np.float32))
-    post = lambda v: jnp.cos(v * 1e-4)  # bounded chain, fused in-kernel
+    # chain-bounding post must be CHEAP: a fused transcendental dominates the
+    # measurement (cos post: 28.8 Gelem/s vs 50.7 with the mul — the kernel
+    # itself is the same).  v*1e-7 keeps the chain bounded: the cumsum tail
+    # is ~n*mean, so the next mean is ~0.8x the previous.
+    post = lambda v: v * 1e-7
     if use_pallas_scan(x0, None):
         step = lambda v: pallas_cumsum(v, post=post)
     else:

@@ -14,12 +14,19 @@ Precision trick: U is a 0/1 matrix, so splitting X into three bf16
 pieces that sum exactly to the f32 value (8+8+8 mantissa bits) makes
 X @ U = the sum of three NATIVE bf16 matmuls with f32 accumulation —
 exact products, f32-quality results, at half the MXU passes of
-Precision.HIGHEST (which must split both operands).  The HIGHEST X @ U
-was the measured bottleneck of this kernel (23 Gelem/s -> 25 with the
-split).  Rejected alternatives (measured): pure-VPU Hillis-Steele roll
-scan 13.7 Gelem/s — (R,1)-shaped ops cost as much as full (R,128) ops;
-scalar-free MXU gather/scatter level-2 18.3 Gelem/s — the 16-piece
-concat + extra matmuls cost more than the scalar chain they replace.
+Precision.HIGHEST (which must split both operands).  Rejected
+alternatives (measured): pure-VPU Hillis-Steele roll scan 13.7 Gelem/s —
+(R,1)-shaped ops cost as much as full (R,128) ops; scalar-free MXU
+gather/scatter level-2 18.3 Gelem/s — the 16-piece concat + extra
+matmuls cost more than the scalar chain they replace.
+
+Measured ~50 Gelem/s (f32, 16M, cheap fused post; 10x XLA cumsum).
+Beware benchmarking with a transcendental post-op: a fused cos drops the
+same kernel to 28.8 Gelem/s — VPU transcendentals are NOT free even in a
+DMA-bound kernel.  input_output_aliases measured no gain here (the
+kernel sits at ~400 GB/s aggregate, above the 325 GB/s distinct-buffer
+figure — block count, not stream turnaround, is what the larger 2 MiB
+blocks bought).
 
 An optional elementwise ``post`` lambda is fused into the output write
 (the carry threads the raw cumsum), so benchmark/consumer chains need no
@@ -37,9 +44,11 @@ import numpy as np
 from ..config import config
 
 LANE = 128
-BLOCK_R = 2048  # 2048 x 128 f32 = 1 MiB per block
+# 4096 x 128 f32 = 2 MiB per block: fewer grid steps amortize the per-block
+# scalar carry chain (measured 50-53 Gelem/s vs 47 at 2048, 45 at 1024)
+BLOCK_R = 4096
 BLOCK = BLOCK_R * LANE
-_GROUPS = BLOCK_R // LANE  # 16
+_GROUPS = BLOCK_R // LANE  # 32
 
 
 def _split3_dot(x, u_f32, u_bf16, acc_dtype):
@@ -148,7 +157,7 @@ def use_pallas_scan(x: jnp.ndarray, op) -> bool:
         return False
     if x.dtype not in (jnp.float32, jnp.bfloat16):
         return False
-    if x.shape[0] < 2 * BLOCK:
+    if x.shape[0] < 1 << 20:  # absolute cutoff, independent of BLOCK_R
         return False
     try:
         if len(x.sharding.device_set) > 1:
