@@ -137,4 +137,19 @@ void philox4x32_host(int64_t n, uint32_t k0, uint32_t k1, uint32_t* out) {
   }
 }
 
+
+// Scatter-add with duplicate accumulation: out[idx[i]] += val[i].
+// Serial per pass but memory-speed; used by the DIA builder when CSR input
+// carries duplicate cells (numpy's bincount-with-weights measured
+// ~0.5 Melem/s, np.add.at worse).
+void scatter_add_f64(int64_t nnz, const int64_t* idx, const double* val,
+                     double* out) {
+  for (int64_t i = 0; i < nnz; ++i) out[idx[i]] += val[i];
+}
+
+void scatter_add_f32(int64_t nnz, const int64_t* idx, const float* val,
+                     float* out) {
+  for (int64_t i = 0; i < nnz; ++i) out[idx[i]] += val[i];
+}
+
 }  // extern "C"

@@ -48,3 +48,23 @@ def test_philox_host_matches_device(lib):
     dev = philox4x32(idx, z, z, z, 99, 0)
     dev = np.stack([np.asarray(d) for d in dev], axis=1)
     np.testing.assert_array_equal(host, dev)
+
+
+def test_scatter_add_native_and_fallback():
+    from vexcl_tpu.utils.native import scatter_add
+
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, 64, 1000)
+    val = rng.random(1000)
+    out = np.zeros(64)
+    scatter_add(out, idx, val)
+    expect = np.zeros(64)
+    np.add.at(expect, idx, val)
+    np.testing.assert_allclose(out, expect, rtol=1e-12)
+    # complex path
+    cval = val + 1j * val[::-1]
+    cout = np.zeros(64, np.complex128)
+    scatter_add(cout, idx, cval)
+    cexpect = np.zeros(64, np.complex128)
+    np.add.at(cexpect, idx, cval)
+    np.testing.assert_allclose(cout, cexpect, rtol=1e-12)

@@ -304,3 +304,41 @@ def test_multivector_from_stl(ctx, rng):
     mv = vex.multivector(data=h.ravel(), m=3, dtype=np.float64, context=ctx)
     for c in range(3):
         np.testing.assert_allclose(np.asarray(mv(c)), h[c])
+
+
+def test_complex_spmv(ctx, rng):
+    """Complex-semantics SpMV (reference examples/complex_spmv.cpp): true
+    complex multiply inside the SpMV kernel."""
+    n = 128
+    dens = (
+        (rng.random((n, n)) < 0.05)
+        * (rng.random((n, n)) + 1j * rng.random((n, n)))
+    ).astype(np.complex128)
+    ptr = [0]
+    col, val = [], []
+    for i in range(n):
+        nz = np.flatnonzero(dens[i])
+        col.extend(nz.tolist())
+        val.extend(dens[i, nz].tolist())
+        ptr.append(len(col))
+    A = vex.SpMat(n, n, np.array(ptr), np.array(col), np.array(val), context=ctx)
+    x = vex.vector(
+        data=(rng.random(n) + 1j * rng.random(n)).astype(np.complex128),
+        context=ctx,
+    )
+    y = vex.vector(n, dtype=np.complex128, context=ctx)
+    y[:] = A * x
+    np.testing.assert_allclose(np.asarray(y), dens @ np.asarray(x), rtol=1e-12)
+    # complex DIA (tridiagonal forces the banded build)
+    rows = np.arange(n)
+    p2 = np.arange(0, 2 * n + 1, 2)
+    c2 = np.stack([rows, np.minimum(rows + 1, n - 1)], 1).ravel()
+    v2 = np.stack([np.full(n, 2 + 1j), np.full(n, -1 + 0.5j)], 1).ravel()
+    B = vex.SpMat(n, n, p2, c2, v2, fmt="dia", context=ctx)
+    yb = vex.vector(n, dtype=np.complex128, context=ctx)
+    yb[:] = B * x
+    db = np.zeros((n, n), np.complex128)
+    for i in range(n):
+        db[i, c2[2 * i]] += v2[2 * i]
+        db[i, c2[2 * i + 1]] += v2[2 * i + 1]
+    np.testing.assert_allclose(np.asarray(yb), db @ np.asarray(x), rtol=1e-12)

@@ -41,7 +41,9 @@ class DIA:
         ):
             self.vals = jnp.asarray(vals, dtype=jnp.bfloat16)
         else:
-            self.vals = jnp.asarray(vals)
+            from ..utils.util import to_device
+
+            self.vals = to_device(vals)
         self.nnz = int(np.count_nonzero(vals))
 
     @property
@@ -130,13 +132,22 @@ def try_build_dia(
         return None
     lookup = np.cumsum(present) - 1
     k_idx = lookup[offs + base]
-    # accumulate (duplicate entries on the same position sum, like COO->CSR)
-    # via bincount: C-speed, unlike np.add.at (~100x slower at 10^8 nnz)
     pos = k_idx * np.int64(n) + rows
-    if np.issubdtype(val.dtype, np.complexfloating):
-        flat = np.bincount(pos, weights=val.real, minlength=len(uniq) * n) \
-            + 1j * np.bincount(pos, weights=val.imag, minlength=len(uniq) * n)
+    size = len(uniq) * n
+    # CSR rows are typically duplicate-free: one (diagonal, row) cell per
+    # entry.  Then a direct fancy assignment fills the planes at memcpy
+    # speed.  (np.bincount-with-weights measured 28 s for 15M nnz —
+    # ~0.5 Melem/s — and np.add.at is worse.)  Duplicates (same cell twice,
+    # summing semantics) take the native scatter-add helper.
+    seen = np.zeros(size, dtype=bool)
+    seen[pos] = True
+    has_dups = int(seen.sum()) < len(pos)
+    flat = np.zeros(size, dtype=val.dtype)
+    if not has_dups:
+        flat[pos] = val
     else:
-        flat = np.bincount(pos, weights=val, minlength=len(uniq) * n)
-    vals = flat.reshape(len(uniq), n).astype(val.dtype)
+        from ..utils.native import scatter_add
+
+        scatter_add(flat, pos, val)
+    vals = flat.reshape(len(uniq), n)
     return DIA(n, m, uniq, vals)

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.util import to_device
+
 __all__ = ["CSR", "ELL", "Hybrid", "from_csr_host", "choose_ell_width"]
 
 
@@ -41,7 +43,7 @@ class CSR:
         row_ids = np.repeat(np.arange(self.n, dtype=np.int32), np.diff(ptr))
         self.row_ids = jnp.asarray(row_ids)
         self.col = jnp.asarray(np.asarray(col), dtype=jnp.int32)
-        self.val = jnp.asarray(np.asarray(val))
+        self.val = to_device(np.asarray(val))
         self.ptr = jnp.asarray(ptr, dtype=jnp.int32)
 
     @property
@@ -76,7 +78,7 @@ class ELL:
         self.m = int(m)
         self.width = int(ell_col.shape[1]) if ell_col.ndim == 2 else 0
         self.col = jnp.asarray(np.asarray(ell_col), dtype=jnp.int32)
-        self.val = jnp.asarray(np.asarray(ell_val))
+        self.val = to_device(np.asarray(ell_val))
         self.nnz = int(np.count_nonzero(np.asarray(ell_col) >= 0))
 
     @property

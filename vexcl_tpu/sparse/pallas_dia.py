@@ -90,6 +90,25 @@ def _kernel(xp_hbm, vals_ref, o_ref, xwin0, xwin1, sem, *, offsets, s0,
         run(xwin1, 1, xwin0, 0)
 
 
+def _window_block(offsets, vals_dtype, n) -> int:
+    """Block size for the window kernel: grow it for wide bands so the
+    window/block re-read factor stays near 2 (a 256^3 Poisson span of
+    131072 re-reads x 3.0x at the 64 Ki default; 2.0x at 128 Ki —
+    measured 301 -> ~345 GFLOP/s), within a ~12 MiB VMEM budget."""
+    span = max(offsets) - min(offsets)
+    d = len(offsets)
+    vb = 2 if vals_dtype == jnp.bfloat16 else 4
+    block = BLOCK
+    while block < _align(span) and block < (1 << 21):
+        cand = block * 2
+        win = cand + _align(span)
+        vmem = 2 * win * 4 + 2 * d * cand * vb + 2 * cand * 4
+        if vmem > 12 * 1024 * 1024 or cand > n:
+            break
+        block = cand
+    return block
+
+
 def dia_matvec_pallas(n: int, m: int, offsets, vals, x):
     """y = A x for DIA planes `vals` (d, n); 1-D f32/bf16 only."""
     import jax.experimental.pallas as pl
@@ -99,6 +118,7 @@ def dia_matvec_pallas(n: int, m: int, offsets, vals, x):
     lpad = max(0, -min(offsets))
     s0 = lpad + min(offsets)  # = max(min(offsets), 0)
     span = max(offsets) - min(offsets)
+    BLOCK = _window_block(offsets, vals.dtype, n)
     nblocks = -(-n // BLOCK)
     npad = nblocks * BLOCK
     # pad x so every window read is in range (+ DMA alignment slack)
@@ -140,10 +160,14 @@ def use_pallas_dia(offsets, vals) -> bool:
         return False
     span = max(offsets) - min(offsets)
     d = len(offsets)
+    n = vals.shape[1]
+    block = _window_block(offsets, vals.dtype, n)
+    vb = 2 if vals.dtype == jnp.bfloat16 else 4
     # window + value rows must fit comfortably in VMEM
-    if (BLOCK + span) * 4 + d * BLOCK * 4 > 8 * 1024 * 1024:
+    if 2 * (block + _align(span)) * 4 + 2 * d * block * vb + 2 * block * 4 \
+            > 13 * 1024 * 1024:
         return False
-    if vals.shape[1] < 2 * BLOCK:
+    if n < 2 * block:
         return False
     if min(offsets) > 0:
         return False  # keeps the DMA start offset 1024-aligned (i*BLOCK)
@@ -347,24 +371,26 @@ def _ring_kernel(x_hbm, vals_ref, o_ref, r0, r1, r2, r3, sem, *, halo,
     nb = pl.num_programs(0)
     bufs = (r0, r1, r2, r3)
 
-    def dma(b, bufidx, blk):
+    def dma(bufidx, blk):
+        # FLAT 1-D DMA (the fast path on this runtime: 2-D (R,128) core
+        # copies measured ~3x lower aggregate bandwidth); the buffer is
+        # viewed as (R, 128) at use — a free row-major reshape
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(blk * R, R), :], bufs[bufidx],
+            x_hbm.at[pl.ds(blk * R * LANE, R * LANE)], bufs[bufidx],
             sem.at[bufidx])
 
     def run(p):
-        cur, prv, nxt, pre = (bufs[p], bufs[(p - 1) % 4],
-                              bufs[(p + 1) % 4], bufs[(p + 2) % 4])
+        cur, prv, nxt = (bufs[p], bufs[(p - 1) % 4], bufs[(p + 1) % 4])
 
         @pl.when(i == 0)
         def _():
-            dma(i, p, i).start()
-            dma(i + 1, (p + 1) % 4, i + 1).start()
+            dma(p, i).start()
+            dma((p + 1) % 4, i + 1).start()
             prv[...] = jnp.zeros_like(prv)
 
         @pl.when(i + 2 < nb)
         def _():
-            dma(i + 2, (p + 2) % 4, i + 2).start()
+            dma((p + 2) % 4, i + 2).start()
 
         @pl.when(i == nb - 1)
         def _():
@@ -372,14 +398,17 @@ def _ring_kernel(x_hbm, vals_ref, o_ref, r0, r1, r2, r3, sem, *, halo,
 
         @pl.when(i == 0)
         def _():
-            dma(i, p, i).wait()
+            dma(p, i).wait()
 
         @pl.when(i + 1 < nb)
         def _():
-            dma(i + 1, (p + 1) % 4, i + 1).wait()
+            dma((p + 1) % 4, i + 1).wait()
 
+        prv2 = prv[...].reshape(R, LANE)
+        cur2 = cur[...].reshape(R, LANE)
+        nxt2 = nxt[...].reshape(R, LANE)
         win = jnp.concatenate(
-            [prv[R - 8:R, :], cur[...], nxt[0:8, :]], axis=0)
+            [prv2[R - 8:R, :], cur2, nxt2[0:8, :]], axis=0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
         by_t = {}
         for q, t, k in halo:
@@ -398,7 +427,7 @@ def _ring_kernel(x_hbm, vals_ref, o_ref, r0, r1, r2, r3, sem, *, halo,
                 seg = vals_ref[k] * sh
                 acc = seg if acc is None else acc + seg
         for c, k in core:
-            sh = prv[...] if c == -1 else nxt[...]
+            sh = prv2 if c == -1 else nxt2
             seg = vals_ref[k] * sh
             acc = seg if acc is None else acc + seg
         o_ref[...] = acc
@@ -419,7 +448,6 @@ def dia_matvec_pallas_ring(n, m, offsets, vals, x):
     d = len(offsets)
     nblocks = rows // R
 
-    x2d = x.reshape(rows, LANE)
     vals3 = vals.reshape(d, rows, LANE)
 
     y = pl.pallas_call(
@@ -427,7 +455,7 @@ def dia_matvec_pallas_ring(n, m, offsets, vals, x):
                           R=R),
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # flat x stays in HBM
             pl.BlockSpec((d, R, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -436,14 +464,14 @@ def dia_matvec_pallas_ring(n, m, offsets, vals, x):
         out_shape=jax.ShapeDtypeStruct(
             (rows, LANE), jnp.promote_types(vals.dtype, x.dtype)),
         scratch_shapes=[
-            pltpu.VMEM((R, LANE), x.dtype),
-            pltpu.VMEM((R, LANE), x.dtype),
-            pltpu.VMEM((R, LANE), x.dtype),
-            pltpu.VMEM((R, LANE), x.dtype),
+            pltpu.VMEM((R * LANE,), x.dtype),
+            pltpu.VMEM((R * LANE,), x.dtype),
+            pltpu.VMEM((R * LANE,), x.dtype),
+            pltpu.VMEM((R * LANE,), x.dtype),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=config.pallas_interpret(),
-    )(x2d, vals3)
+    )(x, vals3)
     return y.reshape(-1)
 
 

@@ -272,7 +272,9 @@ class SpMatCCSR:
             off[p, : e - s] = col[s:e]
             pval[p, : e - s] = val[s:e]
         self.nnz = int(np.diff(row).sum())
-        self._leaves = (jnp.asarray(idx), jnp.asarray(off), jnp.asarray(pval))
+        from ..utils.util import to_device
+
+        self._leaves = (jnp.asarray(idx), jnp.asarray(off), to_device(pval))
 
         # banded fast-path setup: union of all pattern offsets, with a
         # (nuniq, d) coefficient table aligned to the union (zero where a

@@ -83,6 +83,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                        f64p, i64p]
         lib.philox4x32_host.argtypes = [ctypes.c_int64, ctypes.c_uint32,
                                         ctypes.c_uint32, u32p]
+        for fn in (lib.scatter_add_f64, lib.scatter_add_f32):
+            fn.argtypes = [ctypes.c_int64, i64p,
+                           f64p if fn is lib.scatter_add_f64 else f32p,
+                           f64p if fn is lib.scatter_add_f64 else f32p]
         _lib = lib
         return _lib
 
@@ -135,6 +139,39 @@ def kway_merge(offsets, keys, vals=None):
                        _ptr(keys, ctypes.c_double), _ptr(vals, ctypes.c_int64),
                        _ptr(okeys, ctypes.c_double), _ptr(ovals, ctypes.c_int64))
     return okeys, ovals
+
+
+def scatter_add(out: np.ndarray, idx: np.ndarray, val: np.ndarray) -> None:
+    """out[idx[i]] += val[i] with duplicate accumulation, in place.
+
+    Native when available; falls back to np.add.at (slow but correct).
+    Complex values split into two real passes."""
+    if np.issubdtype(out.dtype, np.complexfloating):
+        scalar = np.float32 if out.dtype == np.complex64 else np.float64
+        re = np.ascontiguousarray(val.real, dtype=scalar)
+        im = np.ascontiguousarray(val.imag, dtype=scalar)
+        ore = np.zeros(len(out), dtype=scalar)
+        oim = np.zeros(len(out), dtype=scalar)
+        scatter_add(ore, idx, re)
+        scatter_add(oim, idx, im)
+        out += ore
+        out += 1j * oim
+        return
+    lib = get_lib()
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    if lib is None:
+        np.add.at(out, idx, val.astype(out.dtype))
+        return
+    if out.dtype == np.float32:
+        val = np.ascontiguousarray(val, dtype=np.float32)
+        lib.scatter_add_f32(len(idx), _ptr(idx, ctypes.c_int64),
+                            _ptr(val, ctypes.c_float), _ptr(out, ctypes.c_float))
+    elif out.dtype == np.float64:
+        val = np.ascontiguousarray(val, dtype=np.float64)
+        lib.scatter_add_f64(len(idx), _ptr(idx, ctypes.c_int64),
+                            _ptr(val, ctypes.c_double), _ptr(out, ctypes.c_double))
+    else:
+        np.add.at(out, idx, val.astype(out.dtype))
 
 
 def philox_host(n: int, seed: int) -> np.ndarray:

@@ -40,3 +40,27 @@ class ExpressionError(RuntimeError):
             f"expression kernel failed\n  signature: {signature}\n"
             f"  cause: {type(cause).__name__}: {cause}"
         )
+
+
+def to_device(host) -> Any:
+    """Host -> device transfer that tolerates complex dtypes on the axon
+    TPU platform (eager complex transfers raise UNIMPLEMENTED there):
+    complex arrays ship as (real, imag) scalar pairs and recombine inside
+    a tiny jitted kernel.  Mirrors vector.py's host-boundary shim."""
+    import numpy as np
+
+    host = np.asarray(host)
+    if np.issubdtype(host.dtype, np.complexfloating):
+        import jax
+        import jax.numpy as jnp
+
+        if jax.default_backend() not in ("cpu",):
+            scalar = np.float32 if host.dtype == np.complex64 else np.float64
+            re = jnp.asarray(np.ascontiguousarray(host.real, dtype=scalar))
+            im = jnp.asarray(np.ascontiguousarray(host.imag, dtype=scalar))
+            return jax.jit(
+                lambda a, b: jax.lax.complex(a, b).astype(host.dtype)
+            )(re, im)
+    import jax.numpy as jnp
+
+    return jnp.asarray(host)
