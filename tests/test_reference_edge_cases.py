@@ -342,3 +342,41 @@ def test_complex_spmv(ctx, rng):
         db[i, c2[2 * i]] += v2[2 * i]
         db[i, c2[2 * i + 1]] += v2[2 * i + 1]
     np.testing.assert_allclose(np.asarray(yb), db @ np.asarray(x), rtol=1e-12)
+
+
+def test_odd_size_padded_sharding(ctx, rng):
+    """Sizes that do not divide the mesh now shard via zero-padded storage
+    (logical size sliced off in-kernel) instead of replicating."""
+    n = 1003
+    h = rng.random(n)
+    x = vex.vector(data=h, context=ctx)
+    if ctx.size > 1:
+        assert x.storage.shape[0] % ctx.size == 0
+        assert len(x.storage.sharding.device_set) == ctx.size
+    assert x.size == n
+    y = vex.vector(n, dtype=np.float64, context=ctx)
+    y[:] = 2 * x + vex.sin(x)
+    np.testing.assert_allclose(np.asarray(y), 2 * h + np.sin(h), rtol=1e-12)
+    y += x * x
+    np.testing.assert_allclose(np.asarray(y), 2 * h + np.sin(h) + h * h,
+                               rtol=1e-12)
+    S = vex.Reductor(vex.SUM, context=ctx)
+    np.testing.assert_allclose(
+        float(S(y * y)), float(((2 * h + np.sin(h) + h * h) ** 2).sum()),
+        rtol=1e-10,
+    )
+    sc = vex.vector(n, dtype=np.float64, context=ctx)
+    vex.inclusive_scan(x, sc)
+    np.testing.assert_allclose(np.asarray(sc), np.cumsum(h), rtol=1e-10)
+    w = vex.vector((n - 1) // 2, dtype=np.float64, context=ctx)
+    w[:] = x[1::2]
+    np.testing.assert_allclose(np.asarray(w), h[1::2])
+    # host IO + element access + swap keep logical semantics
+    assert abs(x[17] - h[17]) < 1e-12
+    x[17] = 3.25
+    assert x[17] == 3.25
+    v2 = vex.vector(5, dtype=np.float64, context=ctx)
+    v2.swap(x)
+    assert v2.size == n and x.size == 5
+    v2.swap(x)
+    np.testing.assert_allclose(x.to_numpy()[16:19], [h[16], 3.25, h[18]])

@@ -54,7 +54,9 @@ def _env_from(analysis: Analysis, exprs: Sequence[Expr], leaves, n):
                 continue
             seen.add(nid)
             if nid in analysis.slot_of:
-                values[nid] = leaves[analysis.slot_of[nid]]
+                # load() lets terminals transform the raw leaf in-trace
+                # (e.g. slice the pad off odd-size sharded vectors)
+                values[nid] = node.load(leaves[analysis.slot_of[nid]])
             stack.extend(node.children)
     return EmitEnv(values, n)
 

@@ -168,6 +168,11 @@ class Expr:
     def payload(self) -> Any:
         raise NotImplementedError
 
+    def load(self, value):
+        """In-trace transform applied to this terminal's raw leaf value
+        when the evaluation environment is built (identity by default)."""
+        return value
+
     # -- trace --------------------------------------------------------------
     def emit_cached(self, env: "EmitEnv"):
         """Emit with per-node memoization (DAG-safe; shared subexpressions
@@ -436,13 +441,23 @@ class VectorTerminal(Expr):
         s = ctx.slot(self)
         if ctx.transparent:
             ctx.elementwise_sizes.append(self.vec.size)
-        return f"v{s}"
+        pad = getattr(self.vec, "_pad", 0)
+        # padded storage (odd size sharded over the mesh): the logical size
+        # is part of the structure — emit slices the pad off in-kernel
+        return f"v{s}p{self.vec.size}" if pad else f"v{s}"
 
     def leaf_key(self) -> Any:
-        return ("buf", id(self.vec.array))
+        return ("buf", id(self.vec.storage))
 
     def payload(self) -> Any:
-        return self.vec.array
+        # padded STORAGE ships to the kernel; emit() slices to logical size
+        # inside the trace (fused by XLA, keeps the even sharding on input)
+        return self.vec.storage
+
+    def load(self, value):
+        if getattr(self.vec, "_pad", 0):
+            return value[: self.vec.size]
+        return value
 
     def emit(self, env: EmitEnv):
         return env.values[id(self)]

@@ -222,18 +222,38 @@ class vector(_ExprOpsMixin):
                 arr = _device_fill(n, dt)
 
         self._sharded = sharded if sharded is not None else self.context.size > 1
+        self._pad = 0
+        self._n = int(np.shape(arr)[0]) if np.ndim(arr) else 0
+        self._logical = None
         self._array = self._place(arr)
 
     # -- storage -----------------------------------------------------------
     def _place(self, arr) -> jax.Array:
+        """Put a LOGICAL-length array on devices.  Sizes that do not divide
+        the mesh get zero-padded STORAGE so they still shard evenly (this
+        jax rejects uneven NamedShardings); the logical size lives in
+        ``self._n`` and every read path slices the pad back off (fused into
+        the kernels by the expression engine)."""
         n = int(np.shape(arr)[0]) if np.ndim(arr) else 0
-        if self._sharded and n % self.context.size == 0 and n > 0:
+        self._n = n
+        self._pad = 0
+        self._logical = None
+        ndev = self.context.size
+        if self._sharded and n > 0 and n % ndev != 0:
+            self._pad = (-n) % ndev
+            sh = self.context.vector_sharding
+            if isinstance(arr, np.ndarray):
+                arr = np.concatenate(
+                    [arr, np.zeros(self._pad, dtype=arr.dtype)])
+                return _host_to_device_any(arr, sh)
+            padded = jax.jit(
+                lambda a: jnp.pad(a, (0, self._pad)), out_shardings=sh
+            )(arr)
+            return padded
+        if self._sharded and n % ndev == 0 and n > 0:
             # even block sharding over the mesh (the part[] analog)
             sh = self.context.vector_sharding
         elif self._sharded:
-            # GSPMD rejects uneven shards; replicate instead (the weighted
-            # uneven partitions of the reference map to shard_map-level
-            # logic, not XLA shardings — see parallel/partition.py)
             sh = self.context.replicated
         else:
             sh = jax.sharding.SingleDeviceSharding(self.context.devices[0])
@@ -243,10 +263,33 @@ class vector(_ExprOpsMixin):
 
     @property
     def array(self) -> jax.Array:
+        """Logical-length device array (pad sliced off, cached)."""
+        if self._pad:
+            if self._logical is None:
+                self._logical = self._array[: self._n]
+            return self._logical
+        return self._array
+
+    @property
+    def storage(self) -> jax.Array:
+        """Padded storage (shards evenly over the mesh)."""
         return self._array
 
     def _set_array(self, arr: jax.Array) -> None:
-        self._array = arr
+        """Install a LOGICAL-length result as the new value."""
+        n = int(arr.shape[0]) if arr.ndim else 0
+        ndev = self.context.size
+        self._logical = None
+        self._n = n
+        if self._sharded and n > 0 and n % ndev != 0:
+            self._pad = (-n) % ndev
+            self._array = jax.jit(
+                lambda a: jnp.pad(a, (0, self._pad)),
+                out_shardings=self.context.vector_sharding,
+            )(arr)
+        else:
+            self._pad = 0
+            self._array = arr
 
     @property
     def dtype(self) -> np.dtype:
@@ -254,7 +297,7 @@ class vector(_ExprOpsMixin):
 
     @property
     def size(self) -> int:
-        return int(self._array.shape[0])
+        return self._n
 
     def __len__(self) -> int:
         return self.size
@@ -306,6 +349,7 @@ class vector(_ExprOpsMixin):
             return
         if isinstance(key, (int, np.integer)):
             self._array = self._array.at[int(key)].set(value)
+            self._logical = None
             return
         if isinstance(key, slice):
             idx = np.arange(*key.indices(self.size))
@@ -315,6 +359,7 @@ class vector(_ExprOpsMixin):
         if isinstance(val, vector):
             val = val.array
         self._array = self._array.at[idx].set(val)
+        self._logical = None
 
     def __getitem__(self, key):
         if isinstance(key, (int, np.integer)):
@@ -358,7 +403,7 @@ class vector(_ExprOpsMixin):
 
     # -- host transfer (read_data/write_data/map, vector.hpp:805-911) ----------
     def to_numpy(self) -> np.ndarray:
-        return _device_to_host_any(self._array)
+        return _device_to_host_any(self._array)[: self._n]
 
     def __array__(self, dtype=None):
         a = self.to_numpy()
@@ -371,6 +416,7 @@ class vector(_ExprOpsMixin):
     def write_data(self, host: Any, offset: int = 0) -> None:
         host = np.asarray(host, dtype=self.dtype)
         self._array = self._array.at[offset : offset + len(host)].set(host)
+        self._logical = None
 
     def map(self, part: int = 0) -> np.ndarray:
         """Host view of one device partition (vector.hpp map :805)."""
@@ -380,7 +426,7 @@ class vector(_ExprOpsMixin):
     # -- misc -------------------------------------------------------------------
     def copy(self) -> "vector":
         self._check_copy(self)
-        return vector(data=self._array, dtype=self.dtype, context=self.context,
+        return vector(data=self.array, dtype=self.dtype, context=self.context,
                       sharded=self._sharded)
 
     def clone(self) -> "vector":
@@ -391,7 +437,7 @@ class vector(_ExprOpsMixin):
         (vector.hpp:478-489)."""
         dt = dtype_of(dtype)
         old = self.dtype
-        arr = self._array
+        arr = self.array
         if dt.itemsize == old.itemsize:
             out = jax.lax.bitcast_convert_type(arr, dt)
         elif dt.itemsize < old.itemsize:
@@ -402,7 +448,7 @@ class vector(_ExprOpsMixin):
         return vector(data=out, context=self.context, sharded=self._sharded)
 
     def resize(self, n: int, fill: Any = 0) -> None:
-        old = self._array
+        old = self.array
         if n <= self.size:
             self._array = self._place(old[:n])
         else:
@@ -412,6 +458,9 @@ class vector(_ExprOpsMixin):
     def swap(self, other: "vector") -> None:
         self._array, other._array = other._array, self._array
         self._sharded, other._sharded = other._sharded, self._sharded
+        self._n, other._n = other._n, self._n
+        self._pad, other._pad = other._pad, self._pad
+        self._logical, other._logical = other._logical, self._logical
 
     def block_until_ready(self) -> "vector":
         self._array.block_until_ready()
