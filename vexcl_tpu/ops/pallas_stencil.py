@@ -49,8 +49,8 @@ def _block_rows(rows: int, width: int = 5) -> int:
 
     Mosaic's roll lowering allocates stack temporaries proportional to the
     live window values, so wide stencils need smaller blocks."""
-    cap = 1024 if width <= 32 else 256
-    for cand in (1024, 512, 256, 128, 64, 32, 16, 8):
+    cap = 2048 if width <= 32 else 256
+    for cand in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
         if cand <= cap and rows % cand == 0:
             return cand
     return 0
