@@ -185,7 +185,10 @@ def bench_spmv(m=64, fmt=None):
     dev = A.device
     x0 = jnp.asarray(np.random.rand(n).astype(np.float32))
     leaves = dev.leaves()
-    step = lambda x, *lv: jnp.sin(dev.apply_leaves(lv, x))
+    # cheap chain bound (values shrink toward zero, which times identically):
+    # a sin() here costs a full extra HBM pass + transcendental per link and
+    # understated the 256^3 kernel by ~25%
+    step = lambda x, *lv: dev.apply_leaves(lv, x) * 5e-5
     # chain lengths scaled so the slope rises above the ~5 ms tunnel
     # noise: small problems need thousands of chained SpMVs
     lo, hi = (256, 2048) if n <= 1 << 19 else (
@@ -211,7 +214,7 @@ def bench_spmv_ccsr(m=64):
         # of the compressed format per apply) — tie idx to the carry so
         # XLA cannot hoist it out of the fori_loop.
         idx_dep = idx_a + (x[0] * 0).astype(idx_a.dtype)
-        return jnp.sin(A.banded_matvec(idx_dep, x))
+        return A.banded_matvec(idx_dep, x) * 5e-5
 
     x0 = jnp.asarray(np.random.rand(n).astype(np.float32))
     t = slope_seconds(step, x0, lo=256, hi=2048, extra=(A._leaves[0],))
@@ -267,11 +270,13 @@ def bench_fft(n=1 << 20):
 
     plan = Plan((n,), None, False, np.complex64)          # xla engine
     plan_ct = Plan((n,), None, False, np.complex64, impl="ct")
-    x0 = jnp.asarray(np.random.rand(n).astype(np.float32))
-    # cos-normalize: bounded, chaotic, cannot saturate to inf
-    t = slope_seconds(lambda v: jnp.cos(jnp.abs(plan(v)) * 1e-3), x0, lo=8, hi=96)
-    t_ct = slope_seconds(lambda v: jnp.cos(jnp.abs(plan_ct(v)) * 1e-3), x0,
-                         lo=8, hi=96)
+    x0 = jax.jit(lambda r: r.astype(jnp.complex64))(
+        jnp.asarray(np.random.rand(n).astype(np.float32)))
+    # cheap chain bound: |FFT| grows ~N per link, so a 1e-7 scale contracts
+    # (0.105x per link); the previous cos(abs(.)) bound cost an extra full
+    # pass + transcendental per link
+    t = slope_seconds(lambda v: plan(v) * 1e-7, x0, lo=8, hi=96)
+    t_ct = slope_seconds(lambda v: plan_ct(v) * 1e-7, x0, lo=8, hi=96)
     gf = 5 * n * np.log2(n) / 1e9
     return gf / t, gf / t_ct
 
