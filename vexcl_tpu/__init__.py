@@ -56,6 +56,7 @@ from .expr.pointer import constant_pointer, raw_pointer
 # `from ..multivector import MultiExpr` inside sparse/) would otherwise set
 # the package attribute to the MODULE and shadow the lazy __getattr__ below.
 from .multivector import MultiExpr, multivector, tie  # noqa: E402
+from .ndarray import extents, indices, multi_array  # noqa: E402
 from .profiler import profiler, stopwatch  # noqa: E402
 from .parallel.partition import reset_partitioning, set_partitioning
 from .utils.util import alignup, nextpow2, precondition

@@ -258,4 +258,8 @@ def eval_expr(expr: Expr):
         return expr.execute()
     expr = as_expr(expr)
     n, _ = expression_properties(expr)
-    return evaluate(expr, n=n)
+    # Views/partial reductions shrink the output: prefer the expression's
+    # own size over the terminal size (vector_view.hpp's
+    # expression_properties do the same via the view's size())
+    hint = expr.size_hint()
+    return evaluate(expr, n=n if hint is None else hint)

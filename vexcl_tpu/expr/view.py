@@ -223,6 +223,19 @@ class MultiSliceView(_ViewAssignMixin, Expr):
         )
         return x[key]
 
+    def shape_hint(self) -> Optional[Tuple[int, ...]]:
+        """Post-key output dims (ints drop a dim; None if any dynamic
+        index array participates)."""
+        out = []
+        for d, k in zip(self.dims, self._static_key):
+            if isinstance(k, slice):
+                out.append(len(range(*k.indices(d))))
+            elif isinstance(k, (int, np.integer)):
+                continue
+            else:
+                return None
+        return tuple(out)
+
     def size_hint(self) -> Optional[int]:
         n = 1
         for d, k in zip(self.dims, self._static_key):
@@ -368,12 +381,18 @@ class ReducedView(Expr):
         return out.reshape(-1)
 
     def size_hint(self) -> Optional[int]:
-        return None
+        sh = getattr(self.children[0], "shape_hint", lambda: None)()
+        if sh is None:
+            return None
+        rem = [d for i, d in enumerate(sh) if i not in self.axes]
+        return int(np.prod(rem)) if rem else 1
 
 
 def reduce_view(op: str, view: Any, axes) -> ReducedView:
     if isinstance(axes, (int, np.integer)):
         axes = (int(axes),)
+    if not isinstance(view, Expr) and callable(getattr(view, "view", None)):
+        view = view.view()  # vex::reduce(multi_array, dims)
     op = str(op).lower()  # accept the reference's SUM/MIN/MAX spellings
     if op not in _REDUCERS:
         raise ValueError(f"unknown reduction {op!r}; one of {sorted(_REDUCERS)}")

@@ -134,7 +134,7 @@ def dia_matvec_pallas(n: int, m: int, offsets, vals, x):
         ),
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
             pl.BlockSpec((d, BLOCK), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
@@ -286,7 +286,7 @@ def dia_matvec_pallas_roll(n, m, offsets, vals, x):
         ),
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
             pl.BlockSpec((d, BLOCK), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
@@ -455,7 +455,7 @@ def dia_matvec_pallas_ring(n, m, offsets, vals, x):
                           R=R),
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # flat x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # flat x stays in HBM
             pl.BlockSpec((d, R, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
