@@ -265,6 +265,115 @@ def bench_rng(n=1 << 24):
     return n / t / 1e9, t
 
 
+def bench_sort_by_key(n=1 << 24):
+    """16M (u32 key, f32 val) pairs (BASELINE.md config; sort.hpp:2171 —
+    the library's sort_by_key compiles to exactly this lax.sort)."""
+    k0 = jax.random.randint(jax.random.PRNGKey(1), (n,), 0, 1 << 30,
+                            dtype=jnp.int32)
+    v0 = jnp.asarray(np.random.rand(n).astype(np.float32))
+
+    def step(k, v):
+        k = (k * np.int32(-1640531535)) ^ (k >> 7)  # fresh keys per link
+        k, v = jax.lax.sort((k, v), num_keys=1)
+        return k, v
+
+    # the carry is a (keys, vals) pytree; slope_seconds/fori_loop are
+    # pytree-transparent
+    t = slope_seconds(lambda kv: step(*kv), (k0, v0), lo=4, hi=24)
+    return n / t / 1e6, t
+
+
+def _segscan_step(n, seg, keys0, v0):
+    """The library's scan_by_key core: Pallas single-pass segmented
+    cumsum on TPU (ops/pallas_segscan.py), associative_scan fallback
+    elsewhere.  The XLA fallback at 16M does not finish a measurement in
+    10 min on the tunnel, so the fallback chain is shortened."""
+    from vexcl_tpu.ops.pallas_segscan import (
+        pallas_segmented_cumsum, use_pallas_segscan)
+
+    if use_pallas_segscan(keys0, v0, None, None):
+        def step(v, keys):
+            return pallas_segmented_cumsum(keys, v) * (1.0 / seg)
+        return step, (16, 128)
+
+    def step(v, keys):
+        kd = keys + (v[0] * 0).astype(keys.dtype)
+        flags = jnp.concatenate([jnp.ones((1,), bool), kd[1:] != kd[:-1]])
+
+        def combine(a, b):
+            fa, va = a
+            fb, vb = b
+            return fa | fb, jnp.where(fb, vb, va + vb)
+
+        _, incl = jax.lax.associative_scan(combine, (flags, v))
+        return incl * (1.0 / seg)
+
+    return step, (2, 8)
+
+
+def bench_scan_by_key(n=1 << 24, seg=64):
+    """Segmented inclusive scan, 16M f32, avg segment 64
+    (scan_by_key.hpp:67-722 analog)."""
+    keys0 = jnp.asarray((np.arange(n) // seg).astype(np.int32))
+    v0 = jnp.asarray(np.random.rand(n).astype(np.float32))
+    step, (lo, hi) = _segscan_step(n, seg, keys0, v0)
+    t = slope_seconds(step, v0, lo=lo, hi=hi, extra=(keys0,))
+    return n / t / 1e9, t
+
+
+def bench_reduce_by_key(n=1 << 24, seg=64):
+    """reduce_by_key of 16M f32 by i32 runs (reduce_by_key.hpp:435-580
+    analog): segmented scan (Pallas on TPU) + sort-network compaction
+    (an XLA scatter compaction measured 0.14 Gelem/s on v5e; the sort
+    moves the same pairs at 0.31 — see ops/reduce_by_key.py)."""
+    keys0 = jnp.asarray((np.arange(n) // seg).astype(np.int32))
+    v0 = jnp.asarray(np.random.rand(n).astype(np.float32))
+
+    from vexcl_tpu.ops.pallas_segscan import (
+        pallas_segmented_cumsum, use_pallas_segscan)
+
+    pallas = use_pallas_segscan(keys0, v0, None, None)
+
+    def step(v, keys):
+        kd = keys + (v[0] * 0).astype(keys.dtype)
+        eq = kd[:-1] == kd[1:]
+        heads = jnp.concatenate([jnp.ones((1,), bool), ~eq])
+        tails = jnp.concatenate([~eq, jnp.ones((1,), bool)])
+        if pallas:
+            incl = pallas_segmented_cumsum(kd, v)
+        else:
+            def combine(a, b):
+                fa, va = a
+                fb, vb = b
+                return fa | fb, jnp.where(fb, vb, va + vb)
+
+            _, incl = jax.lax.associative_scan(combine, (heads, v))
+        seg_id = jnp.cumsum(heads) - 1
+        sk = jnp.where(tails, seg_id, jnp.int32(2 ** 30))
+        _, out = jax.lax.sort((sk, incl), num_keys=1)
+        return out * (1.0 / seg)  # compacted sums feed the next link
+
+    lo, hi = (4, 16) if pallas else (2, 8)
+    t = slope_seconds(step, v0, lo=lo, hi=hi, extra=(keys0,))
+    return n / t / 1e9, t
+
+
+def bench_rng_threefry(n=1 << 24):
+    from vexcl_tpu.ops.random import threefry2x32
+
+    x0 = jnp.arange(n, dtype=jnp.uint32)
+
+    def step(idx):
+        b = threefry2x32(idx, jnp.zeros_like(idx), jnp.uint32(42),
+                         jnp.uint32(0))
+        return b[0]
+
+    # shorter chains than philox: 20 unrolled rounds per link make the
+    # 128-link chain compile alone cost ~6 min on the tunnel
+    t = slope_seconds(step, x0, lo=8, hi=48)
+    return n / t / 1e9, t
+
+
 def bench_fft(n=1 << 20):
     from vexcl_tpu.ops.fft import Plan
 
@@ -306,6 +415,14 @@ def main():
     extra["scan_Gelem_s"] = round(scan_gelems, 2)
     rng_grands, _ = bench_rng()
     extra["philox_Grand_s"] = round(rng_grands, 2)
+    tf_grands, _ = bench_rng_threefry()
+    extra["threefry_Grand_s"] = round(tf_grands, 2)
+    sbk_mpairs, _ = bench_sort_by_key()
+    extra["sort_by_key_Mpairs_s"] = round(sbk_mpairs, 1)
+    scank_gelems, _ = bench_scan_by_key()
+    extra["scan_by_key_Gelem_s"] = round(scank_gelems, 2)
+    rbk_gelems, _ = bench_reduce_by_key()
+    extra["reduce_by_key_Gelem_s"] = round(rbk_gelems, 2)
     fft_gflops, fft_ct_gflops = bench_fft()
     extra["fft_2^20_GFLOPs"] = round(fft_gflops, 1)
     extra["fft_2^20_ct_planner_GFLOPs"] = round(fft_ct_gflops, 1)

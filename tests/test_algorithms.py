@@ -167,3 +167,28 @@ def test_scan_sharded_vector(ctx, rng):
     x = vex.vector(data=hx, context=ctx)
     y = vex.inclusive_scan(x)
     np.testing.assert_allclose(np.asarray(y), np.cumsum(hx), rtol=1e-10)
+
+
+def test_pallas_segscan_kernel_interpret(rng):
+    """Segmented-cumsum Pallas kernel (interpret mode): in-kernel flag
+    derivation, Hillis-Steele lane phase, matmul cross-row carries,
+    cross-block (key, value) scalar carry (ops/pallas_segscan.py)."""
+    import jax.numpy as jnp
+
+    from vexcl_tpu.ops.pallas_segscan import pallas_segmented_cumsum
+
+    for n, seg in [(1 << 19, 64), (300000, 13), (1 << 19, 1 << 19)]:
+        keys = (np.arange(n) // seg).astype(np.int32)
+        perm = rng.permutation(keys.max() + 1).astype(np.int32)
+        keys = perm[keys]  # randomize key values, keep run structure
+        x = rng.random(n).astype(np.float32)
+        out = np.asarray(
+            pallas_segmented_cumsum(jnp.asarray(keys), jnp.asarray(x)))
+        heads = np.r_[True, keys[1:] != keys[:-1]]
+        sid = np.cumsum(heads) - 1
+        csum = np.cumsum(x.astype(np.float64))
+        hpos = heads.nonzero()[0]
+        start = np.zeros(sid.max() + 1)
+        start[sid[hpos]] = csum[hpos] - x[hpos]
+        ref = csum - start[sid]
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-3)

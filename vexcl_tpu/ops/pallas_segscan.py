@@ -1,0 +1,181 @@
+"""Pallas TPU kernel: single-pass blocked SEGMENTED inclusive sum scan.
+
+scan_by_key (reference vexcl/scan_by_key.hpp:67-722) runs three kernels
+per scan and is single-device-per-partition; XLA's associative_scan over a
+(flags, values) pair is log-depth — many full HBM round trips.  This
+kernel does one pass, reading keys + values and writing the segmented
+scan, with a (last key, running value) scalar carry threading the
+sequential grid steps (same structure as pallas_scan.py).
+
+Per (BLOCK_R, 128) block:
+  1. head flags from the keys in-kernel: f[i] = (k[i] != k[i-1]); the
+     flat shift-by-1 is a lane roll + row-shift select (the lane-roll
+     idiom of docs/tpu_kernel_notes.md), block element 0 compares against
+     the carried last key.
+  2. lane phase: classic 7-step Hillis-Steele segmented scan along lanes
+     (GPU Gems ch.39): v[j] += f[j] ? 0 : v[j-d]; f[j] |= f[j-d].
+     Rolls are native VPU ops; row-local result V, or-scanned flags F.
+  3. cross-row phase: per-row aggregates (tail = V[:,127], anyhead =
+     F[:,127]) get a Hillis-Steele segmented scan along SUBLANES: row
+     shifts are free static slices, (R,1) ops cost the same tiles as
+     (R,128) ops, and the block carry rides as a virtual row -1.
+     Rejected (measured): per-128-row-group data-dependent 0/1-matmul
+     carries — Q[r,s] = (s<r)&(headcnt_incl[s]==headcnt_excl[r]), Q @
+     tails.  With (128,1)<->(1,128) broadcast transposes it ran at 2.0
+     Gelem/s (Mosaic relayouts); transpose-free via one-hot count
+     indicators + lane-contracting dot_general reached 15.2 Gelem/s but
+     took 480 s to compile (8 unrolled matmul groups).
+  4. out = V + carry_row * (1 - F): rows' incoming carry applies only to
+     elements before the row's first head.
+
+Exact in f32: flags/counts are small integers (exact in bf16 matmuls);
+value sums accumulate in f32 on the VPU (plain adds, no matmul on the
+value path), so results match a sequential host segmented sum at f32.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import config
+
+LANE = 128
+# 0.5 MiB f32 values + 0.5 MiB i32 keys per block (x2 buffered by the
+# pipeline); the kernel's live set (v, F, roll temporaries, iotas) runs
+# ~8x the value block on the Mosaic stack — 2048 rows exceeded the 16 MiB
+# scoped-vmem limit at AOT compile (20.4 MiB)
+BLOCK_R = 1024
+
+
+def _seg_kernel(k_ref, x_ref, o_ref, carry_ref, ckey_ref):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    R = x_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[0, 0] = jnp.zeros((), jnp.float32)
+        ckey_ref[0, 0] = -jnp.ones((), jnp.int32)  # forces a head at elt 0
+
+    keys = k_ref[...]
+    v = x_ref[...].astype(jnp.float32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 0)
+
+    # -- 1. head flags from keys (flat shift-by-1) ----------------------
+    rolled = pltpu.roll(keys, 1, axis=1)          # [r, l-1] for l>0
+    up = jnp.concatenate([rolled[:1], rolled[:-1]], axis=0)  # row above
+    prevk = jnp.where(lane > 0, rolled, up)
+    prevk = jnp.where((row == 0) & (lane == 0), ckey_ref[0, 0], prevk)
+    f = (keys != prevk).astype(jnp.float32)
+
+    # the NEXT block compares against this block's last key
+    ckey_ref[0, 0] = keys[R - 1, LANE - 1]
+
+    # -- 2. lane phase: Hillis-Steele segmented scan --------------------
+    F = f
+    for d in (1, 2, 4, 8, 16, 32, 64):
+        vr = pltpu.roll(v, d, axis=1)
+        fr = pltpu.roll(F, d, axis=1)
+        take = (lane >= d).astype(jnp.float32)
+        v = v + vr * take * (1.0 - F)
+        F = jnp.maximum(F, fr * take)
+
+    # -- 3. cross-row carries -------------------------------------------
+    # Hillis-Steele segmented scan over the (R, 1) per-row aggregate
+    # columns with SUBLANE shifts: row slices are free (no rolls, no
+    # matmuls, no relayouts), and an (R,1) op costs the same tiles as an
+    # (R,128) op anyway (docs/tpu_kernel_notes.md).  The incoming block
+    # carry rides as a virtual row -1: shift aggregates down one row and
+    # seed row 0 with (base, no-head).
+    tails = v[:, LANE - 1 : LANE]                    # (R, 1)
+    anyhead = F[:, LANE - 1 : LANE]                  # (R, 1) 0/1
+
+    base = carry_ref[0, 0]                           # value carry into row 0
+    rcol = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    # down-shift by one row via sublane roll (concat of odd-length row
+    # slices is a Mosaic "offset mismatch on non-concat dimension" error)
+    cv = jnp.where(rcol == 0, base,
+                   pltpu.roll(tails, 1, axis=0))
+    cf = jnp.where(rcol == 0, 0.0,
+                   pltpu.roll(anyhead, 1, axis=0))
+    d = 1
+    while d < R:
+        keep = (rcol >= d).astype(jnp.float32)
+        vs = pltpu.roll(cv, d, axis=0) * keep
+        fs = pltpu.roll(cf, d, axis=0) * keep
+        cv = cv + vs * (1.0 - cf)
+        cf = jnp.maximum(cf, fs)
+        d *= 2
+    carry_col = cv                                   # (R, 1), excl. carries
+    # next block's carry: fold in the last row's own aggregate
+    carry_ref[0, 0] = jnp.where(
+        anyhead[R - 1, 0] > 0, tails[R - 1, 0],
+        carry_col[R - 1, 0] + tails[R - 1, 0])
+
+    # -- 4. combine ------------------------------------------------------
+    o_ref[...] = (v + carry_col * (1.0 - F)).astype(o_ref.dtype)
+
+
+def pallas_segmented_cumsum(keys: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Segmented inclusive cumsum of 1-D ``x``, segments = runs of equal
+    ``keys`` (i32)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = x.shape[0]
+    BLOCK = BLOCK_R * LANE
+    nblocks = max(1, -(-n // BLOCK))
+    padded = nblocks * BLOCK
+    if padded != n:
+        x = jnp.pad(x, (0, padded - n))
+        # pad keys with a FRESH key so the pad is its own segment
+        keys = jnp.pad(keys, (0, padded - n), constant_values=np.int32(-2))
+    k2 = keys.astype(jnp.int32).reshape(nblocks * BLOCK_R, LANE)
+    x2 = x.reshape(nblocks * BLOCK_R, LANE)
+
+    out = pl.pallas_call(
+        _seg_kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((BLOCK_R, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_R, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BLOCK_R, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks * BLOCK_R, LANE), x.dtype),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32),
+                        pltpu.SMEM((1, 1), jnp.int32)],
+        interpret=config.pallas_interpret(),
+    )(k2, x2)
+    return out.reshape(padded)[:n]
+
+
+def use_pallas_segscan(keys, x, op, key_eq) -> bool:
+    """Pallas path: plain-add segmented scan over a single i32/i64 key
+    vector, f32/bf16 values, large single-device arrays."""
+    if config.pallas_interpret():
+        return False
+    if op is not None or key_eq is not None:
+        return False
+    if x.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    if keys.dtype not in (jnp.int32, jnp.uint32, jnp.int64):
+        return False
+    if x.shape[0] < 1 << 20:
+        return False
+    try:
+        if len(x.sharding.device_set) > 1:
+            return False
+    except Exception:
+        pass
+    return True

@@ -43,7 +43,16 @@ def reduce_by_key(
     ks = _key_arrays(keys)
     multi = isinstance(keys, (tuple, list))
 
-    cache_key = ("reduce_by_key", op_name or "add", key_eq is not None, len(ks))
+    # Pallas fast path eligibility (static): the segmented scan dominates
+    # the cost; tail extraction/compaction stays XLA either way.
+    from .pallas_segscan import use_pallas_segscan
+
+    seg_pallas = (op is None and (op_name in (None, "add", "sum"))
+                  and key_eq is None and len(ks) == 1
+                  and use_pallas_segscan(ks[0], vals.array, None, None))
+
+    cache_key = ("reduce_by_key", op_name or "add", key_eq is not None,
+                 len(ks), seg_pallas)
 
     def factory():
         def run(vals_in, *ks_in):
@@ -63,17 +72,37 @@ def reduce_by_key(
                 fb, vb = b
                 return fa | fb, jnp.where(fb, vb, fn(va, vb))
 
-            _, incl = jax.lax.associative_scan(combine, (heads, vals_in))
+            if seg_pallas:
+                from .pallas_segscan import pallas_segmented_cumsum
+
+                incl = pallas_segmented_cumsum(ks_in[0], vals_in)
+            else:
+                _, incl = jax.lax.associative_scan(combine, (heads, vals_in))
             # rank of each segment tail among tails -> compacted position
             seg_id = jnp.cumsum(heads) - 1
             count = seg_id[-1] + 1
-            # scatter tails to compacted slots
-            vals_out = jnp.zeros(n, vals_in.dtype)
-            vals_out = vals_out.at[jnp.where(tails, seg_id, n)].set(incl, mode="drop")
-            keys_out = tuple(
-                jnp.zeros(n, k.dtype).at[jnp.where(heads, seg_id, n)].set(k, mode="drop")
-                for k in ks_in
-            )
+            # Compaction rides the SORT network: an XLA scatter of 16M
+            # runs at 0.14 Gelem/s on v5e (sequential lowering;
+            # unique_indices does not help) while lax.sort moves the same
+            # pairs at 0.31 — TPUs hate scatters, the sort network is the
+            # compaction primitive.  Tails carry the segment's key too
+            # (all keys in a segment are equal), so ONE sort compacts
+            # values and keys together.
+            big = jnp.int32(np.iinfo(np.int32).max)
+            sk = jnp.where(tails, seg_id, big)
+            if key_eq is None:
+                sorted_out = jax.lax.sort((sk, incl) + tuple(ks_in),
+                                          num_keys=1)
+                vals_out = sorted_out[1]
+                keys_out = tuple(sorted_out[2:])
+            else:
+                # custom equivalence: keys within a run may differ — the
+                # reference reports the run's FIRST key, so compact heads
+                # in a second sort
+                _, vals_out = jax.lax.sort((sk, incl), num_keys=1)
+                hk = jnp.where(heads, seg_id, big)
+                keys_out = tuple(
+                    jax.lax.sort((hk,) + tuple(ks_in), num_keys=1)[1:])
             return count, vals_out, keys_out
 
         return jax.jit(run)

@@ -57,6 +57,20 @@ def segment_flags(keys, key_eq: Optional[Callable] = None):
 
 
 def _run(keys, src, dst, op, op_name, key_eq, exclusive, init):
+    ks = _key_arrays(keys)
+    # Pallas fast path: single-pass blocked segmented cumsum (one i32 key
+    # vector, plain add, inclusive, no init) — see ops/pallas_segscan.py
+    if (not exclusive and init is None and op is None
+            and (op_name in (None, "add", "sum")) and len(ks) == 1):
+        from .pallas_segscan import pallas_segmented_cumsum, use_pallas_segscan
+
+        if use_pallas_segscan(ks[0], src.array, op, key_eq):
+            if dst is None:
+                dst = vector(src.size, dtype=src.dtype, context=src.context)
+            out = jax.jit(pallas_segmented_cumsum)(ks[0], src.array)
+            dst._set_array(out.astype(dst.dtype))
+            return dst
+
     flags, ks = segment_flags(keys, key_eq)
     if dst is None:
         dst = vector(src.size, dtype=src.dtype, context=src.context)
