@@ -192,3 +192,38 @@ def test_pallas_segscan_kernel_interpret(rng):
         start[sid[hpos]] = csum[hpos] - x[hpos]
         ref = csum - start[sid]
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-3)
+
+
+def test_scan_by_key_pallas_dispatch_variants(ctx, rng, monkeypatch):
+    """Force the Pallas segscan dispatch (interpret-mode kernel) and check
+    the exclusive/init derivations against the XLA monoid path."""
+    import vexcl_tpu as vex
+    import vexcl_tpu.ops.pallas_segscan as segscan
+
+    n, seg = 1 << 13, 9
+    hk = (np.arange(n) // seg).astype(np.int32)
+    hv = rng.random(n).astype(np.float32)
+    kv = vex.vector(data=hk, dtype=np.int32, context=ctx)
+    vv = vex.vector(data=hv, context=ctx)
+
+    ref_incl = np.asarray(vex.inclusive_scan_by_key(kv, vv))
+    ref_excl = np.asarray(vex.exclusive_scan_by_key(kv, vv))
+    ref_excl_i = np.asarray(vex.exclusive_scan_by_key(kv, vv, init=2.5))
+    ref_incl_i = np.asarray(vex.inclusive_scan_by_key(kv, vv, init=2.5))
+
+    monkeypatch.setattr(segscan, "use_pallas_segscan",
+                        lambda *a, **k: True)
+    np.testing.assert_allclose(
+        np.asarray(vex.inclusive_scan_by_key(kv, vv)), ref_incl, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(vex.exclusive_scan_by_key(kv, vv)), ref_excl,
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(vex.exclusive_scan_by_key(kv, vv, init=2.5)),
+        ref_excl_i, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(vex.inclusive_scan_by_key(kv, vv, init=2.5)),
+        ref_incl_i, rtol=1e-5, atol=1e-5)
+
+    rk, rv, m = vex.reduce_by_key(kv, vv)
+    assert m == int(np.ceil(n / seg))

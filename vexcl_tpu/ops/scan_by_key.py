@@ -59,15 +59,31 @@ def segment_flags(keys, key_eq: Optional[Callable] = None):
 def _run(keys, src, dst, op, op_name, key_eq, exclusive, init):
     ks = _key_arrays(keys)
     # Pallas fast path: single-pass blocked segmented cumsum (one i32 key
-    # vector, plain add, inclusive, no init) — see ops/pallas_segscan.py
-    if (not exclusive and init is None and op is None
-            and (op_name in (None, "add", "sum")) and len(ks) == 1):
+    # vector, plain add) — see ops/pallas_segscan.py.  Exclusive/init
+    # variants derive from the inclusive scan in one fused elementwise
+    # pass: excl = incl - x (zero at heads already), init folds per the
+    # reference's semantics (scan_by_key.hpp exclusive :743-757).
+    if (op is None and (op_name in (None, "add", "sum")) and len(ks) == 1):
         from .pallas_segscan import pallas_segmented_cumsum, use_pallas_segscan
 
         if use_pallas_segscan(ks[0], src.array, op, key_eq):
             if dst is None:
                 dst = vector(src.size, dtype=src.dtype, context=src.context)
-            out = jax.jit(pallas_segmented_cumsum)(ks[0], src.array)
+
+            def post(k, x):
+                incl = pallas_segmented_cumsum(k, x)
+                if not exclusive:
+                    return incl if init is None else incl + jnp.asarray(
+                        init, incl.dtype)
+                excl = incl - x
+                if init is None:
+                    return excl
+                iv = jnp.asarray(init, incl.dtype)
+                heads = jnp.concatenate(
+                    [jnp.ones((1,), bool), k[1:] != k[:-1]])
+                return jnp.where(heads, iv, excl + iv)
+
+            out = jax.jit(post)(ks[0], src.array)
             dst._set_array(out.astype(dst.dtype))
             return dst
 
