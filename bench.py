@@ -71,16 +71,19 @@ def slope_seconds(step, x0, lo=64, hi=512, reps=3, extra=()):
         _fetch(out)
         return time.perf_counter() - t0
 
-    # median over INTERLEAVED lo/hi pairs, with a sanity retry: the axon
-    # tunnel occasionally ACKs a fetch early, deflating one measurement and
-    # producing impossible (non-positive) slopes
+    # median of PAIRWISE slopes over interleaved lo/hi pairs: each
+    # back-to-back (lo, hi) pair yields its own slope, so slow drift in
+    # the tunnel RTT cancels within the pair (median-of-times across the
+    # whole run does not cancel drift — measured saxpy swinging 291-675
+    # GB/s between full-suite runs).  Early-ACK deflation makes a pair's
+    # slope negative/absurd; the median rejects it, with a sanity retry.
     for _attempt in range(3):
-        ts = {lo: [], hi: []}
+        slopes = []
         for _ in range(reps):
-            ts[lo].append(measure(lo))
-            ts[hi].append(measure(hi))
-        med = {k: sorted(v)[len(v) // 2] for k, v in ts.items()}
-        slope = (med[hi] - med[lo]) / (hi - lo)
+            tl = measure(lo)
+            th = measure(hi)
+            slopes.append((th - tl) / (hi - lo))
+        slope = sorted(slopes)[len(slopes) // 2]
         if slope > 0:
             return slope
     return 1e-9
