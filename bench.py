@@ -192,10 +192,12 @@ def bench_spmv(m=64, fmt=None):
     # a sin() here costs a full extra HBM pass + transcendental per link and
     # understated the 256^3 kernel by ~25%
     step = lambda x, *lv: dev.apply_leaves(lv, x) * 5e-5
-    # chain lengths scaled so the slope rises above the ~5 ms tunnel
-    # noise: small problems need thousands of chained SpMVs
-    lo, hi = (256, 2048) if n <= 1 << 19 else (
-        (64, 512) if n <= 1 << 22 else (16, 96))
+    # chain lengths scaled so the slope rises above the ~5-30 ms tunnel
+    # noise: small problems need thousands of chained SpMVs (a 64^3 SpMV
+    # is ~7 us at 128Ki blocks — a 2048-link chain left only ~14 ms of
+    # differential signal and produced impossible 3000-GFLOP/s readings)
+    lo, hi = (1024, 8192) if n <= 1 << 19 else (
+        (128, 1024) if n <= 1 << 22 else (16, 96))
     t = slope_seconds(step, x0, lo=lo, hi=hi, extra=leaves)
     return (2 * nnz + n) / t / 1e9, t
 
@@ -220,7 +222,7 @@ def bench_spmv_ccsr(m=64):
         return A.banded_matvec(idx_dep, x) * 5e-5
 
     x0 = jnp.asarray(np.random.rand(n).astype(np.float32))
-    t = slope_seconds(step, x0, lo=256, hi=2048, extra=(A._leaves[0],))
+    t = slope_seconds(step, x0, lo=1024, hi=8192, extra=(A._leaves[0],))
     return (2 * 7 * n + n) / t / 1e9, t
 
 

@@ -32,7 +32,15 @@ __all__ = ["dia_matvec_pallas", "use_pallas_dia",
            "dia_matvec_pallas_ring", "use_pallas_dia_ring"]
 
 LANE = 128
-BLOCK = 512 * LANE  # 65536 elements = 256 KiB f32 per value row block
+# 131072 elements = 512 KiB f32 per value row block: in a same-process
+# interleaved A/B on Poisson 64^3 (exp/dia_block_sweep.py methodology)
+# 1024*LANE measured 329-349 GFLOP/s vs 315-328 at 512*LANE — a modest
+# +4-6% from fewer grid steps, consistent with the bigger-block finding
+# in the scan/stencil kernels.  (Cross-process runs of the same kernel
+# swing ~300-560 GFLOP/s with the device's state — compare blocks only
+# within one process.)  The use_pallas_dia_roll VMEM guard drops back to
+# the window kernel when d value rows at this block no longer fit.
+BLOCK = 1024 * LANE
 
 
 def _align(x, m=1024):
