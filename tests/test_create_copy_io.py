@@ -91,3 +91,17 @@ def test_enqueue_expressions_numpy_interop(ctx):
     h = np.linspace(0, 1, 32)
     out = vex.eval(vex.as_expr(h) * 2 + 1)
     np.testing.assert_allclose(np.asarray(out), h * 2 + 1)
+
+
+def test_map_write_back(ctx):
+    """vector::map as context manager: mutations written back on exit
+    (vector.hpp:805 map/unmap semantics)."""
+    a = vex.vector(data=np.arange(24.0), context=ctx)
+    with a.map(1) as m:
+        m[:] = -1.0
+    p = a.partition()
+    h = np.asarray(a)
+    assert np.all(h[p[1]:p[2]] == -1.0)
+    assert h[p[1] - 1] != -1.0
+    # plain read form still works
+    np.testing.assert_allclose(a.map(0), h[p[0]:p[1]])

@@ -419,9 +419,29 @@ class vector(_ExprOpsMixin):
         self._logical = None
 
     def map(self, part: int = 0) -> np.ndarray:
-        """Host view of one device partition (vector.hpp map :805)."""
+        """Host view of one device partition (vector.hpp map :805).
+
+        Usable two ways, like the reference's map/unmap pair: as a plain
+        host copy (``h = x.map(0)``), or as a context manager whose
+        mutations are written back to the device on exit::
+
+            with x.map() as m:
+                m[:17] += 1
+        """
         p = self.partition()
-        return np.asarray(self._array[p[part] : p[part + 1]])
+        # own, writable host copy (np.asarray of a jax array is read-only)
+        host = np.array(self._array[p[part] : p[part + 1]])
+
+        class _Mapped(np.ndarray):
+            def __enter__(m):
+                return m
+
+            def __exit__(m, *exc):
+                if exc[0] is None:
+                    self.write_data(np.asarray(m), offset=int(p[part]))
+                return False
+
+        return host.view(_Mapped)
 
     # -- misc -------------------------------------------------------------------
     def copy(self) -> "vector":
