@@ -379,7 +379,42 @@ def bench_rng_threefry(n=1 << 24):
     return n / t / 1e9, t
 
 
-def bench_fft(n=1 << 20):
+def bench_lorenz(n=1 << 22):
+    """Lorenz-ensemble RK4 — the reference's flagship SISC workload
+    (examples/symbolic.cpp; the published claim is expression-template
+    overhead within ~10-20% of hand-written CUDA).  Here: the
+    generator-recorded kernel chained on device vs a hand-written jax
+    RK4 — the overhead ratio is the framework-cost headline."""
+    from vexcl_tpu.models import LorenzEnsemble
+
+    m = LorenzEnsemble(n, dtype=np.float32)
+    fn = m._step.as_function()
+    R = m.R.array
+    sigma, b, dt = 10.0, 8.0 / 3.0, 0.01
+
+    def raw_step(s, R):
+        def f(st):
+            x, y, z = st
+            return (sigma * (y - x), R * x - y - x * z, x * y - b * z)
+
+        x, y, z = s
+        k1 = f(s)
+        s2 = tuple(v + 0.5 * dt * k for v, k in zip(s, k1))
+        k2 = f(s2)
+        s3 = tuple(v + 0.5 * dt * k for v, k in zip(s, k2))
+        k3 = f(s3)
+        s4 = tuple(v + dt * k for v, k in zip(s, k3))
+        k4 = f(s4)
+        return tuple(
+            v + dt / 6.0 * (a + 2 * p + 2 * q + r)
+            for v, a, p, q, r in zip(s, k1, k2, k3, k4)
+        )
+
+    s0 = (m.x.array, m.y.array, m.z.array)
+    t_gen = slope_seconds(lambda s, R_: tuple(fn(*s, R_)), s0, lo=64,
+                          hi=512, extra=(R,))
+    t_raw = slope_seconds(raw_step, s0, lo=64, hi=512, extra=(R,))
+    return n / t_gen / 1e9, t_gen / t_raw
     from vexcl_tpu.ops.fft import Plan
 
     plan = Plan((n,), None, False, np.complex64)          # xla engine
@@ -428,6 +463,9 @@ def main():
     extra["scan_by_key_Gelem_s"] = round(scank_gelems, 2)
     rbk_gelems, _ = bench_reduce_by_key()
     extra["reduce_by_key_Gelem_s"] = round(rbk_gelems, 2)
+    lorenz_gsteps, lorenz_ratio = bench_lorenz()
+    extra["lorenz_rk4_Gsteps_s"] = round(lorenz_gsteps, 2)
+    extra["lorenz_overhead_vs_raw_jax"] = round(lorenz_ratio, 3)
     fft_gflops, fft_ct_gflops = bench_fft()
     extra["fft_2^20_GFLOPs"] = round(fft_gflops, 1)
     extra["fft_2^20_ct_planner_GFLOPs"] = round(fft_ct_gflops, 1)

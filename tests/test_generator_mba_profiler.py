@@ -128,3 +128,26 @@ def test_stopwatch():
     assert lap >= 0 and w.laps == 1
     with pytest.raises(RuntimeError):
         w.toc()
+
+
+def test_kernel_as_function(ctx):
+    """Kernel.as_function(): pure jittable form chains in fori_loop and
+    matches per-step host dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from vexcl_tpu.models import LorenzEnsemble
+
+    m = LorenzEnsemble(64, dtype=np.float64, context=ctx)
+    x0, y0, z0 = (np.array(np.asarray(v.array)) for v in (m.x, m.y, m.z))
+    fn = m._step.as_function()
+
+    @jax.jit
+    def run(x, y, z, R):
+        return jax.lax.fori_loop(0, 3, lambda i, s: tuple(fn(*s, R)),
+                                 (x, y, z))
+
+    xs, _, _ = run(jnp.asarray(x0), jnp.asarray(y0), jnp.asarray(z0),
+                   m.R.array)
+    m.step(3)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(m.x), rtol=1e-10)

@@ -172,6 +172,32 @@ class Kernel:
             for sym in self.params:
                 sym._param.bound = None
 
+    def as_function(self):
+        """Pure-function form of the recorded kernel: ``fn(*arrays) ->
+        tuple(outputs)``, jittable and composable (e.g. chained inside a
+        ``lax.fori_loop``) — the reference's kernel can only be enqueued
+        per step from the host (generator.hpp:547-720)."""
+        from .expr.compile import evaluate
+
+        def fn(*arrays):
+            if len(arrays) != len(self.params):
+                raise ValueError(
+                    f"kernel {self.name!r} expects "
+                    f"{len(self.params)} arguments")
+            for sym, arr in zip(self.params, arrays):
+                sym._param.bound = arr
+            try:
+                outs = []
+                for out_sym, expr in zip(self.outputs, self._exprs):
+                    n = getattr(out_sym._param.bound, "shape", (None,))[0]
+                    outs.append(evaluate(expr, n=n))
+                return tuple(outs)
+            finally:
+                for sym in self.params:
+                    sym._param.bound = None
+
+        return fn
+
 
 def build_kernel(name: str, outputs: Sequence[symbolic], params: Sequence[symbolic]) -> Kernel:
     """generator::build_kernel (generator.hpp:723-732): freeze the recorded
