@@ -430,46 +430,94 @@ def bench_lorenz(n=1 << 22):
     return gf / t, gf / t_ct
 
 
+def _guarded(extra, fn, timeout_s=900):
+    """Run one sub-benchmark with a hang guard: a single wedged tunnel
+    call must not lose the whole JSON line for the round.  SIGALRM
+    aborts the benchmark; its keys are simply absent from `extra`."""
+    import signal
+
+    def _raise(sig, frm):
+        raise TimeoutError(f"{fn.__name__} exceeded {timeout_s}s")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(timeout_s)
+    try:
+        fn(extra)
+    except Exception as e:  # noqa: BLE001 - record and continue
+        extra[f"FAILED_{fn.__name__}"] = str(e)[:200]
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main():
     extra = {"device": str(jax.devices()[0].device_kind),
              "timing": "two-point slope of on-device chains"}
 
-    fused_gbs, _ = bench_fused_elementwise()
-    extra["fused_elementwise_GBs"] = round(fused_gbs, 1)
-    saxpy_gbs, _ = bench_saxpy()
-    extra["saxpy_GBs"] = round(saxpy_gbs, 1)
-    red_gbs, _ = bench_reduction()
-    extra["reduction_GBs"] = round(red_gbs, 1)
-    st_gflops, st_gbs, st_ip_gbs = bench_stencil()
-    extra["stencil_GBs"] = round(st_gbs, 1)
-    extra["stencil_inplace_GBs"] = round(st_ip_gbs, 1)
-    spmv_gflops, _ = bench_spmv()
-    extra["spmv_poisson64_GFLOPs"] = round(spmv_gflops, 2)
-    spmv256_gflops, _ = bench_spmv(m=256)  # BASELINE.md config
-    extra["spmv_poisson256_GFLOPs"] = round(spmv256_gflops, 2)
-    ccsr_gflops, _ = bench_spmv_ccsr()
-    extra["spmv_ccsr64_GFLOPs"] = round(ccsr_gflops, 2)
-    sort_mkeys, _ = bench_sort()
-    extra["sort_Mkeys_s"] = round(sort_mkeys, 1)
-    scan_gelems, _ = bench_scan()
-    extra["scan_Gelem_s"] = round(scan_gelems, 2)
-    rng_grands, _ = bench_rng()
-    extra["philox_Grand_s"] = round(rng_grands, 2)
-    tf_grands, _ = bench_rng_threefry()
-    extra["threefry_Grand_s"] = round(tf_grands, 2)
-    sbk_mpairs, _ = bench_sort_by_key()
-    extra["sort_by_key_Mpairs_s"] = round(sbk_mpairs, 1)
-    scank_gelems, _ = bench_scan_by_key()
-    extra["scan_by_key_Gelem_s"] = round(scank_gelems, 2)
-    rbk_gelems, _ = bench_reduce_by_key()
-    extra["reduce_by_key_Gelem_s"] = round(rbk_gelems, 2)
-    lorenz_gsteps, lorenz_ratio = bench_lorenz()
-    extra["lorenz_rk4_Gsteps_s"] = round(lorenz_gsteps, 2)
-    extra["lorenz_overhead_vs_raw_jax"] = round(lorenz_ratio, 3)
-    fft_gflops, fft_ct_gflops = bench_fft()
-    extra["fft_2^20_GFLOPs"] = round(fft_gflops, 1)
-    extra["fft_2^20_ct_planner_GFLOPs"] = round(fft_ct_gflops, 1)
+    fused_holder = {}
 
+    def b_fused(extra):
+        fused_gbs, _ = bench_fused_elementwise()
+        fused_holder["gbs"] = fused_gbs
+        extra["fused_elementwise_GBs"] = round(fused_gbs, 1)
+
+    def b_saxpy(extra):
+        extra["saxpy_GBs"] = round(bench_saxpy()[0], 1)
+
+    def b_red(extra):
+        extra["reduction_GBs"] = round(bench_reduction()[0], 1)
+
+    def b_stencil(extra):
+        _, st_gbs, st_ip_gbs = bench_stencil()
+        extra["stencil_GBs"] = round(st_gbs, 1)
+        extra["stencil_inplace_GBs"] = round(st_ip_gbs, 1)
+
+    def b_spmv64(extra):
+        extra["spmv_poisson64_GFLOPs"] = round(bench_spmv()[0], 2)
+
+    def b_spmv256(extra):  # BASELINE.md config
+        extra["spmv_poisson256_GFLOPs"] = round(bench_spmv(m=256)[0], 2)
+
+    def b_ccsr(extra):
+        extra["spmv_ccsr64_GFLOPs"] = round(bench_spmv_ccsr()[0], 2)
+
+    def b_sort(extra):
+        extra["sort_Mkeys_s"] = round(bench_sort()[0], 1)
+
+    def b_scan(extra):
+        extra["scan_Gelem_s"] = round(bench_scan()[0], 2)
+
+    def b_philox(extra):
+        extra["philox_Grand_s"] = round(bench_rng()[0], 2)
+
+    def b_threefry(extra):
+        extra["threefry_Grand_s"] = round(bench_rng_threefry()[0], 2)
+
+    def b_sbk(extra):
+        extra["sort_by_key_Mpairs_s"] = round(bench_sort_by_key()[0], 1)
+
+    def b_scank(extra):
+        extra["scan_by_key_Gelem_s"] = round(bench_scan_by_key()[0], 2)
+
+    def b_rbk(extra):
+        extra["reduce_by_key_Gelem_s"] = round(bench_reduce_by_key()[0], 2)
+
+    def b_lorenz(extra):
+        g, ratio = bench_lorenz()
+        extra["lorenz_rk4_Gsteps_s"] = round(g, 2)
+        extra["lorenz_overhead_vs_raw_jax"] = round(ratio, 3)
+
+    def b_fft(extra):
+        fft_gflops, fft_ct_gflops = bench_fft()
+        extra["fft_2^20_GFLOPs"] = round(fft_gflops, 1)
+        extra["fft_2^20_ct_planner_GFLOPs"] = round(fft_ct_gflops, 1)
+
+    for b in (b_fused, b_saxpy, b_red, b_stencil, b_spmv64, b_spmv256,
+              b_ccsr, b_sort, b_scan, b_philox, b_threefry, b_sbk,
+              b_scank, b_rbk, b_lorenz, b_fft):
+        _guarded(extra, b)
+
+    fused_gbs = fused_holder.get("gbs", 0.0)
     pct = 100.0 * fused_gbs * 1e9 / HBM_SOL
     result = {
         "metric": "fused elementwise bandwidth, % of HBM speed-of-light (v5e)",
