@@ -415,6 +415,9 @@ def bench_lorenz(n=1 << 22):
                           hi=512, extra=(R,))
     t_raw = slope_seconds(raw_step, s0, lo=64, hi=512, extra=(R,))
     return n / t_gen / 1e9, t_gen / t_raw
+
+
+def bench_fft(n=1 << 20):
     from vexcl_tpu.ops.fft import Plan
 
     plan = Plan((n,), None, False, np.complex64)          # xla engine
