@@ -16,9 +16,10 @@ Per (BLOCK_R, 128) block:
      (GPU Gems ch.39): v[j] += f[j] ? 0 : v[j-d]; f[j] |= f[j-d].
      Rolls are native VPU ops; row-local result V, or-scanned flags F.
   3. cross-row phase: per-row aggregates (tail = V[:,127], anyhead =
-     F[:,127]) get a Hillis-Steele segmented scan along SUBLANES: row
-     shifts are free static slices, (R,1) ops cost the same tiles as
-     (R,128) ops, and the block carry rides as a virtual row -1.
+     F[:,127]) get a Hillis-Steele segmented scan along SUBLANES via
+     `pltpu.roll(axis=0)` + iota masks (concat of non-8-multiple row
+     slices is a Mosaic error), and the block carry rides as a virtual
+     row -1.
      Rejected (measured): per-128-row-group data-dependent 0/1-matmul
      carries — Q[r,s] = (s<r)&(headcnt_incl[s]==headcnt_excl[r]), Q @
      tails.  With (128,1)<->(1,128) broadcast transposes it ran at 2.0
@@ -35,7 +36,6 @@ value path), so results match a sequential host segmented sum at f32.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -90,11 +90,11 @@ def _seg_kernel(k_ref, x_ref, o_ref, carry_ref, ckey_ref):
 
     # -- 3. cross-row carries -------------------------------------------
     # Hillis-Steele segmented scan over the (R, 1) per-row aggregate
-    # columns with SUBLANE shifts: row slices are free (no rolls, no
-    # matmuls, no relayouts), and an (R,1) op costs the same tiles as an
-    # (R,128) op anyway (docs/tpu_kernel_notes.md).  The incoming block
-    # carry rides as a virtual row -1: shift aggregates down one row and
-    # seed row 0 with (base, no-head).
+    # columns with SUBLANE rolls + iota masks (no matmuls, no relayouts;
+    # an (R,1) op costs the same tiles as an (R,128) op anyway —
+    # docs/tpu_kernel_notes.md).  The incoming block carry rides as a
+    # virtual row -1: shift aggregates down one row and seed row 0 with
+    # (base, no-head).
     tails = v[:, LANE - 1 : LANE]                    # (R, 1)
     anyhead = F[:, LANE - 1 : LANE]                  # (R, 1) 0/1
 
