@@ -110,13 +110,17 @@ class multivector:
         self,
         n: Optional[int] = None,
         m: int = 1,
-        dtype: Any = np.float32,
+        dtype: Any = None,
         *,
         context: Optional[Context] = None,
         data: Any = None,
         components: Optional[Sequence[vector]] = None,
     ) -> None:
         self.context = context or current_context()
+        if dtype is None:
+            # infer from host data like vector() does; f32 default
+            dtype = (np.asarray(data).dtype if data is not None
+                     else np.float32)
         if components is not None:
             self._comps = list(components)
         elif data is not None:
