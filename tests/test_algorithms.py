@@ -227,3 +227,39 @@ def test_scan_by_key_pallas_dispatch_variants(ctx, rng, monkeypatch):
 
     rk, rv, m = vex.reduce_by_key(kv, vv)
     assert m == int(np.ceil(n / seg))
+
+
+def test_pallas_monoid_scan_kernel_interpret(rng):
+    """Min/max running-scan Pallas kernel in interpret mode
+    (ops/pallas_monoid_scan.py) against numpy accumulate."""
+    import jax.numpy as jnp
+
+    from vexcl_tpu.ops.pallas_monoid_scan import pallas_cummax, pallas_cummin
+
+    for n in (1 << 18, 300001):
+        x = rng.standard_normal(n).astype(np.float32)
+        got = np.asarray(pallas_cummax(jnp.asarray(x)))
+        np.testing.assert_array_equal(got, np.maximum.accumulate(x))
+        got = np.asarray(pallas_cummin(jnp.asarray(x)))
+        np.testing.assert_array_equal(got, np.minimum.accumulate(x))
+
+
+def test_scan_minmax_dispatch(ctx, rng, monkeypatch):
+    """inclusive/exclusive min/max scans agree between the XLA monoid
+    path and the forced Pallas monoid path (interpret kernel)."""
+    import jax.numpy as jnp
+    import vexcl_tpu as vex
+    import vexcl_tpu.ops.pallas_monoid_scan as pms
+
+    x = vex.vector(data=rng.standard_normal(1 << 13).astype(np.float32),
+                   context=ctx)
+    ref_i = np.asarray(vex.inclusive_scan(x, op=jnp.maximum, op_name="max"))
+    np.testing.assert_array_equal(
+        ref_i, np.maximum.accumulate(np.asarray(x)))
+
+    monkeypatch.setattr(pms, "use_pallas_monoid_scan", lambda *a: True)
+    got = np.asarray(vex.inclusive_scan(x, op=jnp.maximum, op_name="max"))
+    np.testing.assert_array_equal(got, ref_i)
+    got = np.asarray(vex.inclusive_scan(x, op=jnp.minimum, op_name="min"))
+    np.testing.assert_array_equal(
+        got, np.minimum.accumulate(np.asarray(x)))

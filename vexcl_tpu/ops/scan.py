@@ -25,16 +25,20 @@ from ..vector import vector
 __all__ = ["inclusive_scan", "exclusive_scan", "scan"]
 
 
-def _scan_impl(op_name, op, exclusive, has_init, use_pallas=False):
-    key = ("scan", op_name, exclusive, has_init, use_pallas)
+def _scan_impl(op_name, op, exclusive, has_init, pallas_mode=None):
+    key = ("scan", op_name, exclusive, has_init, pallas_mode)
 
     def factory():
         def run(x, init):
             fn = op or jnp.add
-            if use_pallas:
+            if pallas_mode == "sum":
                 from .pallas_scan import pallas_cumsum
 
                 y = pallas_cumsum(x)
+            elif pallas_mode in ("max", "min"):
+                from .pallas_monoid_scan import pallas_cummax
+
+                y = pallas_cummax(x, is_max=pallas_mode == "max")
             else:
                 y = jax.lax.associative_scan(fn, x)
             if exclusive:
@@ -67,11 +71,22 @@ def scan(
         dst = vector(src.size, dtype=src.dtype, context=src.context)
     if op is not None and op_name is None:
         op_name = getattr(op, "__name__", repr(op))
+    from .pallas_monoid_scan import use_pallas_monoid_scan
     from .pallas_scan import use_pallas_scan
+
+    mono = {"max": "max", "maximum": "max", "fmax": "max",
+            "min": "min", "minimum": "min", "fmin": "min"}.get(
+        (op_name or "").lower())
+    if use_pallas_scan(src.array, op):
+        mode = "sum"
+    elif mono and use_pallas_monoid_scan(src.array, mono):
+        mode = mono
+    else:
+        mode = None
 
     jfn = _scan_impl(
         op_name or "add", op, exclusive, init is not None,
-        use_pallas=use_pallas_scan(src.array, op),
+        pallas_mode=mode,
     )
     dst._set_array(jfn(src.array, 0 if init is None else init).astype(dst.dtype))
     return dst
