@@ -73,6 +73,12 @@ def _seg_kernel(k_ref, x_ref, o_ref, carry_ref, ckey_ref):
     rolled = pltpu.roll(keys, 1, axis=1)          # [r, l-1] for l>0
     up = jnp.concatenate([rolled[:1], rolled[:-1]], axis=0)  # row above
     prevk = jnp.where(lane > 0, rolled, up)
+    # NOTE compile cost: this kernel Mosaic-compiles in ~450-650 s on the
+    # axon tunnel (the single-array monoid kernel next door: 8 s) — the
+    # paired (value, flag) Hillis-Steele carries a large live set through
+    # 17 roll steps.  Swapping this concatenate for a sublane roll did
+    # not help (642 s measured), so the cost is inherent; it is paid once
+    # per process and the compiled kernel then runs at 21-22 Gelem/s.
     prevk = jnp.where((row == 0) & (lane == 0), ckey_ref[0, 0], prevk)
     f = (keys != prevk).astype(jnp.float32)
 
