@@ -518,7 +518,8 @@ def main():
     for b in (b_fused, b_saxpy, b_red, b_stencil, b_spmv64, b_spmv256,
               b_ccsr, b_sort, b_scan, b_philox, b_threefry, b_sbk,
               b_scank, b_rbk, b_lorenz, b_fft):
-        _guarded(extra, b)
+        # the segscan kernel alone Mosaic-compiles in ~8-11 min
+        _guarded(extra, b, timeout_s=1500 if b is b_scank else 900)
 
     fused_gbs = fused_holder.get("gbs", 0.0)
     pct = 100.0 * fused_gbs * 1e9 / HBM_SOL
