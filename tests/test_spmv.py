@@ -325,3 +325,24 @@ def test_distributed_a2a_dense_falls_back(ctx, rng):
     np.testing.assert_allclose(
         np.asarray(y), csr_matvec(ptr, colf, val, hx), rtol=1e-6
     )
+
+
+def test_ccsr_cache_expansion(ctx, rng):
+    """SpMatCCSR(cache_expansion=True): coefficient planes precomputed at
+    construction, applies match the per-apply-expansion path exactly."""
+    from vexcl_tpu.utils.poisson import poisson_7pt_ccsr
+
+    m = 8
+    idx, row, col, val = poisson_7pt_ccsr(m, dtype=np.float64)
+    n = m ** 3
+    A = vex.SpMatCCSR(n, n, idx, row, col, val)
+    B = vex.SpMatCCSR(n, n, idx, row, col, val, cache_expansion=True)
+    assert B._cached_coeffs is not None
+
+    hx = rng.random(n)
+    x = vex.vector(data=hx, context=ctx)
+    ya = vex.vector(n, dtype=np.float64, context=ctx)
+    yb = vex.vector(n, dtype=np.float64, context=ctx)
+    ya[:] = A * x
+    yb[:] = 2.0 * (B * x) - (B * x)  # cached path, inside an expression
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(ya), rtol=1e-12)

@@ -198,17 +198,25 @@ class CCSRExpr(Expr):
 
     def __init__(self, mat: "SpMatCCSR", x: Any):
         self.mat = mat
-        leaf_terms = tuple(ArrayTerminal(a) for a in mat._leaves)
+        leaves = list(mat._leaves)
+        if getattr(mat, "_cached_coeffs", None) is not None:
+            leaves.append(mat._cached_coeffs)
+        leaf_terms = tuple(ArrayTerminal(a) for a in leaves)
         self.children = leaf_terms + (as_expr(x),)
 
     def extra_sig(self) -> str:
-        return f"{self.mat.n}:{self.mat.width}"
+        cached = "c" if getattr(self.mat, "_cached_coeffs", None) is not None \
+            else ""
+        return f"{self.mat.n}:{self.mat.width}{cached}"
 
     def emit(self, env: EmitEnv):
         idx, off, val = (c.emit_cached(env) for c in self.children[:3])
         x = self.children[-1].emit_cached(env)
         n, m = self.mat.n, self.mat.m
         union = self.mat.offset_union
+        if getattr(self.mat, "_cached_coeffs", None) is not None:
+            coeffs = self.children[3].emit_cached(env)
+            return self.mat._banded_apply(coeffs, x)
         if union is not None:
             return self.mat.banded_matvec(idx, x)
         # general path: per-row pattern planes + gather
@@ -237,7 +245,14 @@ class SpMatCCSR:
     with columns as offsets relative to the row index.
     """
 
-    def __init__(self, n: int, m: Optional[int], idx, row, col, val, *, context=None):
+    def __init__(self, n: int, m: Optional[int], idx, row, col, val, *,
+                 context=None, cache_expansion: bool = False):
+        """``cache_expansion=True`` precomputes the per-row coefficient
+        planes once at construction (device memory ~ d*n values) so every
+        apply runs the DIA kernel directly — the compressed format's
+        memory saving traded back for DIA-speed SpMV, a point on the
+        memory/speed curve the reference cannot offer (it re-reads the
+        compressed table per apply, ccsr.hpp:54-280)."""
         self.context = context or current_context()
         self.n = int(n)
         self.m = int(m) if m is not None else int(n)
@@ -247,7 +262,8 @@ class SpMatCCSR:
             self._components = tuple(
                 SpMatCCSR(n, m, idx, row, np.ascontiguousarray(col),
                           np.ascontiguousarray(val_arr[:, c]),
-                          context=self.context)
+                          context=self.context,
+                          cache_expansion=cache_expansion)
                 for c in range(val_arr.shape[1])
             )
             first = self._components[0]
@@ -256,6 +272,7 @@ class SpMatCCSR:
             self.offset_union = first.offset_union
             self._union_table_dev = first._union_table_dev
             self._leaves = first._leaves
+            self._cached_coeffs = first._cached_coeffs
             return
         self._components = None
         idx = np.asarray(idx, dtype=np.int32)
@@ -292,29 +309,39 @@ class SpMatCCSR:
         else:
             self.offset_union = None
             self._union_table_dev = None
+        self._cached_coeffs = None
+        if cache_expansion and self.offset_union is not None:
+            coeffs = jax.jit(self._expand_coeffs)(
+                self._union_table_dev, self._leaves[0])
+            if coeffs.dtype == jnp.float32 and bool(jax.jit(
+                    lambda c: jnp.all(
+                        c.astype(jnp.bfloat16).astype(jnp.float32) == c)
+            )(coeffs)):
+                # bf16-exact planes (finite-difference values usually
+                # are): half the dominant SpMV stream, bit-identical
+                # results — the same compression the DIA builder applies
+                coeffs = coeffs.astype(jnp.bfloat16)
+            self._cached_coeffs = coeffs
 
     @property
     def dtype(self):
         return np.dtype(self._leaves[2].dtype)
 
-    def banded_matvec(self, idx, x):
-        """TPU-first banded path: the union of all pattern offsets is
-        small, so the matrix is effectively banded.  Expand per-row
-        coefficients with a one-hot matmul over the tiny (nuniq, d) table
-        (MXU; HIGHEST so f32 table values survive exactly — one-hot is
-        0/1) and run the DIA roll kernel; XLA shifted reads as fallback.
-        ``idx`` and ``x`` may be traced."""
-        table = self._union_table_dev                   # (nuniq, d)
-        union = self.offset_union
-        n, m = self.n, self.m
+    @staticmethod
+    def _expand_coeffs(table, idx):
         onehot = jax.nn.one_hot(idx, table.shape[0], dtype=table.dtype,
                                 axis=0)                 # (nuniq, n)
-        coeffs = jnp.dot(table.T, onehot,
-                         precision=jax.lax.Precision.HIGHEST)  # (d, n)
+        return jnp.dot(table.T, onehot,
+                       precision=jax.lax.Precision.HIGHEST)  # (d, n)
 
+    def _banded_apply(self, coeffs, x):
+        union = self.offset_union
+        n, m = self.n, self.m
         from .pallas_dia import dia_matvec_pallas_roll, use_pallas_dia_roll
 
-        if use_pallas_dia_roll(n, m, union, coeffs) and x.dtype == coeffs.dtype:
+        ok_dt = x.dtype == coeffs.dtype or (
+            x.dtype == jnp.float32 and coeffs.dtype == jnp.bfloat16)
+        if use_pallas_dia_roll(n, m, union, coeffs) and ok_dt:
             return dia_matvec_pallas_roll(n, m, union, coeffs, x)
         lpad = max(0, -min(union))
         rpad = max(0, n - 1 + max(union) - (m - 1))
@@ -324,6 +351,16 @@ class SpMatCCSR:
             seg = coeffs[k] * jax.lax.dynamic_slice_in_dim(xp, lpad + o, n)
             y = seg if y is None else y + seg
         return y
+
+    def banded_matvec(self, idx, x):
+        """TPU-first banded path: the union of all pattern offsets is
+        small, so the matrix is effectively banded.  Expand per-row
+        coefficients with a one-hot matmul over the tiny (nuniq, d) table
+        (MXU; HIGHEST so f32 table values survive exactly — one-hot is
+        0/1) and run the DIA roll kernel; XLA shifted reads as fallback.
+        ``idx`` and ``x`` may be traced."""
+        coeffs = self._expand_coeffs(self._union_table_dev, idx)
+        return self._banded_apply(coeffs, x)
 
     def __mul__(self, x):
         multi = _multi_components(x)
