@@ -263,3 +263,26 @@ def test_scan_minmax_dispatch(ctx, rng, monkeypatch):
     got = np.asarray(vex.inclusive_scan(x, op=jnp.minimum, op_name="min"))
     np.testing.assert_array_equal(
         got, np.minimum.accumulate(np.asarray(x)))
+
+
+def test_pallas_segscan_adversarial_keys(rng):
+    """Keys colliding with the kernel's internal sentinels (-1 carry-key
+    init, -2 pad key) must not change results."""
+    import jax.numpy as jnp
+
+    from vexcl_tpu.ops.pallas_segscan import pallas_segmented_cumsum
+
+    n = 200000  # forces padding
+    keys = (np.arange(n) // 17).astype(np.int32) - 5  # negative keys
+    keys[0:17] = -1          # first segment key == carry-init sentinel
+    keys[-23:] = -2          # last segment key == pad sentinel
+    x = rng.random(n).astype(np.float32)
+    out = np.asarray(pallas_segmented_cumsum(jnp.asarray(keys),
+                                             jnp.asarray(x)))
+    heads = np.r_[True, keys[1:] != keys[:-1]]
+    sid = np.cumsum(heads) - 1
+    csum = np.cumsum(x.astype(np.float64))
+    hpos = heads.nonzero()[0]
+    start = np.zeros(sid.max() + 1)
+    start[sid[hpos]] = csum[hpos] - x[hpos]
+    np.testing.assert_allclose(out, csum - start[sid], rtol=1e-5, atol=1e-3)
