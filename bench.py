@@ -436,7 +436,13 @@ def bench_fft(n=1 << 20):
 def _guarded(extra, fn, timeout_s=900):
     """Run one sub-benchmark with a hang guard: a single wedged tunnel
     call must not lose the whole JSON line for the round.  SIGALRM
-    aborts the benchmark; its keys are simply absent from `extra`."""
+    aborts the benchmark; its keys are simply absent from `extra`.
+
+    LIMIT: a Python signal only fires when the interpreter regains
+    control — a hang inside a blocking PJRT/C++ call (worker crash) is
+    not interruptible from within this process; the guard covers
+    Python-level stalls and exceptions.  The driver's outer process
+    timeout remains the hard backstop for C-level wedges."""
     import signal
 
     def _raise(sig, frm):

@@ -286,3 +286,43 @@ def test_pallas_segscan_adversarial_keys(rng):
     start = np.zeros(sid.max() + 1)
     start[sid[hpos]] = csum[hpos] - x[hpos]
     np.testing.assert_allclose(out, csum - start[sid], rtol=1e-5, atol=1e-3)
+
+
+def test_scan_opname_only_and_custom_op_cache(ctx, rng):
+    """Review fixes: op_name='max' with no op must compute a running max
+    on every path, and two distinct anonymous ops must not share a
+    cached kernel."""
+    import vexcl_tpu as vex
+
+    h = rng.standard_normal(4096).astype(np.float32)
+    x = vex.vector(data=h, context=ctx)
+    got = np.asarray(vex.inclusive_scan(x, op_name="max"))
+    np.testing.assert_array_equal(got, np.maximum.accumulate(h))
+
+    # two anonymous lambdas (same __name__) with different semantics
+    a = np.asarray(vex.inclusive_scan(x, op=lambda p, q: p + q))
+    import jax.numpy as jnp
+    b = np.asarray(vex.inclusive_scan(x, op=lambda p, q: jnp.maximum(p, q)))
+    np.testing.assert_allclose(a, np.cumsum(h.astype(np.float64)), rtol=1e-4)
+    np.testing.assert_array_equal(b, np.maximum.accumulate(h))
+
+
+def test_reduce_view_negative_axis(ctx, rng):
+    """Review fix: reduce over axis -1 must size the output correctly."""
+    import vexcl_tpu as vex
+
+    h = rng.random((32, 16))
+    m = vex.multi_array(None, data=h, context=ctx)
+    out = np.asarray(vex.eval(vex.reduce_view("sum", m, -1)))
+    np.testing.assert_allclose(out, h.sum(-1).ravel(), rtol=1e-12)
+
+
+def test_multi_array_dtype_inference(ctx):
+    """Review fix: multi_array infers the host data dtype like vector."""
+    import vexcl_tpu as vex
+
+    m32 = vex.multi_array(None, data=np.ones((2, 3), np.float32),
+                          context=ctx)
+    assert m32.dtype == np.float32
+    m64 = vex.multi_array((4,), context=ctx)
+    assert m64.dtype == np.float64

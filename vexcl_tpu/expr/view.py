@@ -384,7 +384,8 @@ class ReducedView(Expr):
         sh = getattr(self.children[0], "shape_hint", lambda: None)()
         if sh is None:
             return None
-        rem = [d for i, d in enumerate(sh) if i not in self.axes]
+        axes = {a % len(sh) for a in self.axes}  # emit accepts negatives
+        rem = [d for i, d in enumerate(sh) if i not in axes]
         return int(np.prod(rem)) if rem else 1
 
 

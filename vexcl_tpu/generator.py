@@ -177,7 +177,7 @@ class Kernel:
         tuple(outputs)``, jittable and composable (e.g. chained inside a
         ``lax.fori_loop``) — the reference's kernel can only be enqueued
         per step from the host (generator.hpp:547-720)."""
-        from .expr.compile import evaluate
+        from .expr.compile import evaluate_multi
 
         def fn(*arrays):
             if len(arrays) != len(self.params):
@@ -187,10 +187,17 @@ class Kernel:
             for sym, arr in zip(self.params, arrays):
                 sym._param.bound = arr
             try:
-                outs = []
-                for out_sym, expr in zip(self.outputs, self._exprs):
-                    n = getattr(out_sym._param.bound, "shape", (None,))[0]
-                    outs.append(evaluate(expr, n=n))
+                k = len(self._exprs)
+                ns = [getattr(s._param.bound, "shape", (None,))[0]
+                      for s in self.outputs]
+                # ONE fused evaluation (shared subexpressions — e.g. RK4
+                # stages feeding all outputs — compute once), same path
+                # as __call__
+                outs = evaluate_multi(self._exprs, ns=ns, ops=["="] * k,
+                                      olds=[None] * k,
+                                      out_dtypes=[None] * k)
+                if k == 1 and not isinstance(outs, tuple):
+                    outs = (outs,)
                 return tuple(outs)
             finally:
                 for sym in self.params:

@@ -59,11 +59,15 @@ indices = _ChainGen()
 class multi_array:
     """N-dimensional device array = flat sharded vector + slicer."""
 
-    def __init__(self, ext, dtype=np.float64, context=None, data=None):
+    def __init__(self, ext, dtype=None, context=None, data=None):
         if data is not None:
             data = np.asarray(data)
             if ext is None:
                 ext = data.shape
+        if dtype is None:
+            # infer from host data like vector(); f64 default otherwise
+            # (the reference's multi_array tests are double)
+            dtype = data.dtype if data is not None else np.float64
         dims = tuple(int(d) for d in (ext.key if isinstance(ext, _ChainGen)
                                       else ext))
         if not dims:

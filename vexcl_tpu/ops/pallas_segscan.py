@@ -175,7 +175,10 @@ def use_pallas_segscan(keys, x, op, key_eq) -> bool:
         return False
     if x.dtype not in (jnp.float32, jnp.bfloat16):
         return False
-    if keys.dtype not in (jnp.int32, jnp.uint32, jnp.int64):
+    # i32/u32 only: the kernel bit-casts keys to i32, which preserves
+    # EQUALITY for u32 but truncates i64 (keys equal mod 2^32 would merge
+    # segments)
+    if keys.dtype not in (jnp.int32, jnp.uint32):
         return False
     if x.shape[0] < 1 << 20:
         return False

@@ -188,7 +188,7 @@ def stencil_pallas(x, coeffs, center: int, post=None, donate: bool = False):
             center=int(center), R=R, post=post,
         ),
         grid=(nblocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((R, LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, LANE), x.dtype),

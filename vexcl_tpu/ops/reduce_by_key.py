@@ -51,8 +51,9 @@ def reduce_by_key(
                   and key_eq is None and len(ks) == 1
                   and use_pallas_segscan(ks[0], vals.array, None, None))
 
-    cache_key = ("reduce_by_key", op_name or "add", key_eq is not None,
-                 len(ks), seg_pallas)
+    cache_key = ("reduce_by_key", op_name or "add",
+                 id(op) if op is not None else None,
+                 key_eq is not None, len(ks), seg_pallas)
 
     def factory():
         def run(vals_in, *ks_in):

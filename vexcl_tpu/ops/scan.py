@@ -26,7 +26,8 @@ __all__ = ["inclusive_scan", "exclusive_scan", "scan"]
 
 
 def _scan_impl(op_name, op, exclusive, has_init, pallas_mode=None):
-    key = ("scan", op_name, exclusive, has_init, pallas_mode)
+    key = ("scan", op_name, id(op) if op is not None else None,
+           exclusive, has_init, pallas_mode)
 
     def factory():
         def run(x, init):
@@ -77,9 +78,17 @@ def scan(
     mono = {"max": "max", "maximum": "max", "fmax": "max",
             "min": "min", "minimum": "min", "fmin": "min"}.get(
         (op_name or "").lower())
+    if mono and op is None:
+        # op_name alone must mean the same thing on every path (the XLA
+        # fallback uses `op or jnp.add`, which would silently SUM)
+        op = jnp.maximum if mono == "max" else jnp.minimum
+    std_mono = (mono == "max" and op is jnp.maximum) or (
+        mono == "min" and op is jnp.minimum)
     if use_pallas_scan(src.array, op):
         mode = "sum"
-    elif mono and use_pallas_monoid_scan(src.array, mono):
+    elif std_mono and use_pallas_monoid_scan(src.array, mono):
+        # only for the STANDARD max/min callables — a custom op that
+        # merely carries the name must run through associative_scan
         mode = mono
     else:
         mode = None

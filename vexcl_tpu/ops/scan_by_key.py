@@ -60,30 +60,42 @@ def _run(keys, src, dst, op, op_name, key_eq, exclusive, init):
     ks = _key_arrays(keys)
     # Pallas fast path: single-pass blocked segmented cumsum (one i32 key
     # vector, plain add) — see ops/pallas_segscan.py.  Exclusive/init
-    # variants derive from the inclusive scan in one fused elementwise
-    # pass: excl = incl - x (zero at heads already), init folds per the
-    # reference's semantics (scan_by_key.hpp exclusive :743-757).
+    # variants derive from the inclusive scan by the exact shifted-prefix
+    # rule (matching the XLA path bit-for-bit; `incl - x` cancels
+    # catastrophically), per the reference's exclusive semantics
+    # (scan_by_key.hpp :743-757).  MUST go through kernel_cache: a fresh
+    # jit closure per call would re-pay the kernel's multi-minute Mosaic
+    # compile on every call; `init` rides as a runtime argument.
     if (op is None and (op_name in (None, "add", "sum")) and len(ks) == 1):
         from .pallas_segscan import pallas_segmented_cumsum, use_pallas_segscan
 
         if use_pallas_segscan(ks[0], src.array, op, key_eq):
             if dst is None:
                 dst = vector(src.size, dtype=src.dtype, context=src.context)
+            pk = ("segscan_pallas", exclusive, init is not None)
 
-            def post(k, x):
-                incl = pallas_segmented_cumsum(k, x)
-                if not exclusive:
-                    return incl if init is None else incl + jnp.asarray(
-                        init, incl.dtype)
-                excl = incl - x
-                if init is None:
-                    return excl
-                iv = jnp.asarray(init, incl.dtype)
-                heads = jnp.concatenate(
-                    [jnp.ones((1,), bool), k[1:] != k[:-1]])
-                return jnp.where(heads, iv, excl + iv)
+            def factory():
+                has_init = init is not None
 
-            out = jax.jit(post)(ks[0], src.array)
+                def run(k, x, iv):
+                    incl = pallas_segmented_cumsum(k, x)
+                    if not exclusive:
+                        return incl + iv if has_init else incl
+                    heads = jnp.concatenate(
+                        [jnp.ones((1,), bool), k[1:] != k[:-1]])
+                    shifted = jnp.concatenate(
+                        [jnp.zeros((1,), incl.dtype), incl[:-1]])
+                    if has_init:
+                        return jnp.where(heads, iv, shifted + iv)
+                    return jnp.where(heads, jnp.zeros((), incl.dtype),
+                                     shifted)
+
+                return jax.jit(run)
+
+            jfn = (kernel_cache.get_or_create(pk, factory)
+                   if config.cache_kernels else factory())
+            iv = jnp.asarray(0 if init is None else init, src.array.dtype)
+            out = jfn(ks[0], src.array, iv)
             dst._set_array(out.astype(dst.dtype))
             return dst
 
@@ -94,6 +106,9 @@ def _run(keys, src, dst, op, op_name, key_eq, exclusive, init):
     cache_key = (
         "scan_by_key",
         op_name or "add",
+        # distinct custom callables must not share a cached closure even
+        # when their names collide (e.g. two lambdas)
+        id(op) if op is not None else None,
         key_eq is not None,
         exclusive,
         init is not None,
