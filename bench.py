@@ -256,6 +256,22 @@ def bench_scan(n=1 << 24):
     return n / t / 1e9, t
 
 
+def bench_scan_max(n=1 << 24):
+    """Running maximum, 16M f32 (the min/max monoid scan kernel,
+    ops/pallas_monoid_scan.py; scan.hpp with a MAX functor analog)."""
+    from vexcl_tpu.ops.pallas_monoid_scan import (
+        pallas_cummax, use_pallas_monoid_scan)
+
+    x0 = jnp.asarray(
+        np.random.default_rng(5).standard_normal(n).astype(np.float32))
+    if use_pallas_monoid_scan(x0, "max"):
+        step = lambda v: pallas_cummax(v * -0.999)  # sign flip: no settling
+    else:
+        step = lambda v: jax.lax.associative_scan(jnp.maximum, v * -0.999)
+    t = slope_seconds(step, x0, lo=16, hi=128)
+    return n / t / 1e9, t
+
+
 def bench_rng(n=1 << 24):
     from vexcl_tpu.ops.random import philox4x32
 
@@ -496,6 +512,9 @@ def main():
     def b_scan(extra):
         extra["scan_Gelem_s"] = round(bench_scan()[0], 2)
 
+    def b_scanmax(extra):
+        extra["scan_max_Gelem_s"] = round(bench_scan_max()[0], 2)
+
     def b_philox(extra):
         extra["philox_Grand_s"] = round(bench_rng()[0], 2)
 
@@ -522,8 +541,8 @@ def main():
         extra["fft_2^20_ct_planner_GFLOPs"] = round(fft_ct_gflops, 1)
 
     for b in (b_fused, b_saxpy, b_red, b_stencil, b_spmv64, b_spmv256,
-              b_ccsr, b_sort, b_scan, b_philox, b_threefry, b_sbk,
-              b_scank, b_rbk, b_lorenz, b_fft):
+              b_ccsr, b_sort, b_scan, b_scanmax, b_philox, b_threefry,
+              b_sbk, b_scank, b_rbk, b_lorenz, b_fft):
         # the segscan kernel alone Mosaic-compiles in ~8-11 min
         _guarded(extra, b, timeout_s=1500 if b is b_scank else 900)
 
