@@ -427,10 +427,40 @@ def bench_lorenz(n=1 << 22):
         )
 
     s0 = (m.x.array, m.y.array, m.z.array)
-    t_gen = slope_seconds(lambda s, R_: tuple(fn(*s, R_)), s0, lo=64,
-                          hi=512, extra=(R,))
-    t_raw = slope_seconds(raw_step, s0, lo=64, hi=512, extra=(R,))
-    return n / t_gen / 1e9, t_gen / t_raw
+    gen_step = lambda s, R_: tuple(fn(*s, R_))
+
+    # the OVERHEAD RATIO is the headline: measure both chains
+    # interleaved per rep so device-state drift cancels inside each
+    # ratio sample (separate slope_seconds calls measured minutes apart
+    # swung the ratio 0.99-1.19)
+    lo, hi = 64, 512
+    runs = {}
+    for tag, step in (("gen", gen_step), ("raw", raw_step)):
+        for inner in (lo, hi):
+            jf = jax.jit(lambda s, R_, inner=inner, step=step:
+                         jax.lax.fori_loop(0, inner,
+                                           lambda i, a: step(a, R_), s))
+            _fetch(jf(s0, R))
+            runs[tag, inner] = jf
+
+    def one_slope(tag):
+        t0 = time.perf_counter(); _fetch(runs[tag, lo](s0, R))
+        tl = time.perf_counter() - t0
+        t0 = time.perf_counter(); _fetch(runs[tag, hi](s0, R))
+        th = time.perf_counter() - t0
+        return (th - tl) / (hi - lo)
+
+    ratios, gens = [], []
+    for _ in range(3):
+        tg = one_slope("gen")
+        tr = one_slope("raw")
+        if tg > 0 and tr > 0:
+            ratios.append(tg / tr)
+            gens.append(tg)
+    if not gens:
+        return 0.0, 1.0
+    t_gen = sorted(gens)[len(gens) // 2]
+    return n / t_gen / 1e9, sorted(ratios)[len(ratios) // 2]
 
 
 def bench_fft(n=1 << 20):
