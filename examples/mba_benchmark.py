@@ -51,14 +51,18 @@ def main():
         return out.array
 
     run()  # compile
-    iters = 10
+    float(out.array[0])  # drain the compile/first-exec queue
+    # sync EVERY iteration: queueing many async applies through the
+    # tunnel serializes with huge per-dispatch overhead and reported
+    # ~37 s/apply where a synced apply measures ~1.1 s
+    iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
         arr = run()
-    float(arr[0])  # sync
+        float(arr[0])
     dt = (time.perf_counter() - t0) / iters
     print(f"eval: {n} points in {dt * 1e3:.2f} ms -> "
-          f"{n / dt / 1e9:.2f} Gpoints/s")
+          f"{n / dt / 1e6:.1f} Mpoints/s (XLA gather-bound; see docs/tpu_kernel_notes.md)")
 
     # accuracy vs the true function at the queries
     got = np.asarray(out)
