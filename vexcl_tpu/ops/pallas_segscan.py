@@ -51,7 +51,7 @@ LANE = 128
 BLOCK_R = 1024
 
 
-def _seg_kernel(k_ref, x_ref, o_ref, carry_ref, ckey_ref):
+def _seg_kernel(f_ref, x_ref, o_ref, carry_ref):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -61,29 +61,18 @@ def _seg_kernel(k_ref, x_ref, o_ref, carry_ref, ckey_ref):
     @pl.when(i == 0)
     def _():
         carry_ref[0, 0] = jnp.zeros((), jnp.float32)
-        ckey_ref[0, 0] = -jnp.ones((), jnp.int32)  # forces a head at elt 0
 
-    keys = k_ref[...]
+    # head flags arrive PRE-COMPUTED from a cheap fused XLA pass (one
+    # shifted key compare).  Deriving them in-kernel from i32 keys made
+    # Mosaic compile take 450-1300 s (bisected: the i32 shift/compare +
+    # i32 SMEM carry phase ALONE cost 1326 s while the paired
+    # Hillis-Steele phases compile in ~1 s — exp/segscan_compile_bisect
+    # .py); with f32 flags the whole kernel compiles in seconds and the
+    # cross-block key carry disappears.
+    f = f_ref[...].astype(jnp.float32)   # i8 0/1 flags -> f32
     v = x_ref[...].astype(jnp.float32)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 0)
-
-    # -- 1. head flags from keys (flat shift-by-1) ----------------------
-    rolled = pltpu.roll(keys, 1, axis=1)          # [r, l-1] for l>0
-    up = jnp.concatenate([rolled[:1], rolled[:-1]], axis=0)  # row above
-    prevk = jnp.where(lane > 0, rolled, up)
-    # NOTE compile cost: this kernel Mosaic-compiles in ~450-650 s on the
-    # axon tunnel (the single-array monoid kernel next door: 8 s) — the
-    # paired (value, flag) Hillis-Steele carries a large live set through
-    # 17 roll steps.  Swapping this concatenate for a sublane roll did
-    # not help (642 s measured), so the cost is inherent; it is paid once
-    # per process and the compiled kernel then runs at 21-22 Gelem/s.
-    prevk = jnp.where((row == 0) & (lane == 0), ckey_ref[0, 0], prevk)
-    f = (keys != prevk).astype(jnp.float32)
-
-    # the NEXT block compares against this block's last key
-    ckey_ref[0, 0] = keys[R - 1, LANE - 1]
 
     # -- 2. lane phase: Hillis-Steele segmented scan --------------------
     F = f
@@ -140,11 +129,17 @@ def pallas_segmented_cumsum(keys: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     BLOCK = BLOCK_R * LANE
     nblocks = max(1, -(-n // BLOCK))
     padded = nblocks * BLOCK
+    # flags via one fused XLA pass (the kernel reads f32 flags, not keys:
+    # in-kernel i32 flag derivation cost 450-1300 s of Mosaic compile)
+    flags = jnp.concatenate(
+        [jnp.ones((1,), jnp.int8),
+         (keys[1:] != keys[:-1]).astype(jnp.int8)])
     if padded != n:
         x = jnp.pad(x, (0, padded - n))
-        # pad keys with a FRESH key so the pad is its own segment
-        keys = jnp.pad(keys, (0, padded - n), constant_values=np.int32(-2))
-    k2 = keys.astype(jnp.int32).reshape(nblocks * BLOCK_R, LANE)
+        # pad is its own fresh segment
+        flags = jnp.pad(flags, (0, padded - n),
+                        constant_values=np.int8(1))
+    f2 = flags.reshape(nblocks * BLOCK_R, LANE)
     x2 = x.reshape(nblocks * BLOCK_R, LANE)
 
     out = pl.pallas_call(
@@ -159,10 +154,9 @@ def pallas_segmented_cumsum(keys: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         out_specs=pl.BlockSpec((BLOCK_R, LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nblocks * BLOCK_R, LANE), x.dtype),
-        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32),
-                        pltpu.SMEM((1, 1), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
         interpret=config.pallas_interpret(),
-    )(k2, x2)
+    )(f2, x2)
     return out.reshape(padded)[:n]
 
 
