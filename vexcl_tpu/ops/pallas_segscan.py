@@ -3,15 +3,14 @@
 scan_by_key (reference vexcl/scan_by_key.hpp:67-722) runs three kernels
 per scan and is single-device-per-partition; XLA's associative_scan over a
 (flags, values) pair is log-depth — many full HBM round trips.  This
-kernel does one pass, reading keys + values and writing the segmented
-scan, with a (last key, running value) scalar carry threading the
+kernel does one pass, reading i8 head flags + values and writing the
+segmented scan, with a running-value scalar carry threading the
 sequential grid steps (same structure as pallas_scan.py).
 
 Per (BLOCK_R, 128) block:
-  1. head flags from the keys in-kernel: f[i] = (k[i] != k[i-1]); the
-     flat shift-by-1 is a lane roll + row-shift select (the lane-roll
-     idiom of docs/tpu_kernel_notes.md), block element 0 compares against
-     the carried last key.
+  1. head flags arrive from a fused XLA pre-pass (one shifted key
+     compare, i8) — deriving them in-kernel from i32 keys cost 1326 s of
+     Mosaic compile by itself (exp/segscan_compile_bisect.py).
   2. lane phase: classic 7-step Hillis-Steele segmented scan along lanes
      (GPU Gems ch.39): v[j] += f[j] ? 0 : v[j-d]; f[j] |= f[j-d].
      Rolls are native VPU ops; row-local result V, or-scanned flags F.
