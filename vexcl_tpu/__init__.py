@@ -49,6 +49,7 @@ from .expr import (
     tag,
     _,
 )
+from .expr import mathconst as constants  # vex.constants.pi etc.
 from .expr.builtins import *  # noqa: F401,F403 - sin, cos, exp, ...
 from .expr.pointer import constant_pointer, raw_pointer
 

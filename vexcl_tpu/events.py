@@ -56,6 +56,26 @@ def enqueue_barrier(context: Optional[Context] = None) -> None:
     (context or current_context()).finish()
 
 
+def _target_placer(ctx: Context):
+    """Commit a concrete leaf to the target context so the computation
+    executes THERE (committed inputs pin XLA's execution device)."""
+
+    def place(leaf):
+        if not hasattr(leaf, "shape"):
+            return leaf  # python scalar — weak-typed, follows the arrays
+        if ctx.size > 1:
+            if (
+                getattr(leaf, "ndim", 0) == 1
+                and leaf.shape[0] > 0
+                and leaf.shape[0] % ctx.size == 0
+            ):
+                return jax.device_put(leaf, ctx.vector_sharding)
+            return jax.device_put(leaf, ctx.replicated)
+        return jax.device_put(leaf, ctx.devices[0])
+
+    return place
+
+
 class _EnqueueTarget:
     def __init__(self, context: Context):
         self.context = context
@@ -64,19 +84,71 @@ class _EnqueueTarget:
         outer = self
 
         class _Redirected:
+            """Assignment proxy running the kernel on the target context.
+
+            The reference's enqueue launches the same kernel on explicitly
+            given queues (enqueue.hpp:38-136) — its use-case is overlapping
+            independent work streams.  On TPU:
+
+            * target devices == the vector's devices: XLA's per-device
+              async streams already overlap independent programs — the
+              assignment dispatches asynchronously as usual (this IS the
+              duplicate-queue analog);
+            * different devices: the inputs are committed to the target
+              context and the kernel executes there, asynchronously
+              overlapping whatever the original devices are running; the
+              vector adopts the target context (its buffers now live
+              where the kernel ran, like the reference's queue/buffer
+              pairing).
+            """
+
+            def assign(_self, value, op: str = "=") -> None:
+                if isinstance(value, type(vec)):
+                    value = value[:]
+                tgt = outer.context
+                same = set(tgt.devices) == set(vec.context.devices)
+                # always re-commit inputs to the target (no-op when they
+                # already live there): mixed-context expressions — e.g. a
+                # migrated LHS combined with vectors still on the original
+                # context — must execute on ONE device set
+                place = _target_placer(tgt)
+                old = None
+                from .expr.compile import ASSIGN_OPS
+
+                if ASSIGN_OPS[op] is not None:
+                    old = vec.array
+                arr = evaluate(
+                    value, n=vec.size, op=op, old=old,
+                    out_dtype=vec.dtype, leaf_transform=place,
+                )
+                if not same:
+                    # the vector migrates to the context that computed it
+                    vec.context = tgt
+                    vec._sharded = tgt.size > 1
+                vec._set_array(arr)
+
             def __setitem__(_self, key, value) -> None:
                 if not (isinstance(key, slice) and key == slice(None)):
                     raise TypeError("enqueue()(x)[:] = expr")
-                arr = evaluate(value, n=vec.size, out_dtype=vec.dtype)
-                arr = jax.device_put(arr, outer.context.devices[0])
-                vec._set_array(arr)
+                _self.assign(value)
 
-            def assign(_self, value) -> None:
-                _self[:] = value
+            def __iadd__(_self, value):
+                _self.assign(value, "+="); return _self
+
+            def __isub__(_self, value):
+                _self.assign(value, "-="); return _self
+
+            def __imul__(_self, value):
+                _self.assign(value, "*="); return _self
+
+            def __itruediv__(_self, value):
+                _self.assign(value, "/="); return _self
 
         return _Redirected()
 
 
 def enqueue(context: Context) -> _EnqueueTarget:
-    """vex::enqueue(queue_list)(x) = expr (enqueue.hpp:38-136)."""
+    """vex::enqueue(queue_list)(x) = expr (enqueue.hpp:38-136): run the
+    assignment's kernel on the given context's devices (async; overlaps
+    work on other devices), instead of the expression's home context."""
     return _EnqueueTarget(context)

@@ -124,9 +124,15 @@ def evaluate(
     op: str = "=",
     old: Any = None,
     out_dtype=None,
+    leaf_transform: Optional[Callable] = None,
 ):
     """Evaluate one expression, optionally combining with the old LHS value
-    for compound assignment.  Returns a jax.Array."""
+    for compound assignment.  Returns a jax.Array.
+
+    ``leaf_transform`` maps each concrete leaf (and ``old``) before the
+    kernel runs — used by vex.enqueue() to commit inputs to another
+    context's devices so the computation executes THERE (events.py).
+    """
     from .node import as_expr
 
     expr = as_expr(expr)
@@ -152,7 +158,9 @@ def evaluate(
             if config.cache_kernels
             else factory()
         )
-        return jfn(*analysis.leaves)
+        leaves = analysis.leaves if leaf_transform is None else [
+            leaf_transform(l) for l in analysis.leaves]
+        return jfn(*leaves)
 
     # compound: old value becomes leaf 0
     analysis = analyze(expr)
@@ -176,7 +184,11 @@ def evaluate(
         if config.cache_kernels
         else factory()
     )
-    return jfn(old, *analysis.leaves)
+    leaves = analysis.leaves
+    if leaf_transform is not None:
+        old = leaf_transform(old)
+        leaves = [leaf_transform(l) for l in leaves]
+    return jfn(old, *leaves)
 
 
 def assign_value(vec, value, op: str = "=") -> None:

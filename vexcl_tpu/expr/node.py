@@ -106,6 +106,11 @@ class _SigCtx:
         # second traversal (operations.hpp:1442-1458 analog)
         self.elementwise_sizes: List[int] = []
         self.transparent: bool = True
+        # nodes already walked in a TRANSPARENT context: a shared subtree
+        # first reached under a size-transforming node is memoized as a
+        # back-reference, so its terminal sizes must still be collected the
+        # first time it is ALSO reached elementwise (A*x + x vs x + A*x)
+        self.seen_transparent: set = set()
 
     def slot(self, node: "Expr") -> int:
         key = node.leaf_key()
@@ -145,9 +150,26 @@ class Expr:
         """Signature with shared-subtree back-references (DAG-safe)."""
         ref = ctx.node_ref.get(id(self))
         if ref is not None:
+            if ctx.transparent and id(self) not in ctx.seen_transparent:
+                # first elementwise visit of a subtree first seen under a
+                # size-transforming node: collect sizes without re-signing
+                self._collect_sizes(ctx)
             return f"@{ref}"
         ctx.node_ref[id(self)] = len(ctx.node_ref)
+        if ctx.transparent:
+            ctx.seen_transparent.add(id(self))
         return self._sig(ctx)
+
+    def _collect_sizes(self, ctx: _SigCtx) -> None:
+        """Size-check-only walk of an already-signed subtree (no slots, no
+        signature): append elementwise vector sizes, stopping at
+        size-transforming nodes exactly like the signing walk does."""
+        ctx.seen_transparent.add(id(self))
+        if not self._size_transparent:
+            return
+        for c in self.children:
+            if id(c) not in ctx.seen_transparent:
+                c._collect_sizes(ctx)
 
     def _sig(self, ctx: _SigCtx) -> str:
         if self._size_transparent or not ctx.transparent:
@@ -436,6 +458,10 @@ class VectorTerminal(Expr):
 
     def extra_sig(self) -> str:
         return ""
+
+    def _collect_sizes(self, ctx: _SigCtx) -> None:
+        ctx.seen_transparent.add(id(self))
+        ctx.elementwise_sizes.append(self.vec.size)
 
     def _sig(self, ctx: _SigCtx) -> str:
         s = ctx.slot(self)

@@ -95,6 +95,10 @@ def pallas_cummin(x):
 
 
 def use_pallas_monoid_scan(x, op_name) -> bool:
+    from .dispatch import array_on_multiple_devices
+
+    if array_on_multiple_devices(x):
+        return False
     if config.pallas_interpret():
         return False
     if op_name not in ("max", "min"):
@@ -103,9 +107,4 @@ def use_pallas_monoid_scan(x, op_name) -> bool:
         return False
     if x.shape[0] < 1 << 20:
         return False
-    try:
-        if len(x.sharding.device_set) > 1:
-            return False
-    except Exception:
-        pass
     return True

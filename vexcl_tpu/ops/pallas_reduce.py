@@ -124,12 +124,17 @@ def pallas_map_reduce(array_leaves, scalar_leaves, emit, kind: str,
 
 def reducible_with_pallas(expr, kinds, n) -> bool:
     """Static eligibility: single SUM/MIN/MAX over a pure-elementwise
-    expression of f32 vector leaves, large and single-kind."""
+    expression of f32 vector leaves, large, single-kind, single-device
+    (a sharded input must take the XLA path, whose psum-style reduction
+    XLA partitions correctly)."""
     from ..expr.node import (
         BinOp, CastExpr, ConstantTerminal, Expr, FuncCall, ScalarTerminal,
         TaggedTerminal, Temporary, UnOp, VectorTerminal, Where,
     )
+    from .dispatch import expr_on_multiple_devices
 
+    if expr_on_multiple_devices(expr):
+        return False
     if config.pallas_interpret():
         return False
     if len(kinds) != 1 or kinds[0].name not in _INITS:

@@ -151,6 +151,10 @@ def pallas_cumsum(x: jnp.ndarray, post=None) -> jnp.ndarray:
 def use_pallas_scan(x: jnp.ndarray, op) -> bool:
     """Pallas path: TPU, plain-add scan, float dtype, single device,
     large enough to amortize."""
+    from .dispatch import array_on_multiple_devices
+
+    if array_on_multiple_devices(x):
+        return False
     if config.pallas_interpret():
         return False
     if op is not None:
@@ -159,9 +163,4 @@ def use_pallas_scan(x: jnp.ndarray, op) -> bool:
         return False
     if x.shape[0] < 1 << 20:  # absolute cutoff, independent of BLOCK_R
         return False
-    try:
-        if len(x.sharding.device_set) > 1:
-            return False
-    except Exception:
-        pass
     return True

@@ -160,24 +160,26 @@ def pallas_segmented_cumsum(keys: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def use_pallas_segscan(keys, x, op, key_eq) -> bool:
-    """Pallas path: plain-add segmented scan over a single i32/i64 key
-    vector, f32/bf16 values, large single-device arrays."""
+    """Pallas path: plain-add segmented scan over a single integer key
+    vector, f32/bf16 values, large single-device arrays.
+
+    The kernel never reads keys: segment-head flags are derived in a fused
+    XLA pre-pass (``keys[1:] != keys[:-1]``) at the keys' NATIVE dtype, so
+    any integer width is exact.  Float keys are rejected conservatively
+    (NaN != NaN would split segments; the generic path defines that case).
+    """
+    from .dispatch import array_on_multiple_devices
+
+    if array_on_multiple_devices(x) or array_on_multiple_devices(keys):
+        return False
     if config.pallas_interpret():
         return False
     if op is not None or key_eq is not None:
         return False
     if x.dtype not in (jnp.float32, jnp.bfloat16):
         return False
-    # i32/u32 only: the kernel bit-casts keys to i32, which preserves
-    # EQUALITY for u32 but truncates i64 (keys equal mod 2^32 would merge
-    # segments)
-    if keys.dtype not in (jnp.int32, jnp.uint32):
+    if not jnp.issubdtype(keys.dtype, jnp.integer):
         return False
     if x.shape[0] < 1 << 20:
         return False
-    try:
-        if len(x.sharding.device_set) > 1:
-            return False
-    except Exception:
-        pass
     return True

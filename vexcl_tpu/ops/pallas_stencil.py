@@ -203,11 +203,21 @@ def stencil_pallas(x, coeffs, center: int, post=None, donate: bool = False):
     return y.reshape(-1)
 
 
-def use_pallas_stencil(n: int, width: int, dtype) -> bool:
+def use_pallas_stencil(n: int, width: int, dtype, expr=None) -> bool:
     """Default ON: the roll-based kernel beats the XLA pad+slice path
-    (300 vs 174 GB/s effective at 2^26 f32) whenever it applies."""
+    (300 vs 174 GB/s effective at 2^26 f32) whenever it applies.
+
+    ``expr`` (the stencil argument's lazy expression, when available) lets
+    the guard decline multi-device inputs statically — the kernel is
+    single-core; sharded vectors take the ppermute-halo path
+    (parallel/halo.py), matching the reference's multi-device
+    exchange_halos (stencil.hpp:90-165)."""
     import os
 
+    from .dispatch import expr_on_multiple_devices
+
+    if expr is not None and expr_on_multiple_devices(expr):
+        return False
     if os.environ.get("VEXTPU_PALLAS_STENCIL") == "0":
         return False
     if config.pallas_interpret():

@@ -42,7 +42,15 @@ def _sorter(nkeys: int, nvals: int, descending: bool, has_key_fn: bool, key_fn):
         def run(*arrays):
             ks = list(arrays[:nkeys])
             vs = list(arrays[nkeys:])
-            skeys = [key_fn(*ks)] if has_key_fn else list(ks)
+            if has_key_fn:
+                # key_fn may return one transformed key or a tuple of them
+                # (lexicographic) — covers comparators like the reference's
+                # even_first (sort.cpp sort_keys_vals_custom_op): parity
+                # outranks value -> key_fn=lambda k: (k & 1, k)
+                kf = key_fn(*ks)
+                skeys = list(kf) if isinstance(kf, (tuple, list)) else [kf]
+            else:
+                skeys = list(ks)
             if descending:
                 skeys = [_neg_order(k) for k in skeys]
             if has_key_fn or descending:

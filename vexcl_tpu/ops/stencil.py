@@ -64,7 +64,8 @@ class StencilExpr(Expr):
         n = x.shape[0]
         from .pallas_stencil import stencil_pallas, use_pallas_stencil
 
-        if use_pallas_stencil(n, self.st.width, x.dtype):
+        if use_pallas_stencil(n, self.st.width, x.dtype,
+                              expr=self.children[1]):
             return stencil_pallas(
                 x, np.asarray(self.st.coeff), self.st.center
             )

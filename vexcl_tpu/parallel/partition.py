@@ -6,11 +6,15 @@ Analog of vexcl/vector.hpp:62-190 (`partitioning_scheme`, `set_partitioning`,
 
 TPU pods are homogeneous, so the default weight function is uniform and the
 partition is even block sharding — exactly what ``NamedSharding(mesh,
-P('devices'))`` implements in hardware.  The weighted API is preserved: a
-custom weight function yields explicit partition points used by the
-`shard_map`-level algorithms (halo exchange, distributed SpMV) and by
-`vector.partition()`; XLA-level shardings remain even (documented deviation
-— uneven GSPMD shards would force padding anyway).
+P('devices'))`` implements in hardware.  A custom weight function feeds
+`vector.partition()` and therefore every per-partition host view
+(`vector.map(part)`, per-partition read/write) — the observable contract of
+the reference's partition points.  Physical data placement is a documented
+deviation: XLA's NamedSharding cannot express uneven shards, and on
+homogeneous TPU chips weighted *placement* buys nothing (the reference
+weights devices because one OpenCL context may mix a fast and a slow GPU),
+so GSPMD tiles and the shard_map algorithms stay even regardless of
+weights.  See docs/multidevice.md.
 """
 
 from __future__ import annotations

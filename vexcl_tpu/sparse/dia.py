@@ -73,9 +73,12 @@ class DIA:
             use_pallas_dia_roll,
         )
 
-        ok_dt = x.dtype == vals.dtype or (
+        from ..ops.dispatch import array_on_multiple_devices
+
+        ok_dt = (x.dtype == vals.dtype or (
             x.dtype == jnp.float32 and vals.dtype == jnp.bfloat16
-        )
+        )) and not (array_on_multiple_devices(x)
+                    or array_on_multiple_devices(vals))
         if use_pallas_dia_ring(n, m, offsets, vals) and ok_dt:
             return dia_matvec_pallas_ring(n, m, offsets, vals, x)
         if use_pallas_dia_roll(n, m, offsets, vals) and ok_dt:

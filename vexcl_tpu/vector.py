@@ -140,6 +140,17 @@ def _complex_workaround_needed(dt) -> bool:
     )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _pad_to_sharding(pad: int, sharding):
+    """Compiled pad-and-place helper, cached per (pad, sharding) so repeated
+    assignments to odd-size sharded vectors reuse one executable instead of
+    re-tracing a fresh closure every call."""
+    return jax.jit(lambda a: jnp.pad(a, (0, pad)), out_shardings=sharding)
+
+
 def _device_fill(n: int, dt) -> jax.Array:
     if _complex_workaround_needed(dt):
         return jax.jit(lambda: jnp.zeros(n, dtype=dt))()
@@ -246,10 +257,7 @@ class vector(_ExprOpsMixin):
                 arr = np.concatenate(
                     [arr, np.zeros(self._pad, dtype=arr.dtype)])
                 return _host_to_device_any(arr, sh)
-            padded = jax.jit(
-                lambda a: jnp.pad(a, (0, self._pad)), out_shardings=sh
-            )(arr)
-            return padded
+            return _pad_to_sharding(self._pad, sh)(arr)
         if self._sharded and n % ndev == 0 and n > 0:
             # even block sharding over the mesh (the part[] analog)
             sh = self.context.vector_sharding
@@ -283,10 +291,8 @@ class vector(_ExprOpsMixin):
         self._n = n
         if self._sharded and n > 0 and n % ndev != 0:
             self._pad = (-n) % ndev
-            self._array = jax.jit(
-                lambda a: jnp.pad(a, (0, self._pad)),
-                out_shardings=self.context.vector_sharding,
-            )(arr)
+            self._array = _pad_to_sharding(
+                self._pad, self.context.vector_sharding)(arr)
         else:
             self._pad = 0
             self._array = arr
@@ -328,10 +334,12 @@ class vector(_ExprOpsMixin):
             value,
             n=self.size,
             op=op,
-            old=self._array if ASSIGN_OPS[op] is not None else None,
+            # LOGICAL old value: for padded storage the combine runs at
+            # logical length and _set_array re-pads the result
+            old=self.array if ASSIGN_OPS[op] is not None else None,
             out_dtype=self.dtype,
         )
-        self._array = arr
+        self._set_array(arr)
         return self
 
     def _check_copy(self, other: "vector") -> None:
@@ -343,18 +351,36 @@ class vector(_ExprOpsMixin):
                 "(VEXTPU_SHOW_COPIES)", stacklevel=3
             )
 
+    def _norm_index(self, key: int) -> int:
+        """Normalize an int index against the LOGICAL size: storage may carry
+        a zero pad (odd sizes sharded over the mesh), so negative indices must
+        never reach the padded tail."""
+        key = int(key)
+        if key < 0:
+            key += self._n
+        if not 0 <= key < self._n:
+            raise IndexError(
+                f"index {key - self._n if key < 0 else key} out of range for "
+                f"vector of size {self._n}")
+        return key
+
     def __setitem__(self, key, value) -> None:
         if isinstance(key, slice) and key == slice(None):
             self.assign(value)
             return
         if isinstance(key, (int, np.integer)):
-            self._array = self._array.at[int(key)].set(value)
+            self._array = self._array.at[self._norm_index(key)].set(value)
             self._logical = None
             return
         if isinstance(key, slice):
             idx = np.arange(*key.indices(self.size))
         else:
             idx = np.asarray(key)
+            if np.issubdtype(idx.dtype, np.integer) and (idx < 0).any():
+                if (idx < -self._n).any() or (idx >= self._n).any():
+                    raise IndexError(
+                        f"index out of range for vector of size {self._n}")
+                idx = np.where(idx < 0, idx + self._n, idx)
         val = evaluate(value, n=len(idx)) if isinstance(value, (Expr, vector)) else value
         if isinstance(val, vector):
             val = val.array
@@ -363,7 +389,7 @@ class vector(_ExprOpsMixin):
 
     def __getitem__(self, key):
         if isinstance(key, (int, np.integer)):
-            return self._array[int(key)].item()
+            return self._array[self._norm_index(key)].item()
         if isinstance(key, slice) and key == slice(None):
             return self._as_terminal()
         from .expr.view import SliceTerminal
@@ -503,19 +529,21 @@ class vector(_ExprOpsMixin):
 
 
 def partition(n: int, context: Optional[Context] = None) -> np.ndarray:
-    """Even partition points of a size-n vector over the context devices
+    """Partition points of a size-n vector over the context devices
     (vexcl/vector.hpp partitioning_scheme :83-170).
 
-    TPU devices are homogeneous, so the measured-bandwidth weighting of the
-    reference (device_vector_perf, vector.hpp:1237-1255) collapses to even
-    block sharding; `set_partitioning` in parallel/partition.py keeps the
-    weighted API for custom splits.
+    The weight function installed with `set_partitioning` feeds these
+    points (device_vector_perf analog, vector.hpp:1237-1255); they govern
+    the logical per-device view — `vector.map(part)`, per-partition
+    read/write.  Physical GSPMD tiles stay even: NamedSharding cannot
+    express uneven shards, and TPU devices are homogeneous so weighted
+    *placement* has no performance rationale (docs/multidevice.md).
     """
     if context is None or context.size <= 1:
         return np.array([0, n])
-    from .parallel.partition import partition_points
+    from .parallel.partition import device_weights, partition_points
 
-    return partition_points(n, context.size)
+    return partition_points(n, context.size, device_weights(context.devices))
 
 
 def copy(src, dst=None):
