@@ -344,16 +344,26 @@ def bench_scan_by_key(n=1 << 24, seg=64):
 
 def bench_reduce_by_key(n=1 << 24, seg=64):
     """reduce_by_key of 16M f32 by i32 runs (reduce_by_key.hpp:435-580
-    analog): segmented scan (Pallas on TPU) + sort-network compaction
-    (an XLA scatter compaction measured 0.14 Gelem/s on v5e; the sort
-    moves the same pairs at 0.31 — see ops/reduce_by_key.py)."""
+    analog).  TPU path (ops/reduce_by_key.py compact pipeline): Pallas
+    segscan + Pallas block compaction + assembly gather sized by the run
+    count — replacing r1's full-N sort compaction (0.31 Gelem/s; XLA
+    scatter: 0.14).  The chain assembles at static M = n/seg, which is
+    what the library reaches after its single count sync."""
     keys0 = jnp.asarray((np.arange(n) // seg).astype(np.int32))
     v0 = jnp.asarray(np.random.rand(n).astype(np.float32))
 
+    from vexcl_tpu.ops.pallas_compact import (
+        BLOCK_R, LANE, pallas_compact, use_pallas_compact)
     from vexcl_tpu.ops.pallas_segscan import (
         pallas_segmented_cumsum, use_pallas_segscan)
 
     pallas = use_pallas_segscan(keys0, v0, None, None)
+    tails0 = jnp.concatenate(
+        [(keys0[1:] != keys0[:-1]).astype(jnp.int8),
+         jnp.ones((1,), jnp.int8)])
+    compact = pallas and use_pallas_compact(tails0)
+    block = BLOCK_R * LANE
+    kpad = max(512, -(-(block // seg) // 512) * 512)  # library's bucket
 
     def step(v, keys):
         kd = keys + (v[0] * 0).astype(keys.dtype)
@@ -369,12 +379,25 @@ def bench_reduce_by_key(n=1 << 24, seg=64):
                 return fa | fb, jnp.where(fb, vb, va + vb)
 
             _, incl = jax.lax.associative_scan(combine, (heads, v))
+        if compact:
+            pos, counts, incl_c, keys_c = pallas_compact(
+                tails.astype(jnp.int8), incl, kd)
+            nb = pos.shape[0]
+            valid = pos[:, :kpad] >= 0.0
+            flat = jnp.arange(nb * kpad, dtype=jnp.int32)
+            sortkey = jnp.where(valid.reshape(-1), flat,
+                                jnp.int32(2 ** 31 - 1))
+            _, out, _k = jax.lax.sort(
+                (sortkey, incl_c[:, :kpad].reshape(-1),
+                 keys_c[:, :kpad].reshape(-1)), num_keys=1)
+            M = min(n, nb * kpad)
+            return (v + jnp.pad(out[:M], (0, n - M)) * 1e-7) % 1.0
         seg_id = jnp.cumsum(heads) - 1
         sk = jnp.where(tails, seg_id, jnp.int32(2 ** 30))
         _, out = jax.lax.sort((sk, incl), num_keys=1)
         return out * (1.0 / seg)  # compacted sums feed the next link
 
-    lo, hi = (4, 16) if pallas else (2, 8)
+    lo, hi = (8, 48) if compact else ((4, 16) if pallas else (2, 8))
     t = slope_seconds(step, v0, lo=lo, hi=hi, extra=(keys0,))
     return n / t / 1e9, t
 

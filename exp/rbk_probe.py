@@ -65,7 +65,7 @@ def main():
     report("sort i32+f32+i32 (current rbk)", t)
 
     # -- 2. batched row sort (block compaction candidate) ----------------
-    for B in (1 << 14, 1 << 17):
+    for B in (128, 1 << 10, 1 << 14, 1 << 17):
         rows = N // B
         kb = k0.reshape(rows, B)
 

@@ -326,3 +326,41 @@ def test_multi_array_dtype_inference(ctx):
     assert m32.dtype == np.float32
     m64 = vex.multi_array((4,), context=ctx)
     assert m64.dtype == np.float64
+
+
+def test_reduce_by_key_compact_path(ctx1, rng):
+    """End-to-end Pallas compact path (segscan + block compaction + sized
+    assembly) in interpret mode, against the numpy oracle — including
+    adversarial key patterns (single run, all-distinct, random runs,
+    block-boundary straddles).  On TPU this path replaces the full-N sort
+    compaction (VERDICT r2 item 1)."""
+    import jax.numpy as jnp
+
+    from vexcl_tpu.ops.reduce_by_key import _reduce_by_key_compact
+
+    n = 300_000
+    hv = rng.random(n).astype(np.float32)
+
+    def oracle(hk):
+        heads = np.concatenate([[True], hk[1:] != hk[:-1]])
+        seg = np.cumsum(heads) - 1
+        sums = np.zeros(seg[-1] + 1)
+        np.add.at(sums, seg, hv.astype(np.float64))
+        return hk[heads], sums
+
+    patterns = {
+        "runs64": (np.arange(n) // 64).astype(np.int32),
+        "single": np.zeros(n, np.int32),
+        "distinct": np.arange(n, dtype=np.int32),
+        "random": np.sort(rng.integers(0, n // 50, n)).astype(np.int32),
+        "unsorted_runs": rng.integers(0, 9, n).astype(np.int32),
+    }
+    for name, hk in patterns.items():
+        v = vex.vector(data=hv, context=ctx1, sharded=False)
+        karr = jnp.asarray(hk)
+        ok, ov, m = _reduce_by_key_compact(karr, v, None, None, False)
+        wk, wv = oracle(hk)
+        assert m == len(wk), (name, m, len(wk))
+        np.testing.assert_array_equal(np.asarray(ok), wk, err_msg=name)
+        np.testing.assert_allclose(np.asarray(ov), wv, rtol=2e-5,
+                                   err_msg=name)

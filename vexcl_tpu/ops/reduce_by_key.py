@@ -25,6 +25,83 @@ from .scan_by_key import _key_arrays
 __all__ = ["reduce_by_key"]
 
 
+def _rbk_stage1():
+    """(keys, vals) -> block-compacted (sums, keys) + validity/counts:
+    segmented scan + payload-transporting block compaction, one fused
+    program (no global cumsum, no sort, no big-table gathers — measured
+    take-from-16M runs at only ~70 Melem/s on v5e)."""
+    from .pallas_compact import pallas_compact
+    from .pallas_segscan import pallas_segmented_cumsum
+
+    def run(keys_in, vals_in):
+        tails = jnp.concatenate(
+            [(keys_in[1:] != keys_in[:-1]).astype(jnp.int8),
+             jnp.ones((1,), jnp.int8)])
+        incl = pallas_segmented_cumsum(keys_in, vals_in)
+        pos, counts, incl_c, keys_c = pallas_compact(tails, incl, keys_in)
+        # total + max in ONE array: each host scalar fetch is a full
+        # tunnel round trip (~30-400 ms)
+        stats = jnp.stack([jnp.sum(counts), jnp.max(counts)])
+        return pos, counts, incl_c, keys_c, stats
+
+    return jax.jit(run)
+
+
+def _rbk_stage2(kpad: int):
+    """Assembly sized by the SYNCED max block count: truncate each block's
+    compacted region to kpad slots (all valid entries live in the first
+    counts[b] <= kpad), then ONE small sort over nblocks*kpad elements
+    pulls the blocks' runs together in order.  Typical segment sizes make
+    nblocks*kpad << N, so the r1 full-N compaction sort (the whole 0.31
+    Gelem/s bottleneck) shrinks to a ~1 ms epilogue; in the degenerate
+    all-distinct-keys case kpad = BLOCK and this equals the r1 cost."""
+
+    def run(pos, incl_c, keys_c):
+        valid = pos[:, :kpad] >= 0.0
+        nb = pos.shape[0]
+        flat = jnp.arange(nb * kpad, dtype=jnp.int32)
+        sortkey = jnp.where(valid.reshape(-1), flat,
+                            jnp.int32(np.iinfo(np.int32).max))
+        _, v, k = jax.lax.sort(
+            (sortkey, incl_c[:, :kpad].reshape(-1),
+             keys_c[:, :kpad].reshape(-1)), num_keys=1)
+        return v, k
+
+    return jax.jit(run)
+
+
+def _reduce_by_key_compact(karr, vals, okeys, ovals, multi):
+    """Pallas fast path: segscan + block compaction + sized assembly."""
+    jfn1 = (kernel_cache.get_or_create(("rbk_stage1",), _rbk_stage1)
+            if config.cache_kernels else _rbk_stage1())
+    pos, counts, incl_c, keys_c, stats = jfn1(karr, vals.array)
+    st = np.asarray(stats)  # the one host sync (reference resizes too)
+    m, cmax = int(st[0]), int(st[1])
+    # kpad bucket: multiple of 512 bounds stage-2 recompiles
+    kpad = min(pos.shape[1], max(512, -(-cmax // 512) * 512))
+    jfn2 = (kernel_cache.get_or_create(("rbk_stage2", kpad),
+                                       lambda: _rbk_stage2(kpad))
+            if config.cache_kernels else _rbk_stage2(kpad))
+    vals_full, keys_full = jfn2(pos, incl_c, keys_c)
+
+    ctx = vals.context
+    out_val_arr = vals_full[:m]
+    out_key_arr = keys_full[:m]
+    if ovals is None:
+        ovals = vector(data=out_val_arr, context=ctx)
+    else:
+        ovals._set_array(out_val_arr.astype(ovals.dtype))
+    if okeys is None:
+        okeys_out = [vector(data=out_key_arr, context=ctx)]
+    else:
+        okeys_list = list(okeys) if isinstance(okeys, (tuple, list)) else [okeys]
+        okeys_list[0]._set_array(out_key_arr.astype(okeys_list[0].dtype))
+        okeys_out = okeys_list
+    if not multi:
+        return okeys_out[0], ovals, m
+    return tuple(okeys_out), ovals, m
+
+
 def reduce_by_key(
     keys: Union[vector, Sequence[vector]],
     vals: vector,
@@ -45,11 +122,15 @@ def reduce_by_key(
 
     # Pallas fast path eligibility (static): the segmented scan dominates
     # the cost; tail extraction/compaction stays XLA either way.
+    from .pallas_compact import use_pallas_compact
     from .pallas_segscan import use_pallas_segscan
 
     seg_pallas = (op is None and (op_name in (None, "add", "sum"))
                   and key_eq is None and len(ks) == 1
                   and use_pallas_segscan(ks[0], vals.array, None, None))
+
+    if seg_pallas and use_pallas_compact(ks[0]):
+        return _reduce_by_key_compact(ks[0], vals, okeys, ovals, multi)
 
     cache_key = ("reduce_by_key", op_name or "add",
                  id(op) if op is not None else None,
