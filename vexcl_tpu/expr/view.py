@@ -336,6 +336,9 @@ class ReshapeView(Expr):
         xr = jnp.transpose(xr, perm)
         return jnp.broadcast_to(xr, self.dst).reshape(-1)
 
+    def shape_hint(self) -> Optional[Tuple[int, ...]]:
+        return self.dst
+
     def size_hint(self) -> Optional[int]:
         return int(np.prod(self.dst))
 
