@@ -35,12 +35,14 @@ from ..expr.node import EmitEnv, Expr, as_expr
 __all__ = ["FFT", "fft", "ifft", "prime_factors", "plan_cache"]
 
 #: largest direct-DFT codelet (reference: radix 2-11 unrolled codelets;
-#: the MXU contracts 128-deep natively, so radix-64/128 codelets are
-#: near-full-rate matmul stages — 32 was the r1 choice and measured 2.4x
-#: off the XLA engine (VERDICT r1).  64 balances stage count against f32
-#: accumulation error: measured 2^20 c64 rel err 2.7e-7 at 64 vs 3.3e-7
-#: at 128 (the 3e-7 budget) with one fewer HBM pass than 32.
-_MAX_CODELET = int(__import__("os").environ.get("VEXTPU_FFT_RADIX", "64"))
+#: the MXU contracts 128-deep natively, so radix-128 codelets are
+#: full-rate matmul stages — 32 was the r1 choice and measured 2.4x off
+#: the XLA engine).  Measured on v5e at 2^20 c64 (exp/fft_engine_sweep):
+#: plan [128,128,64] + X6 = 690-734 GFLOP/s at complex rel err 1.39e-7 —
+#: faster AND more accurate than the XLA FFT engine (487-966 drift-span,
+#: err 4.2e-7); smaller radixes lose a full stage of bandwidth for no
+#: accuracy need.
+_MAX_CODELET = int(__import__("os").environ.get("VEXTPU_FFT_RADIX", "128"))
 
 
 def _dot_alg():
@@ -48,10 +50,13 @@ def _dot_alg():
 
     TPU: BF16_BF16_F32_X6 — 6 bf16 passes reproducing f32 accuracy (what
     Precision.HIGHEST uses) but expressed as an explicit algorithm so the
-    twiddle/codelet matmuls stay on the native bf16 MXU path.  Set
-    VEXTPU_FFT_X3=1 for the 3-pass variant: ~2x matmul throughput at
-    ~4e-6 relative error (dropped lo*lo term is 2^-18 per product).
-    CPU (tests): HIGHEST — the bf16 presets are TPU-specific.
+    twiddle/codelet matmuls stay on the native bf16 MXU path; measured
+    2^20 c64 complex rel err 1.39e-7 on v5e.  Set VEXTPU_FFT_X3=1 for
+    the 3-pass variant: measured ~2.4e-5 rel err (dropped lo*lo term),
+    up to several x faster — for bf16-tolerant pipelines only.  X9 is
+    NOT supported by the v5e libtpu (AOT: "ALG_DOT_BF16_BF16_F32_X9 is
+    not supported").  CPU (tests): HIGHEST — the bf16 presets are
+    TPU-specific.
     """
     import os
 
