@@ -58,10 +58,12 @@ def main():
             PD.BLOCK = old
 
     # interleave 3 reps of each pair to cancel drift
+    # 256Ki+ windows exceed the 16M scoped-vmem limit at AOT compile
+    # (30.9M measured): 7 bf16 value rows + double-buffered window pin
+    # the kernel at <=192Ki blocks for this band structure
     for rep in range(2):
         run(f"window 128Ki r{rep}", 1024 * 128)
-        run(f"window 256Ki r{rep}", 2048 * 128)
-        run(f"window 384Ki r{rep}", 3072 * 128)
+        run(f"window 192Ki r{rep}", 1536 * 128)
 
     # ring kernel (read-once design, opt-in)
     os.environ["VEXTPU_DIA_RING"] = "1"
