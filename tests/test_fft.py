@@ -118,3 +118,25 @@ def test_ct_engine_matches_xla_engine(ctx, rng, n):
     y2 = vex.vector(n, dtype=np.complex128, context=ctx)
     y2[:] = vex.FFT(n, impl="ct")(x)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-7, atol=1e-8)
+
+
+def test_large_prime_routes_to_own_engine(ctx):
+    """The XLA FFT HLO lowers large-prime lengths as a DIRECT n x n DFT
+    matmul on TPU (a 999983-point FFT tried to allocate ~4 TB and
+    AOT-rejected — exp/fft_size_sweep.py).  Plan must route such axes to
+    the own Bluestein engine."""
+    from vexcl_tpu.ops.fft import Plan
+
+    assert Plan((999983,), None, False, np.complex64)._route_ct
+    assert Plan((512, 999983), (1,), False, np.complex64)._route_ct
+    assert not Plan((1 << 20,), None, False, np.complex64)._route_ct
+    assert not Plan((521, 521), None, False, np.complex64)._route_ct
+
+    n = 65537  # prime > 4096: routed; Bluestein pads to 2^18
+    rng = np.random.default_rng(0)
+    hx = (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    x = vex.vector(data=hx, dtype=np.complex128, context=ctx)
+    y = vex.vector(n, dtype=np.complex128, context=ctx)
+    y[:] = vex.FFT(n)(x)
+    np.testing.assert_allclose(
+        np.asarray(y), np.fft.fft(hx), rtol=1e-8, atol=1e-6)

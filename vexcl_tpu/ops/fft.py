@@ -318,6 +318,14 @@ class Plan:
         self.dtype = np.dtype(dtype)
         self.sign = +1.0 if inverse else -1.0
         self.scale = 1.0 / np.prod([shape[d] for d in self.dims]) if inverse else 1.0
+        # Large-prime transform lengths must NOT reach the XLA FFT HLO:
+        # the TPU backend lowers them as a DIRECT n x n DFT matmul — a
+        # 999983-point FFT tried to allocate an f32[999983, 999983]
+        # (~4 TB) and AOT-rejected (exp/fft_size_sweep.py).  Route such
+        # axes to the own engine, whose Bluestein pads to a pow2.
+        self._route_ct = impl == "xla" and any(
+            max(prime_factors(shape[d]), default=1) > 4096 for d in self.dims
+        )
         self.impl = impl
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -325,7 +333,7 @@ class Plan:
         if flat_in:
             x = x.reshape(self.shape)
         x = x.astype(self.dtype)
-        if self.impl == "xla":
+        if self.impl == "xla" and not self._route_ct:
             fn = jnp.fft.ifftn if self.inverse else jnp.fft.fftn
             # jnp.fft applies its own 1/n scaling for ifftn (matches the
             # reference's inverse scaling); no extra scale needed
