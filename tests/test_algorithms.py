@@ -358,9 +358,36 @@ def test_reduce_by_key_compact_path(ctx1, rng):
     for name, hk in patterns.items():
         v = vex.vector(data=hv, context=ctx1, sharded=False)
         karr = jnp.asarray(hk)
-        ok, ov, m = _reduce_by_key_compact(karr, v, None, None, False)
+        ok, ov, m = _reduce_by_key_compact([karr], v, None, None, False)
         wk, wv = oracle(hk)
         assert m == len(wk), (name, m, len(wk))
         np.testing.assert_array_equal(np.asarray(ok), wk, err_msg=name)
         np.testing.assert_allclose(np.asarray(ov), wv, rtol=2e-5,
                                    err_msg=name)
+
+
+def test_reduce_by_key_compact_tuple_keys(ctx1, rng):
+    """Tuple keys through the compact path (rbk_tuple analog,
+    tests/reduce_by_key.cpp): combined head flags, both key arrays
+    transported through the compaction."""
+    import jax.numpy as jnp
+
+    from vexcl_tpu.ops.reduce_by_key import _reduce_by_key_compact
+
+    n = 200_000
+    hv = rng.random(n).astype(np.float32)
+    k1 = np.sort(rng.integers(0, 500, n)).astype(np.int32)
+    k2 = (np.arange(n) // 97).astype(np.int64)
+
+    heads = np.concatenate([[True], (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])])
+    seg = np.cumsum(heads) - 1
+    want = np.zeros(seg[-1] + 1)
+    np.add.at(want, seg, hv.astype(np.float64))
+
+    v = vex.vector(data=hv, context=ctx1, sharded=False)
+    (ok1, ok2), ov, m = _reduce_by_key_compact(
+        [jnp.asarray(k1), jnp.asarray(k2)], v, None, None, True)
+    assert m == len(want)
+    np.testing.assert_array_equal(np.asarray(ok1), k1[heads])
+    np.testing.assert_array_equal(np.asarray(ok2), k2[heads])
+    np.testing.assert_allclose(np.asarray(ov), want, rtol=2e-5)

@@ -153,12 +153,25 @@ def pallas_compact(flags: jnp.ndarray, *payloads):
         flags = jnp.pad(flags, (0, padded - n))  # pad flags are 0: no tails
         payloads = tuple(jnp.pad(p, (0, padded - n)) for p in payloads)
     f2 = flags.reshape(nblocks * BLOCK_R, LANE)
-    dts = [p.dtype for p in payloads]
-    p2 = [
-        (jax.lax.bitcast_convert_type(p, jnp.float32)
-         if p.dtype != jnp.float32 else p).reshape(nblocks * BLOCK_R, LANE)
-        for p in payloads
-    ]
+    # each payload becomes one f32 plane per 32 bits (64-bit dtypes split
+    # into lo/hi word planes and are reassembled after the kernel)
+    dts = []        # (dtype, n_planes) per payload
+    p2 = []
+    for p in payloads:
+        it = np.dtype(p.dtype).itemsize
+        if it == 8:
+            w = jax.lax.bitcast_convert_type(p, jnp.uint32)  # (n, 2)
+            planes = [jax.lax.bitcast_convert_type(w[:, i], jnp.float32)
+                      for i in range(2)]
+        elif it == 4:
+            planes = [p if p.dtype == jnp.float32
+                      else jax.lax.bitcast_convert_type(p, jnp.float32)]
+        else:
+            raise TypeError(
+                f"pallas_compact payloads must be 32- or 64-bit, got "
+                f"{p.dtype}")
+        dts.append((p.dtype, len(planes)))
+        p2.extend(pl_.reshape(nblocks * BLOCK_R, LANE) for pl_ in planes)
 
     spec = pl.BlockSpec((BLOCK_R, LANE), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
@@ -174,11 +187,22 @@ def pallas_compact(flags: jnp.ndarray, *payloads):
     )(f2, *p2)
     pos = outs[0].reshape(nblocks, BLOCK)
     counts = jnp.sum((pos >= 0.0).astype(jnp.float32), axis=1)
-    comp = [
-        (jax.lax.bitcast_convert_type(o, dt) if dt != jnp.float32 else o
-         ).reshape(nblocks, BLOCK)
-        for o, dt in zip(outs[1:], dts)
-    ]
+    comp = []
+    oi = 1
+    for dt, np_ in dts:
+        if np_ == 2:
+            lo = jax.lax.bitcast_convert_type(
+                outs[oi].reshape(-1), jnp.uint32)
+            hi = jax.lax.bitcast_convert_type(
+                outs[oi + 1].reshape(-1), jnp.uint32)
+            w = jnp.stack([lo, hi], axis=-1)
+            comp.append(jax.lax.bitcast_convert_type(w, dt)
+                        .reshape(nblocks, BLOCK))
+        else:
+            o = outs[oi]
+            comp.append((jax.lax.bitcast_convert_type(o, dt)
+                         if dt != jnp.float32 else o).reshape(nblocks, BLOCK))
+        oi += np_
     return (pos, counts, *comp)
 
 

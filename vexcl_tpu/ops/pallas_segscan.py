@@ -121,6 +121,18 @@ def _seg_kernel(f_ref, x_ref, o_ref, carry_ref):
 def pallas_segmented_cumsum(keys: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Segmented inclusive cumsum of 1-D ``x``, segments = runs of equal
     ``keys`` (i32)."""
+    # flags via one fused XLA pass (the kernel reads f32 flags, not keys:
+    # in-kernel i32 flag derivation cost 450-1300 s of Mosaic compile)
+    flags = jnp.concatenate(
+        [jnp.ones((1,), jnp.int8),
+         (keys[1:] != keys[:-1]).astype(jnp.int8)])
+    return pallas_segmented_cumsum_flags(flags, x)
+
+
+def pallas_segmented_cumsum_flags(flags: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Segmented inclusive cumsum with PRECOMPUTED head flags (i8, 1 at
+    each segment start) — the multi-key / custom-equality entry: callers
+    derive flags from any number of key arrays in one fused XLA pass."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -128,11 +140,6 @@ def pallas_segmented_cumsum(keys: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     BLOCK = BLOCK_R * LANE
     nblocks = max(1, -(-n // BLOCK))
     padded = nblocks * BLOCK
-    # flags via one fused XLA pass (the kernel reads f32 flags, not keys:
-    # in-kernel i32 flag derivation cost 450-1300 s of Mosaic compile)
-    flags = jnp.concatenate(
-        [jnp.ones((1,), jnp.int8),
-         (keys[1:] != keys[:-1]).astype(jnp.int8)])
     if padded != n:
         x = jnp.pad(x, (0, padded - n))
         # pad is its own fresh segment

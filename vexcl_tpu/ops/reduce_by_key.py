@@ -25,29 +25,36 @@ from .scan_by_key import _key_arrays
 __all__ = ["reduce_by_key"]
 
 
-def _rbk_stage1():
-    """(keys, vals) -> block-compacted (sums, keys) + validity/counts:
+def _rbk_stage1(nkeys: int):
+    """(keys..., vals) -> block-compacted (sums, keys...) + counts:
     segmented scan + payload-transporting block compaction, one fused
     program (no global cumsum, no sort, no big-table gathers — measured
-    take-from-16M runs at only ~70 Melem/s on v5e)."""
+    take-from-16M runs at only ~70 Melem/s on v5e).  Tuple keys combine
+    into the head flags in the same fused pre-pass (rbk_tuple parity,
+    reduce_by_key.hpp fusion-key path)."""
     from .pallas_compact import pallas_compact
-    from .pallas_segscan import pallas_segmented_cumsum
+    from .pallas_segscan import pallas_segmented_cumsum_flags
 
-    def run(keys_in, vals_in):
-        tails = jnp.concatenate(
-            [(keys_in[1:] != keys_in[:-1]).astype(jnp.int8),
-             jnp.ones((1,), jnp.int8)])
-        incl = pallas_segmented_cumsum(keys_in, vals_in)
-        pos, counts, incl_c, keys_c = pallas_compact(tails, incl, keys_in)
+    def run(vals_in, *keys_in):
+        neq = keys_in[0][1:] != keys_in[0][:-1]
+        for k in keys_in[1:]:
+            neq = neq | (k[1:] != k[:-1])
+        heads = jnp.concatenate([jnp.ones((1,), jnp.int8),
+                                 neq.astype(jnp.int8)])
+        tails = jnp.concatenate([neq.astype(jnp.int8),
+                                 jnp.ones((1,), jnp.int8)])
+        incl = pallas_segmented_cumsum_flags(heads, vals_in)
+        out = pallas_compact(tails, incl, *keys_in)
+        pos, counts = out[0], out[1]
         # total + max in ONE array: each host scalar fetch is a full
         # tunnel round trip (~30-400 ms)
         stats = jnp.stack([jnp.sum(counts), jnp.max(counts)])
-        return pos, counts, incl_c, keys_c, stats
+        return (pos, counts, stats) + tuple(out[2:])
 
     return jax.jit(run)
 
 
-def _rbk_stage2(kpad: int):
+def _rbk_stage2(kpad: int, nkeys: int):
     """Assembly sized by the SYNCED max block count: truncate each block's
     compacted region to kpad slots (all valid entries live in the first
     counts[b] <= kpad), then ONE small sort over nblocks*kpad elements
@@ -56,46 +63,50 @@ def _rbk_stage2(kpad: int):
     Gelem/s bottleneck) shrinks to a ~1 ms epilogue; in the degenerate
     all-distinct-keys case kpad = BLOCK and this equals the r1 cost."""
 
-    def run(pos, incl_c, keys_c):
+    def run(pos, incl_c, *keys_c):
         valid = pos[:, :kpad] >= 0.0
         nb = pos.shape[0]
         flat = jnp.arange(nb * kpad, dtype=jnp.int32)
         sortkey = jnp.where(valid.reshape(-1), flat,
                             jnp.int32(np.iinfo(np.int32).max))
-        _, v, k = jax.lax.sort(
-            (sortkey, incl_c[:, :kpad].reshape(-1),
-             keys_c[:, :kpad].reshape(-1)), num_keys=1)
-        return v, k
+        outs = jax.lax.sort(
+            (sortkey, incl_c[:, :kpad].reshape(-1))
+            + tuple(k[:, :kpad].reshape(-1) for k in keys_c),
+            num_keys=1)
+        return outs[1:]
 
     return jax.jit(run)
 
 
-def _reduce_by_key_compact(karr, vals, okeys, ovals, multi):
+def _reduce_by_key_compact(karrs, vals, okeys, ovals, multi):
     """Pallas fast path: segscan + block compaction + sized assembly."""
-    jfn1 = (kernel_cache.get_or_create(("rbk_stage1",), _rbk_stage1)
-            if config.cache_kernels else _rbk_stage1())
-    pos, counts, incl_c, keys_c, stats = jfn1(karr, vals.array)
+    nk = len(karrs)
+    jfn1 = (kernel_cache.get_or_create(("rbk_stage1", nk),
+                                       lambda: _rbk_stage1(nk))
+            if config.cache_kernels else _rbk_stage1(nk))
+    pos, counts, stats, incl_c, *keys_c = jfn1(vals.array, *karrs)
     st = np.asarray(stats)  # the one host sync (reference resizes too)
     m, cmax = int(st[0]), int(st[1])
     # kpad bucket: multiple of 512 bounds stage-2 recompiles
     kpad = min(pos.shape[1], max(512, -(-cmax // 512) * 512))
-    jfn2 = (kernel_cache.get_or_create(("rbk_stage2", kpad),
-                                       lambda: _rbk_stage2(kpad))
-            if config.cache_kernels else _rbk_stage2(kpad))
-    vals_full, keys_full = jfn2(pos, incl_c, keys_c)
+    jfn2 = (kernel_cache.get_or_create(("rbk_stage2", kpad, nk),
+                                       lambda: _rbk_stage2(kpad, nk))
+            if config.cache_kernels else _rbk_stage2(kpad, nk))
+    vals_full, *keys_full = jfn2(pos, incl_c, *keys_c)
 
     ctx = vals.context
     out_val_arr = vals_full[:m]
-    out_key_arr = keys_full[:m]
+    out_key_arrs = [k[:m] for k in keys_full]
     if ovals is None:
         ovals = vector(data=out_val_arr, context=ctx)
     else:
         ovals._set_array(out_val_arr.astype(ovals.dtype))
     if okeys is None:
-        okeys_out = [vector(data=out_key_arr, context=ctx)]
+        okeys_out = [vector(data=k, context=ctx) for k in out_key_arrs]
     else:
         okeys_list = list(okeys) if isinstance(okeys, (tuple, list)) else [okeys]
-        okeys_list[0]._set_array(out_key_arr.astype(okeys_list[0].dtype))
+        for dst, arr in zip(okeys_list, out_key_arrs):
+            dst._set_array(arr.astype(dst.dtype))
         okeys_out = okeys_list
     if not multi:
         return okeys_out[0], ovals, m
@@ -125,12 +136,15 @@ def reduce_by_key(
     from .pallas_compact import use_pallas_compact
     from .pallas_segscan import use_pallas_segscan
 
+    all_int_keys = all(jnp.issubdtype(k.dtype, jnp.integer) for k in ks)
     seg_pallas = (op is None and (op_name in (None, "add", "sum"))
-                  and key_eq is None and len(ks) == 1
+                  and key_eq is None and all_int_keys
                   and use_pallas_segscan(ks[0], vals.array, None, None))
 
-    if seg_pallas and use_pallas_compact(ks[0]):
-        return _reduce_by_key_compact(ks[0], vals, okeys, ovals, multi)
+    if seg_pallas and all(use_pallas_compact(k) for k in ks):
+        return _reduce_by_key_compact(ks, vals, okeys, ovals, multi)
+
+    seg_pallas = seg_pallas and len(ks) == 1  # generic path: single-key scan
 
     cache_key = ("reduce_by_key", op_name or "add",
                  id(op) if op is not None else None,
