@@ -391,3 +391,50 @@ def test_reduce_by_key_compact_tuple_keys(ctx1, rng):
     np.testing.assert_array_equal(np.asarray(ok1), k1[heads])
     np.testing.assert_array_equal(np.asarray(ok2), k2[heads])
     np.testing.assert_allclose(np.asarray(ov), want, rtol=2e-5)
+
+
+def test_scan_by_key_tuple_and_keyeq_pallas_wiring(ctx1, rng, monkeypatch):
+    """Tuple keys and custom key_eq now ride the Pallas segscan (flags
+    derive in XLA; the kernel never sees keys).  Exercised in interpret
+    mode by forcing the guard on."""
+    import jax.numpy as jnp
+
+    import vexcl_tpu.ops.pallas_segscan as ps
+
+    monkeypatch.setattr(ps, "use_pallas_segscan_flags", lambda ks, x: True)
+
+    n = 100_000
+    hv = rng.random(n).astype(np.float32)
+    k1 = (np.arange(n) // 64).astype(np.int32)
+    k2 = (np.arange(n) // 1024).astype(np.int32)
+    v = vex.vector(data=hv, context=ctx1, sharded=False)
+    kv1 = vex.vector(data=k1, context=ctx1, sharded=False)
+    kv2 = vex.vector(data=k2, context=ctx1, sharded=False)
+
+    def oracle(heads):
+        out = np.zeros(n)
+        run = 0.0
+        for i in range(n):
+            run = hv[i] if heads[i] else run + hv[i]
+            out[i] = run
+        return out
+
+    # tuple keys
+    got = np.asarray(vex.inclusive_scan_by_key((kv1, kv2), v))
+    heads = np.concatenate([[True], (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])])
+    np.testing.assert_allclose(got, oracle(heads), rtol=2e-5)
+
+    # custom key_eq: same-bucket-of-128 equivalence on k1
+    key_eq = lambda a, b: (a // 2) == (b // 2)
+    got2 = np.asarray(vex.inclusive_scan_by_key(kv1, v, key_eq=key_eq))
+    heads2 = np.concatenate([[True], (k1[:-1] // 2) != (k1[1:] // 2)])
+    np.testing.assert_allclose(got2, oracle(heads2), rtol=2e-5)
+
+    # exclusive with init through the same path
+    got3 = np.asarray(vex.exclusive_scan_by_key((kv1, kv2), v, init=2.5))
+    excl = np.zeros(n)
+    run = 0.0
+    for i in range(n):
+        excl[i] = 2.5 if heads[i] else run + 2.5
+        run = hv[i] if heads[i] else run + hv[i]
+    np.testing.assert_allclose(got3, excl, rtol=2e-5)

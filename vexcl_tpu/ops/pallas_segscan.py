@@ -166,6 +166,25 @@ def pallas_segmented_cumsum_flags(flags: jnp.ndarray, x: jnp.ndarray) -> jnp.nda
     return out.reshape(padded)[:n]
 
 
+def use_pallas_segscan_flags(key_arrays, x) -> bool:
+    """Pallas eligibility when the caller derives head flags itself in a
+    fused XLA pre-pass (any key count/dtype, any equality predicate —
+    the kernel only ever sees i8 flags): plain-add, f32/bf16 values,
+    large, single-device."""
+    from .dispatch import array_on_multiple_devices
+
+    if array_on_multiple_devices(x) or any(
+            array_on_multiple_devices(k) for k in key_arrays):
+        return False
+    if config.pallas_interpret():
+        return False
+    if x.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    if x.shape[0] < 1 << 20:
+        return False
+    return True
+
+
 def use_pallas_segscan(keys, x, op, key_eq) -> bool:
     """Pallas path: plain-add segmented scan over a single integer key
     vector, f32/bf16 values, large single-device arrays.

@@ -66,28 +66,43 @@ def _run(keys, src, dst, op, op_name, key_eq, exclusive, init):
     # (scan_by_key.hpp :743-757).  MUST go through kernel_cache: a fresh
     # jit closure per call would re-pay the kernel's multi-minute Mosaic
     # compile on every call; `init` rides as a runtime argument.
-    if (op is None and (op_name in (None, "add", "sum")) and len(ks) == 1):
-        from .pallas_segscan import pallas_segmented_cumsum, use_pallas_segscan
+    if op is None and (op_name in (None, "add", "sum")):
+        from .pallas_segscan import (
+            pallas_segmented_cumsum_flags, use_pallas_segscan_flags)
 
-        if use_pallas_segscan(ks[0], src.array, op, key_eq):
+        # The kernel reads only i8 head flags, derived in a fused XLA
+        # pre-pass — so TUPLE keys and CUSTOM key_eq predicates ride the
+        # same fast path (the associative_scan fallback cannot finish a
+        # 16M measurement in 10 min on this chip).
+        if use_pallas_segscan_flags(ks, src.array):
             if dst is None:
                 dst = vector(src.size, dtype=src.dtype, context=src.context)
-            pk = ("segscan_pallas", exclusive, init is not None)
+            pk = ("segscan_pallas", exclusive, init is not None, len(ks),
+                  id(key_eq) if key_eq is not None else None)
 
             def factory():
                 has_init = init is not None
 
-                def run(k, x, iv):
-                    incl = pallas_segmented_cumsum(k, x)
+                def run(x, iv, *karrs):
+                    if key_eq is not None:
+                        eq = key_eq(*[k[:-1] for k in karrs],
+                                    *[k[1:] for k in karrs])
+                    else:
+                        eq = karrs[0][:-1] == karrs[0][1:]
+                        for k in karrs[1:]:
+                            eq = eq & (k[:-1] == k[1:])
+                    heads = jnp.concatenate(
+                        [jnp.ones((1,), jnp.int8),
+                         (~eq).astype(jnp.int8)])
+                    incl = pallas_segmented_cumsum_flags(heads, x)
                     if not exclusive:
                         return incl + iv if has_init else incl
-                    heads = jnp.concatenate(
-                        [jnp.ones((1,), bool), k[1:] != k[:-1]])
+                    hb = heads.astype(bool)
                     shifted = jnp.concatenate(
                         [jnp.zeros((1,), incl.dtype), incl[:-1]])
                     if has_init:
-                        return jnp.where(heads, iv, shifted + iv)
-                    return jnp.where(heads, jnp.zeros((), incl.dtype),
+                        return jnp.where(hb, iv, shifted + iv)
+                    return jnp.where(hb, jnp.zeros((), incl.dtype),
                                      shifted)
 
                 return jax.jit(run)
@@ -95,7 +110,7 @@ def _run(keys, src, dst, op, op_name, key_eq, exclusive, init):
             jfn = (kernel_cache.get_or_create(pk, factory)
                    if config.cache_kernels else factory())
             iv = jnp.asarray(0 if init is None else init, src.array.dtype)
-            out = jfn(ks[0], src.array, iv)
+            out = jfn(src.array, iv, *ks)
             dst._set_array(out.astype(dst.dtype))
             return dst
 
