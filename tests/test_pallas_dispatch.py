@@ -107,3 +107,18 @@ def test_guards_precede_interpret_mode(sharded, monkeypatch):
     assert not use_pallas_scan(x, None)
     assert not use_pallas_monoid_scan(x, "max")
     assert not use_pallas_segscan(keys, x, None, None)
+
+
+def test_compact_guard_declines_sharded(sharded):
+    from vexcl_tpu.ops.pallas_compact import use_pallas_compact
+
+    ctx, _, keys = sharded
+    flags = keys.astype("int8") if hasattr(keys, "astype") else keys
+    assert not use_pallas_compact(flags)
+
+
+def test_segscan_flags_guard_declines_sharded(sharded):
+    from vexcl_tpu.ops.pallas_segscan import use_pallas_segscan_flags
+
+    _, x, keys = sharded
+    assert not use_pallas_segscan_flags((keys,), x)
