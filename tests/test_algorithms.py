@@ -438,3 +438,51 @@ def test_scan_by_key_tuple_and_keyeq_pallas_wiring(ctx1, rng, monkeypatch):
         excl[i] = 2.5 if heads[i] else run + 2.5
         run = hv[i] if heads[i] else run + hv[i]
     np.testing.assert_allclose(got3, excl, rtol=2e-5)
+
+
+def test_scan_by_key_monoid_pallas(ctx1, rng, monkeypatch):
+    """Segmented running max/min through the Pallas kernel (interpret
+    mode, guard forced) vs the generic-path oracle — incl. negative data
+    (a multiply-mask kernel form would pollute max with zeros)."""
+    import jax.numpy as jnp
+
+    import vexcl_tpu.ops.pallas_segscan as ps
+
+    monkeypatch.setattr(ps, "use_pallas_segscan_flags", lambda ks, x: True)
+
+    n = 150_000
+    hv = (rng.random(n).astype(np.float32) - 0.7) * 5.0  # mostly negative
+    k = (np.arange(n) // 37).astype(np.int32)
+    v = vex.vector(data=hv, context=ctx1, sharded=False)
+    kv = vex.vector(data=k, context=ctx1, sharded=False)
+
+    def oracle(fn):
+        out = np.empty(n, np.float64)
+        run = None
+        for i in range(n):
+            run = hv[i] if (i == 0 or k[i] != k[i - 1]) else fn(run, hv[i])
+            out[i] = run
+        return out
+
+    got = np.asarray(vex.inclusive_scan_by_key(kv, v, op_name="max"))
+    np.testing.assert_allclose(got, oracle(max), rtol=1e-6)
+    got = np.asarray(vex.inclusive_scan_by_key(kv, v, op=jnp.minimum,
+                                               op_name="min"))
+    np.testing.assert_allclose(got, oracle(min), rtol=1e-6)
+
+    # exclusive max with init matches the generic path bit-for-bit
+    got = np.asarray(vex.exclusive_scan_by_key(kv, v, init=-1.5,
+                                               op_name="max"))
+    monkeypatch.setattr(ps, "use_pallas_segscan_flags",
+                        lambda ks, x: False)
+    want = np.asarray(vex.exclusive_scan_by_key(kv, v, init=-1.5,
+                                                op_name="max"))
+    np.testing.assert_array_equal(got, want)
+
+    # a CUSTOM op merely named "max" must NOT take the kernel path
+    sneaky_calls = []
+    def sneaky(a, b):
+        sneaky_calls.append(1)
+        return jnp.maximum(a, b)
+    out2 = vex.inclusive_scan_by_key(kv, v, op=sneaky, op_name="max")
+    assert sneaky_calls  # traced -> really used

@@ -50,16 +50,27 @@ LANE = 128
 BLOCK_R = 1024
 
 
-def _seg_kernel(f_ref, x_ref, o_ref, carry_ref):
+def _seg_kernel(f_ref, x_ref, o_ref, carry_ref, *, mono="add"):
+    """Segmented scan kernel over any of the add/max/min monoids: the
+    same paired Hillis-Steele structure, with masked contributions
+    selected against the monoid identity (0 / -inf / +inf) instead of
+    the add-only multiply-mask form."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if mono == "add":
+        ident, comb = 0.0, None
+    elif mono == "max":
+        ident, comb = -np.inf, jnp.maximum
+    else:
+        ident, comb = np.inf, jnp.minimum
 
     i = pl.program_id(0)
     R = x_ref.shape[0]
 
     @pl.when(i == 0)
     def _():
-        carry_ref[0, 0] = jnp.zeros((), jnp.float32)
+        carry_ref[0, 0] = jnp.full((), ident, jnp.float32)
 
     # head flags arrive PRE-COMPUTED from a cheap fused XLA pass (one
     # shifted key compare).  Deriving them in-kernel from i32 keys made
@@ -79,7 +90,11 @@ def _seg_kernel(f_ref, x_ref, o_ref, carry_ref):
         vr = pltpu.roll(v, d, axis=1)
         fr = pltpu.roll(F, d, axis=1)
         take = (lane >= d).astype(jnp.float32)
-        v = v + vr * take * (1.0 - F)
+        if mono == "add":
+            v = v + vr * take * (1.0 - F)
+        else:
+            v = comb(v, jnp.where((lane >= d) & (F == 0.0), vr,
+                                  jnp.float32(ident)))
         F = jnp.maximum(F, fr * take)
 
     # -- 3. cross-row carries -------------------------------------------
@@ -103,19 +118,30 @@ def _seg_kernel(f_ref, x_ref, o_ref, carry_ref):
     d = 1
     while d < R:
         keep = (rcol >= d).astype(jnp.float32)
-        vs = pltpu.roll(cv, d, axis=0) * keep
         fs = pltpu.roll(cf, d, axis=0) * keep
-        cv = cv + vs * (1.0 - cf)
+        if mono == "add":
+            vs = pltpu.roll(cv, d, axis=0) * keep
+            cv = cv + vs * (1.0 - cf)
+        else:
+            vs = jnp.where((rcol >= d) & (cf == 0.0),
+                           pltpu.roll(cv, d, axis=0), jnp.float32(ident))
+            cv = comb(cv, vs)
         cf = jnp.maximum(cf, fs)
         d *= 2
     carry_col = cv                                   # (R, 1), excl. carries
     # next block's carry: fold in the last row's own aggregate
+    last_comb = (carry_col[R - 1, 0] + tails[R - 1, 0] if mono == "add"
+                 else comb(carry_col[R - 1, 0], tails[R - 1, 0]))
     carry_ref[0, 0] = jnp.where(
-        anyhead[R - 1, 0] > 0, tails[R - 1, 0],
-        carry_col[R - 1, 0] + tails[R - 1, 0])
+        anyhead[R - 1, 0] > 0, tails[R - 1, 0], last_comb)
 
     # -- 4. combine ------------------------------------------------------
-    o_ref[...] = (v + carry_col * (1.0 - F)).astype(o_ref.dtype)
+    if mono == "add":
+        o_ref[...] = (v + carry_col * (1.0 - F)).astype(o_ref.dtype)
+    else:
+        o_ref[...] = comb(
+            v, jnp.where(F == 0.0, carry_col, jnp.float32(ident))
+        ).astype(o_ref.dtype)
 
 
 def pallas_segmented_cumsum(keys: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -129,10 +155,14 @@ def pallas_segmented_cumsum(keys: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return pallas_segmented_cumsum_flags(flags, x)
 
 
-def pallas_segmented_cumsum_flags(flags: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """Segmented inclusive cumsum with PRECOMPUTED head flags (i8, 1 at
+def pallas_segmented_cumsum_flags(flags: jnp.ndarray, x: jnp.ndarray,
+                                  mono: str = "add") -> jnp.ndarray:
+    """Segmented inclusive scan with PRECOMPUTED head flags (i8, 1 at
     each segment start) — the multi-key / custom-equality entry: callers
-    derive flags from any number of key arrays in one fused XLA pass."""
+    derive flags from any number of key arrays in one fused XLA pass.
+    ``mono`` selects the monoid: "add" (default), "max", "min"."""
+    import functools
+
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -149,7 +179,7 @@ def pallas_segmented_cumsum_flags(flags: jnp.ndarray, x: jnp.ndarray) -> jnp.nda
     x2 = x.reshape(nblocks * BLOCK_R, LANE)
 
     out = pl.pallas_call(
-        _seg_kernel,
+        functools.partial(_seg_kernel, mono=mono),
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((BLOCK_R, LANE), lambda i: (i, 0),

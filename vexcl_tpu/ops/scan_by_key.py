@@ -66,7 +66,25 @@ def _run(keys, src, dst, op, op_name, key_eq, exclusive, init):
     # (scan_by_key.hpp :743-757).  MUST go through kernel_cache: a fresh
     # jit closure per call would re-pay the kernel's multi-minute Mosaic
     # compile on every call; `init` rides as a runtime argument.
+    # monoid selection (mirrors ops/scan.py): plain add, or the STANDARD
+    # max/min callables — a custom op merely named "max" must not take
+    # the kernel path
+    mono = None
     if op is None and (op_name in (None, "add", "sum")):
+        mono = "add"
+    else:
+        named = {"max": "max", "maximum": "max", "fmax": "max",
+                 "min": "min", "minimum": "min", "fmin": "min"}.get(
+            (op_name or "").lower())
+        if named and (op is None or op is jnp.maximum or op is jnp.minimum):
+            std = (named == "max" and op in (None, jnp.maximum)) or (
+                named == "min" and op in (None, jnp.minimum))
+            if std:
+                mono = named
+                if op is None:
+                    op = jnp.maximum if named == "max" else jnp.minimum
+
+    if mono is not None:
         from .pallas_segscan import (
             pallas_segmented_cumsum_flags, use_pallas_segscan_flags)
 
@@ -77,8 +95,10 @@ def _run(keys, src, dst, op, op_name, key_eq, exclusive, init):
         if use_pallas_segscan_flags(ks, src.array):
             if dst is None:
                 dst = vector(src.size, dtype=src.dtype, context=src.context)
-            pk = ("segscan_pallas", exclusive, init is not None, len(ks),
-                  id(key_eq) if key_eq is not None else None)
+            pk = ("segscan_pallas", mono, exclusive, init is not None,
+                  len(ks), id(key_eq) if key_eq is not None else None)
+            fn = (jnp.add if mono == "add"
+                  else (jnp.maximum if mono == "max" else jnp.minimum))
 
             def factory():
                 has_init = init is not None
@@ -94,14 +114,16 @@ def _run(keys, src, dst, op, op_name, key_eq, exclusive, init):
                     heads = jnp.concatenate(
                         [jnp.ones((1,), jnp.int8),
                          (~eq).astype(jnp.int8)])
-                    incl = pallas_segmented_cumsum_flags(heads, x)
+                    incl = pallas_segmented_cumsum_flags(heads, x, mono)
                     if not exclusive:
-                        return incl + iv if has_init else incl
+                        return fn(incl, iv) if has_init else incl
                     hb = heads.astype(bool)
+                    # heads get init (or 0 when none) — identical to the
+                    # generic path's exclusive semantics for every monoid
                     shifted = jnp.concatenate(
                         [jnp.zeros((1,), incl.dtype), incl[:-1]])
                     if has_init:
-                        return jnp.where(hb, iv, shifted + iv)
+                        return jnp.where(hb, iv, fn(shifted, iv))
                     return jnp.where(hb, jnp.zeros((), incl.dtype),
                                      shifted)
 
