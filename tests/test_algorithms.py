@@ -486,3 +486,33 @@ def test_scan_by_key_monoid_pallas(ctx1, rng, monkeypatch):
         return jnp.maximum(a, b)
     out2 = vex.inclusive_scan_by_key(kv, v, op=sneaky, op_name="max")
     assert sneaky_calls  # traced -> really used
+
+
+def test_reduce_by_key_max(ctx1, rng):
+    """reduce_by_key with the max monoid: compact path (interpret mode,
+    direct) and generic path (op_name alone must mean max, not silently
+    sum) against the numpy oracle."""
+    from vexcl_tpu.ops.reduce_by_key import _reduce_by_key_compact
+
+    n = 150_000
+    hv = (rng.random(n).astype(np.float32) - 0.5) * 9.0
+    hk = np.sort(rng.integers(0, n // 40, n)).astype(np.int32)
+    heads = np.concatenate([[True], hk[1:] != hk[:-1]])
+    seg = np.cumsum(heads) - 1
+    want = np.full(seg[-1] + 1, -np.inf)
+    np.maximum.at(want, seg, hv.astype(np.float64))
+
+    import jax.numpy as jnp
+
+    v = vex.vector(data=hv, context=ctx1, sharded=False)
+    ok, ov, m = _reduce_by_key_compact(
+        [jnp.asarray(hk)], v, None, None, False, "max")
+    assert m == len(want)
+    np.testing.assert_array_equal(np.asarray(ok), hk[heads])
+    np.testing.assert_allclose(np.asarray(ov), want, rtol=1e-6)
+
+    # generic path: op_name="max" with no op callable
+    kv = vex.vector(data=hk, context=ctx1, sharded=False)
+    ok2, ov2, m2 = vex.reduce_by_key(kv, v, op_name="max")
+    assert m2 == len(want)
+    np.testing.assert_allclose(np.asarray(ov2), want, rtol=1e-6)

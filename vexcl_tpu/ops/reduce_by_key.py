@@ -25,13 +25,13 @@ from .scan_by_key import _key_arrays
 __all__ = ["reduce_by_key"]
 
 
-def _rbk_stage1(nkeys: int):
+def _rbk_stage1(nkeys: int, mono: str = "add"):
     """(keys..., vals) -> block-compacted (sums, keys...) + counts:
     segmented scan + payload-transporting block compaction, one fused
     program (no global cumsum, no sort, no big-table gathers — measured
     take-from-16M runs at only ~70 Melem/s on v5e).  Tuple keys combine
     into the head flags in the same fused pre-pass (rbk_tuple parity,
-    reduce_by_key.hpp fusion-key path)."""
+    reduce_by_key.hpp fusion-key path); ``mono`` selects add/max/min."""
     from .pallas_compact import pallas_compact
     from .pallas_segscan import pallas_segmented_cumsum_flags
 
@@ -43,7 +43,7 @@ def _rbk_stage1(nkeys: int):
                                  neq.astype(jnp.int8)])
         tails = jnp.concatenate([neq.astype(jnp.int8),
                                  jnp.ones((1,), jnp.int8)])
-        incl = pallas_segmented_cumsum_flags(heads, vals_in)
+        incl = pallas_segmented_cumsum_flags(heads, vals_in, mono)
         out = pallas_compact(tails, incl, *keys_in)
         pos, counts = out[0], out[1]
         # total + max in ONE array: each host scalar fetch is a full
@@ -78,12 +78,12 @@ def _rbk_stage2(kpad: int, nkeys: int):
     return jax.jit(run)
 
 
-def _reduce_by_key_compact(karrs, vals, okeys, ovals, multi):
+def _reduce_by_key_compact(karrs, vals, okeys, ovals, multi, mono="add"):
     """Pallas fast path: segscan + block compaction + sized assembly."""
     nk = len(karrs)
-    jfn1 = (kernel_cache.get_or_create(("rbk_stage1", nk),
-                                       lambda: _rbk_stage1(nk))
-            if config.cache_kernels else _rbk_stage1(nk))
+    jfn1 = (kernel_cache.get_or_create(("rbk_stage1", nk, mono),
+                                       lambda: _rbk_stage1(nk, mono))
+            if config.cache_kernels else _rbk_stage1(nk, mono))
     pos, counts, stats, incl_c, *keys_c = jfn1(vals.array, *karrs)
     st = np.asarray(stats)  # the one host sync (reference resizes too)
     m, cmax = int(st[0]), int(st[1])
@@ -137,14 +137,28 @@ def reduce_by_key(
     from .pallas_segscan import use_pallas_segscan
 
     all_int_keys = all(jnp.issubdtype(k.dtype, jnp.integer) for k in ks)
-    seg_pallas = (op is None and (op_name in (None, "add", "sum"))
-                  and key_eq is None and all_int_keys
+    mono = None
+    if op is None and (op_name in (None, "add", "sum")):
+        mono = "add"
+    else:
+        named = {"max": "max", "maximum": "max", "fmax": "max",
+                 "min": "min", "minimum": "min", "fmin": "min"}.get(
+            (op_name or "").lower())
+        if named and op in (None, jnp.maximum, jnp.minimum):
+            if (named == "max" and op in (None, jnp.maximum)) or (
+                    named == "min" and op in (None, jnp.minimum)):
+                mono = named
+                if op is None:
+                    op = jnp.maximum if named == "max" else jnp.minimum
+
+    seg_pallas = (mono is not None and key_eq is None and all_int_keys
                   and use_pallas_segscan(ks[0], vals.array, None, None))
 
     if seg_pallas and all(use_pallas_compact(k) for k in ks):
-        return _reduce_by_key_compact(ks, vals, okeys, ovals, multi)
+        return _reduce_by_key_compact(ks, vals, okeys, ovals, multi, mono)
 
-    seg_pallas = seg_pallas and len(ks) == 1  # generic path: single-key scan
+    # generic path: the inline segscan below is add-only single-key
+    seg_pallas = seg_pallas and len(ks) == 1 and mono == "add"
 
     cache_key = ("reduce_by_key", op_name or "add",
                  id(op) if op is not None else None,
