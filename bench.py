@@ -489,7 +489,11 @@ def bench_lorenz(n=1 << 22):
 def bench_fft(n=1 << 20):
     from vexcl_tpu.ops.fft import Plan
 
+    # A/B the two engines explicitly: 2^20 sits inside the auto-route
+    # window, so the "xla" row must pin the XLA FFT HLO
+    os.environ["VEXTPU_FFT_AUTO"] = "0"
     plan = Plan((n,), None, False, np.complex64)          # xla engine
+    os.environ.pop("VEXTPU_FFT_AUTO", None)
     plan_ct = Plan((n,), None, False, np.complex64, impl="ct")
     x0 = jax.jit(lambda r: r.astype(jnp.complex64))(
         jnp.asarray(np.random.rand(n).astype(np.float32)))

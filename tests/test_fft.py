@@ -140,3 +140,29 @@ def test_large_prime_routes_to_own_engine(ctx):
     y[:] = vex.FFT(n)(x)
     np.testing.assert_allclose(
         np.asarray(y), np.fft.fft(hx), rtol=1e-8, atol=1e-6)
+
+
+def test_auto_ct_window(ctx, rng):
+    """1-D c64 smooth lengths 2^17..2^20 auto-route to the own engine
+    (measured faster there in every process sample); everything else
+    stays on xla.  Results must match either way."""
+    from vexcl_tpu.ops.fft import Plan
+
+    assert Plan((1 << 18,), None, False, np.complex64)._auto_ct
+    assert Plan((1 << 20,), None, False, np.complex64)._auto_ct
+    assert not Plan((1 << 16,), None, False, np.complex64)._auto_ct
+    assert not Plan((1 << 21,), None, False, np.complex64)._auto_ct
+    assert not Plan((1 << 18,), None, False, np.complex128)._auto_ct
+    assert not Plan((512, 512), None, False, np.complex64)._auto_ct
+
+    n = 1 << 17
+    hx = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    import jax
+
+    got = np.asarray(jax.jit(Plan((n,), None, False, np.complex64))(hx))
+    ref = np.fft.fft(hx)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 5e-7
+    # inverse roundtrip through the same auto plan
+    inv = np.asarray(jax.jit(Plan((n,), None, True, np.complex64))(got))
+    assert np.linalg.norm(inv - hx) / np.linalg.norm(hx) < 5e-7

@@ -326,6 +326,23 @@ class Plan:
         self._route_ct = impl == "xla" and any(
             max(prime_factors(shape[d]), default=1) > 4096 for d in self.dims
         )
+        # Auto-route the sizes where the own MXU engine beats the XLA FFT
+        # (exp/ fft crossover sweep, both engines twice per size in one
+        # process): 1-D c64 smooth lengths 2^17..2^20 — ct measured
+        # 404-1452 vs xla 199-523 GFLOP/s there; ties at 2^21 and
+        # collapses at >=2^22 (the balanced plan grows to 4 stages).
+        # VEXTPU_FFT_AUTO=0 disables.
+        import os
+
+        n0 = shape[self.dims[0]] if len(self.dims) == 1 else 0
+        self._auto_ct = (
+            impl == "xla" and not self._route_ct
+            and os.environ.get("VEXTPU_FFT_AUTO", "1") != "0"
+            and len(shape) == 1 and len(self.dims) == 1
+            and self.dtype == np.complex64
+            and (1 << 17) <= n0 <= (1 << 20)
+            and max(prime_factors(n0), default=1) <= _MAX_CODELET
+        )
         self.impl = impl
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -333,7 +350,7 @@ class Plan:
         if flat_in:
             x = x.reshape(self.shape)
         x = x.astype(self.dtype)
-        if self.impl == "xla" and not self._route_ct:
+        if self.impl == "xla" and not self._route_ct and not self._auto_ct:
             fn = jnp.fft.ifftn if self.inverse else jnp.fft.fftn
             # jnp.fft applies its own 1/n scaling for ifftn (matches the
             # reference's inverse scaling); no extra scale needed
