@@ -366,6 +366,34 @@ def test_reduce_by_key_compact_path(ctx1, rng):
                                    err_msg=name)
 
 
+def test_reduce_by_key_all_distinct_skips_assembly(ctx1, rng, monkeypatch):
+    """Degenerate all-distinct keys: every element is its own run, so the
+    compact path must return the inputs (copied) WITHOUT paying the
+    stage-2 assembly sort (full-N cost, the r1 bottleneck)."""
+    import importlib
+
+    rbk = importlib.import_module("vexcl_tpu.ops.reduce_by_key")
+
+    def boom(*a, **k):
+        raise AssertionError("stage-2 assembly must be skipped when m == n")
+
+    monkeypatch.setattr(rbk, "_rbk_stage2", boom)
+    n = 200_000
+    hv = rng.random(n).astype(np.float32)
+    hk = np.arange(n, dtype=np.int32)
+    v = vex.vector(data=hv, context=ctx1, sharded=False)
+    import jax.numpy as jnp
+
+    ok, ov, m = rbk._reduce_by_key_compact([jnp.asarray(hk)], v, None,
+                                           None, False)
+    assert m == n
+    np.testing.assert_array_equal(np.asarray(ok), hk)
+    np.testing.assert_allclose(np.asarray(ov), hv)
+    # outputs own their buffers: mutating the input vector afterwards
+    # (donation may invalidate its storage in place) must not affect them
+    assert ov.array is not v.array
+
+
 def test_reduce_by_key_compact_tuple_keys(ctx1, rng):
     """Tuple keys through the compact path (rbk_tuple analog,
     tests/reduce_by_key.cpp): combined head flags, both key arrays

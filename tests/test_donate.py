@@ -1,0 +1,106 @@
+"""Destination-buffer donation (config.donate, VEXTPU_DONATE).
+
+The TPU lever: for x = f(x) shapes the destination's storage is donated so
+XLA aliases the kernel output onto it (in-place update, ~2x streaming
+bandwidth for 1r+1w kernels — docs/tpu_kernel_notes.md).  These tests pin
+the dispatch rules on the CPU mesh:
+
+  * x = f(x)   donates x's buffer (old buffer becomes invalid, the vector
+               swaps in the result — externally invisible),
+  * x += expr  donates `old` — UNLESS the same buffer is also an
+               expression leaf (x += x*y), where donation would alias the
+               output over memory another parameter still reads,
+  * the kernel cache keys on the donated-slot tuple, so y = f(x) compiled
+    after x = f(x) (same structural signature) must NOT donate x.
+"""
+
+import numpy as np
+import pytest
+
+import vexcl_tpu as vex
+from vexcl_tpu.config import config
+
+
+@pytest.fixture
+def donate_on():
+    old = config.donate
+    config.donate = True
+    try:
+        yield
+    finally:
+        config.donate = old
+
+
+def test_self_assign_donates_and_result_correct(ctx, rng, donate_on):
+    hx = rng.random(4096)
+    hy = rng.random(4096)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(data=hy, context=ctx)
+    x[:] = 2 * x + y
+    np.testing.assert_allclose(np.asarray(x), 2 * hx + hy)
+    # warm path: second call hits the cached donated kernel
+    x[:] = 2 * x + y
+    np.testing.assert_allclose(np.asarray(x), 2 * (2 * hx + hy) + hy)
+
+
+def test_cache_separates_donated_and_plain(ctx, rng, donate_on):
+    """Same signature, different destination: z = 2*x + y must not donate
+    x's buffer even when x = 2*x + y (a donating kernel) compiled first."""
+    hx = rng.random(2048)
+    hy = rng.random(2048)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(data=hy, context=ctx)
+    x[:] = 2 * x + y  # compiles the donated variant
+    z = vex.vector(2048, dtype=np.float64, context=ctx)
+    z[:] = 2 * x + y  # same sig; x's slot must NOT be donated here
+    np.testing.assert_allclose(np.asarray(z), 2 * np.asarray(x) + hy)
+    # x survives: its buffer was not donated by z's assignment
+    np.testing.assert_allclose(np.asarray(x), 2 * hx + hy)
+
+
+def test_compound_self_leaf_suppresses_donation(ctx, rng, donate_on):
+    """x += x*y passes x's buffer both as `old` and as a leaf — donation
+    must be suppressed (aliased output would corrupt the leaf read)."""
+    hx = rng.random(1024)
+    hy = rng.random(1024)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(data=hy, context=ctx)
+    x += x * y
+    np.testing.assert_allclose(np.asarray(x), hx + hx * hy)
+
+
+def test_compound_plain_donates_old(ctx, rng, donate_on):
+    hx = rng.random(1024)
+    hy = rng.random(1024)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(data=hy, context=ctx)
+    x += 3 * y
+    np.testing.assert_allclose(np.asarray(x), hx + 3 * hy)
+    x -= y
+    np.testing.assert_allclose(np.asarray(x), hx + 2 * hy)
+
+
+def test_donate_padded_odd_size(ctx, rng, donate_on):
+    """Odd sizes ship padded storage; the result is logical-length so no
+    aliasing happens — but the path must stay correct."""
+    hx = rng.random(1003)
+    x = vex.vector(data=hx, context=ctx)
+    x[:] = x * 2 + 1
+    np.testing.assert_allclose(np.asarray(x), hx * 2 + 1)
+    assert x[-1] == pytest.approx(hx[-1] * 2 + 1)
+
+
+def test_donate_off_by_default(ctx, rng):
+    assert config.donate in (False, True)  # env-driven; just exercise off
+    old = config.donate
+    config.donate = False
+    try:
+        hx = rng.random(512)
+        x = vex.vector(data=hx, context=ctx)
+        keep = x.array  # user-held handle to the current buffer
+        x[:] = x + 1
+        np.testing.assert_allclose(np.asarray(x), hx + 1)
+        # without donation the old buffer must remain readable
+        np.testing.assert_allclose(np.asarray(keep), hx)
+    finally:
+        config.donate = old

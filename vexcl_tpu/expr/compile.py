@@ -67,6 +67,7 @@ def _build_evaluator(
     n: Optional[int],
     post: Optional[Callable] = None,
     dtypes: Optional[Tuple] = None,
+    donate: Tuple[int, ...] = (),
 ) -> Callable:
     """Build the traced function for this structural signature.
 
@@ -86,7 +87,7 @@ def _build_evaluator(
             return post(*outs)
         return outs[0] if len(outs) == 1 else tuple(outs)
 
-    jfn = jax.jit(run)
+    jfn = jax.jit(run, donate_argnums=donate)
     if config.show_kernels:
         _shown = [False]
         inner = jfn
@@ -125,6 +126,7 @@ def evaluate(
     old: Any = None,
     out_dtype=None,
     leaf_transform: Optional[Callable] = None,
+    donate_buffer=None,
 ):
     """Evaluate one expression, optionally combining with the old LHS value
     for compound assignment.  Returns a jax.Array.
@@ -132,6 +134,13 @@ def evaluate(
     ``leaf_transform`` maps each concrete leaf (and ``old``) before the
     kernel runs — used by vex.enqueue() to commit inputs to another
     context's devices so the computation executes THERE (events.py).
+
+    ``donate_buffer`` (with ``config.donate``): the destination vector's
+    storage.  When it appears among the expression leaves (``x = f(x)``
+    shapes) that slot is donated so XLA aliases the output onto it — the
+    in-place-update lever that roughly doubles 1-read/1-write streaming
+    bandwidth on TPU (see docs/tpu_kernel_notes.md).  Safe because the
+    caller replaces the destination's storage with the result.
     """
     from .node import as_expr
 
@@ -141,7 +150,12 @@ def evaluate(
     if combine is None:
         analysis = analyze(expr)
         _check_sizes(analysis, n)
-        cache_key = (analysis.sig, "=", n, out_dtype)
+        dslots: Tuple[int, ...] = ()
+        if config.donate and donate_buffer is not None and leaf_transform is None:
+            dslots = tuple(
+                i for i, l in enumerate(analysis.leaves) if l is donate_buffer
+            )
+        cache_key = (analysis.sig, "=", n, out_dtype, dslots)
 
         def factory():
             def post(val):
@@ -151,7 +165,8 @@ def evaluate(
                     val = jnp.broadcast_to(val, (n,)) if jnp.size(val) == 1 else val.reshape((n,))
                 return val
 
-            return _build_evaluator((expr,), analysis, n, post=post, dtypes=(out_dtype,))
+            return _build_evaluator((expr,), analysis, n, post=post,
+                                    dtypes=(out_dtype,), donate=dslots)
 
         jfn = (
             kernel_cache.get_or_create(cache_key, factory)
@@ -165,7 +180,11 @@ def evaluate(
     # compound: old value becomes leaf 0
     analysis = analyze(expr)
     _check_sizes(analysis, n)
-    cache_key = (analysis.sig, op, n, out_dtype)
+    # Only donate `old` when its buffer is NOT also an expression leaf
+    # (x += x*y passes the same buffer twice: donating would let the
+    # aliased output overwrite memory another parameter still reads).
+    donate_old = config.donate and not any(l is old for l in analysis.leaves)
+    cache_key = (analysis.sig, op, n, out_dtype, donate_old)
 
     def factory():
         def run(old_val, *leaves):
@@ -176,7 +195,7 @@ def evaluate(
             res = combine(old_val, val)
             return res.astype(out_dtype) if out_dtype is not None else res
 
-        donate = (0,) if config.donate else ()
+        donate = (0,) if donate_old else ()
         return jax.jit(run, donate_argnums=donate)
 
     jfn = (
@@ -196,6 +215,7 @@ def assign_value(vec, value, op: str = "=") -> None:
     arr = evaluate(
         value, n=vec.size, op=op, old=vec.array if op != "=" else None,
         out_dtype=vec.dtype,
+        donate_buffer=vec.storage if op == "=" else None,
     )
     vec._set_array(arr)
 

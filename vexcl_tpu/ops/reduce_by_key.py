@@ -87,16 +87,24 @@ def _reduce_by_key_compact(karrs, vals, okeys, ovals, multi, mono="add"):
     pos, counts, stats, incl_c, *keys_c = jfn1(vals.array, *karrs)
     st = np.asarray(stats)  # the one host sync (reference resizes too)
     m, cmax = int(st[0]), int(st[1])
-    # kpad bucket: multiple of 512 bounds stage-2 recompiles
-    kpad = min(pos.shape[1], max(512, -(-cmax // 512) * 512))
-    jfn2 = (kernel_cache.get_or_create(("rbk_stage2", kpad, nk),
-                                       lambda: _rbk_stage2(kpad, nk))
-            if config.cache_kernels else _rbk_stage2(kpad, nk))
-    vals_full, *keys_full = jfn2(pos, incl_c, *keys_c)
-
     ctx = vals.context
-    out_val_arr = vals_full[:m]
-    out_key_arrs = [k[:m] for k in keys_full]
+    if m == vals.size:
+        # degenerate all-distinct keys: every element is its own run, the
+        # reduction is the identity — skip the stage-2 assembly sort
+        # entirely (it would cost a full-N sort, the r1 bottleneck).
+        # Copy so outputs never share buffers with inputs (config.donate
+        # may later invalidate the inputs' storage in place).
+        out_val_arr = vals.array.copy()
+        out_key_arrs = [k.copy() for k in karrs]
+    else:
+        # kpad bucket: multiple of 512 bounds stage-2 recompiles
+        kpad = min(pos.shape[1], max(512, -(-cmax // 512) * 512))
+        jfn2 = (kernel_cache.get_or_create(("rbk_stage2", kpad, nk),
+                                           lambda: _rbk_stage2(kpad, nk))
+                if config.cache_kernels else _rbk_stage2(kpad, nk))
+        vals_full, *keys_full = jfn2(pos, incl_c, *keys_c)
+        out_val_arr = vals_full[:m]
+        out_key_arrs = [k[:m] for k in keys_full]
     if ovals is None:
         ovals = vector(data=out_val_arr, context=ctx)
     else:

@@ -338,6 +338,9 @@ class vector(_ExprOpsMixin):
             # logical length and _set_array re-pads the result
             old=self.array if ASSIGN_OPS[op] is not None else None,
             out_dtype=self.dtype,
+            # x = f(x): donate the destination's buffer so XLA writes the
+            # result in place (config.donate; compile.evaluate docstring)
+            donate_buffer=self.storage if op == "=" else None,
         )
         self._set_array(arr)
         return self
