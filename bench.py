@@ -527,6 +527,8 @@ def bench_fft_sweep():
     out["fft_2^10_GFLOPs"] = round(run_1d(1 << 10, 2048, 16384), 1)
     out["fft_2^16_GFLOPs"] = round(run_1d(1 << 16, 256, 2048), 1)
     out["fft_2^24_GFLOPs"] = round(run_1d(1 << 24, 4, 24), 1)
+    # own engine at 2^24: the radix-256 3-stage plan (exp/fft_radix256)
+    out["fft_2^24_ct_planner_GFLOPs"] = round(run_1d(1 << 24, 4, 24, "ct"), 1)
 
     # 2-D 1024x1024 (fft_benchmark.cpp 2-D leg)
     n2 = 1 << 10

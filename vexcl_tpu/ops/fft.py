@@ -41,8 +41,15 @@ __all__ = ["FFT", "fft", "ifft", "prime_factors", "plan_cache"]
 #: plan [128,128,64] + X6 = 690-734 GFLOP/s at complex rel err 1.39e-7 —
 #: faster AND more accurate than the XLA FFT engine (487-966 drift-span,
 #: err 4.2e-7); smaller radixes lose a full stage of bandwidth for no
-#: accuracy need.
-_MAX_CODELET = int(__import__("os").environ.get("VEXTPU_FFT_RADIX", "128"))
+#: accuracy need.  Cap 256 (two chained full-rate MXU passes per stage,
+#: same MXU work as two radix-128 stages but one fewer full-array HBM
+#: pass + transpose) keeps plans <= 3 stages through 2^24 and leaves all
+#: plans <= 2^21 unchanged; measured (exp/fft_radix256) it doubles the
+#: engine at 2^22/2^23/2^24: 512/371/300 vs 160/197/173 GFLOP/s at the
+#: BETTER err ~1.26e-7.  The per-stage transposes still cost more than
+#: the XLA engine's scheme above 2^21 (630/520/430 there), so the
+#: auto-route window below stays 2^17..2^20.
+_MAX_CODELET = int(__import__("os").environ.get("VEXTPU_FFT_RADIX", "256"))
 
 
 def _dot_alg():
@@ -329,9 +336,10 @@ class Plan:
         # Auto-route the sizes where the own MXU engine beats the XLA FFT
         # (exp/ fft crossover sweep, both engines twice per size in one
         # process): 1-D c64 smooth lengths 2^17..2^20 — ct measured
-        # 404-1452 vs xla 199-523 GFLOP/s there; ties at 2^21 and
-        # collapses at >=2^22 (the balanced plan grows to 4 stages).
-        # VEXTPU_FFT_AUTO=0 disables.
+        # 404-1452 vs xla 199-523 GFLOP/s there; ties at 2^21, and XLA
+        # keeps a 1.2-1.5x lead at >=2^22 even with the radix-256
+        # 3-stage plans (exp/fft_radix256: ct 512/371/300 vs xla
+        # 630/520/430 at 2^22/23/24).  VEXTPU_FFT_AUTO=0 disables.
         import os
 
         n0 = shape[self.dims[0]] if len(self.dims) == 1 else 0
