@@ -90,6 +90,28 @@ def test_donate_padded_odd_size(ctx, rng, donate_on):
     assert x[-1] == pytest.approx(hx[-1] * 2 + 1)
 
 
+def test_tie_compound_donates_olds(ctx, rng, donate_on):
+    """Fused multivector compound assignment donates the olds tuple —
+    unless a destination buffer is also an expression leaf."""
+    ha = rng.random(512)
+    hb = rng.random(512)
+    hx = rng.random(512)
+    hy = rng.random(512)
+    a = vex.vector(data=ha, context=ctx)
+    b = vex.vector(data=hb, context=ctx)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(data=hy, context=ctx)
+    vex.tie(x, y).assign((a + b, a - b), op="+=")  # plain: olds donated
+    np.testing.assert_allclose(np.asarray(x), hx + ha + hb)
+    np.testing.assert_allclose(np.asarray(y), hy + ha - hb)
+    # hazard: destinations appear as leaves -> donation suppressed
+    vex.tie(x, y).assign((y * 2, x * 3), op="+=")
+    ex = (hx + ha + hb) + 2 * (hy + ha - hb)
+    ey = (hy + ha - hb) + 3 * (hx + ha + hb)
+    np.testing.assert_allclose(np.asarray(x), ex)
+    np.testing.assert_allclose(np.asarray(y), ey)
+
+
 def test_donate_off_by_default(ctx, rng):
     assert config.donate in (False, True)  # env-driven; just exercise off
     old = config.donate

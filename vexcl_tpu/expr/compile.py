@@ -241,14 +241,24 @@ def evaluate_multi(
         for e, n in zip(exprs, ns):
             _check_sizes(analyze(e), n)
     analysis = analyze(*exprs)
+    need_old = [ASSIGN_OPS[op] is not None for op in ops]
+    # donate the olds tuple unless any old buffer is also an expression
+    # leaf (same aliasing hazard as the single-expression path) or the
+    # same buffer appears as two destinations
+    olds_real = [o for o, ne in zip(olds, need_old) if ne]
+    donate_olds = (
+        config.donate
+        and bool(olds_real)
+        and not any(l is o for l in analysis.leaves for o in olds_real)
+        and len({id(o) for o in olds_real}) == len(olds_real)
+    )
     cache_key = (
         analysis.sig,
         tuple(ops),
         tuple(ns),
         tuple(out_dtypes),
+        donate_olds,
     )
-
-    need_old = [ASSIGN_OPS[op] is not None for op in ops]
 
     def factory():
         def run(olds_in, *leaves):
@@ -268,15 +278,14 @@ def evaluate_multi(
                 outs.append(val)
             return tuple(outs)
 
-        return jax.jit(run)
+        return jax.jit(run, donate_argnums=(0,) if donate_olds else ())
 
     jfn = (
         kernel_cache.get_or_create(cache_key, factory)
         if config.cache_kernels
         else factory()
     )
-    olds_in = tuple(o for o, ne in zip(olds, need_old) if ne)
-    return jfn(olds_in, *analysis.leaves)
+    return jfn(tuple(olds_real), *analysis.leaves)
 
 
 def eval_expr(expr: Expr):

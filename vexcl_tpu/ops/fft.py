@@ -43,12 +43,13 @@ __all__ = ["FFT", "fft", "ifft", "prime_factors", "plan_cache"]
 #: err 4.2e-7); smaller radixes lose a full stage of bandwidth for no
 #: accuracy need.  Cap 256 (two chained full-rate MXU passes per stage,
 #: same MXU work as two radix-128 stages but one fewer full-array HBM
-#: pass + transpose) keeps plans <= 3 stages through 2^24 and leaves all
-#: plans <= 2^21 unchanged; measured (exp/fft_radix256) it doubles the
-#: engine at 2^22/2^23/2^24: 512/371/300 vs 160/197/173 GFLOP/s at the
-#: BETTER err ~1.26e-7.  The per-stage transposes still cost more than
-#: the XLA engine's scheme above 2^21 (630/520/430 there), so the
-#: auto-route window below stays 2^17..2^20.
+#: pass) keeps plans <= 3 stages through 2^24 and leaves all plans
+#: <= 2^21 unchanged; measured (exp/fft_radix256) it doubles the engine
+#: at 2^22/2^23/2^24 at BETTER err ~1.26e-7.  With the one-pass stage
+#: form (exp/fft_blockstage) the engine lands at 583-707/443-453/
+#: 338-353 GF/s there (from 160/197/173) vs XLA's 610-695/524-532/
+#: 437-454 (exp/fft_window2, interleaved) — XLA keeps a 5-25% lead
+#: >= 2^21, so the auto-route window below stays 2^17..2^20.
 _MAX_CODELET = int(__import__("os").environ.get("VEXTPU_FFT_RADIX", "256"))
 
 
@@ -195,37 +196,44 @@ def _cmatmul_radix(wr, wi, xr, xi):
     """Complex codelet application over the RADIX axis: W @ X with
     W = (wr + i wi) constant (r, r) and X = (..., r, m) planar.
 
-    The real/imag input planes are STACKED along the minor axis so each of
-    the two algorithm-controlled matmuls is twice as wide (better MXU lane
-    utilization, half the dispatches):  W @ [Xr | Xi] = [W Xr | W Xi].
+    ONE-PASS form (exp/fft_blockstage): both output planes come from two
+    accumulated matmuls with (2r, r) stacked codelets,
+
+        [Yr; Yi] = [wr; wi] @ Xr + [-wi; wr] @ Xi,
+
+    so each stage reads every input plane once and writes every output
+    plane once.  The r1 form (minor-axis stack + separate wr/wi einsums)
+    read the working set twice per stage and paid a concat pass — the
+    stages are HBM-bound, and this lifted 2^22 from 547 to 708 GFLOP/s
+    (2^24: 294 -> 317) at identical error.
     """
     alg = _dot_alg()
-    m = xr.shape[-1]
-    x2 = jnp.concatenate([xr, xi], axis=-1)          # (..., r, 2m)
-    a = jnp.einsum("ij,...jm->...im", wr, x2, precision=alg)
-    b = jnp.einsum("ij,...jm->...im", wi, x2, precision=alg)
+    r = wr.shape[0]
+    wa = jnp.concatenate([wr, wi], axis=0)            # (2r, r)
+    wb = jnp.concatenate([-wi, wr], axis=0)           # (2r, r)
+    y2 = (jnp.einsum("ij,...jm->...im", wa, xr, precision=alg)
+          + jnp.einsum("ij,...jm->...im", wb, xi, precision=alg))
     # (wr + i wi)(xr + i xi): re = wr xr - wi xi, im = wr xi + wi xr
-    yr = a[..., :m] - b[..., m:]
-    yi = a[..., m:] + b[..., :m]
-    return yr, yi
+    return y2[..., :r, :], y2[..., r:, :]
 
 
 def _cmatmul_last(xr, xi, wr, wi):
-    """Base-case codelet: X @ W contracting the LAST axis (n <= 128)."""
+    """Base-case codelet: X @ W contracting the LAST axis (n <= codelet).
+
+    Same one-pass accumulated form as `_cmatmul_radix`, output planes
+    stacked along the minor axis:  [Yr | Yi] = Xr @ [wr | wi] +
+    Xi @ [-wi | wr]  — each input plane is read once."""
     alg = _dot_alg()
-    x2 = jnp.concatenate([xr, xi], axis=-2) if xr.ndim > 1 else None
-    if x2 is None:
-        ar = jnp.einsum("j,jk->k", xr, wr, precision=alg) - jnp.einsum(
-            "j,jk->k", xi, wi, precision=alg)
-        ai = jnp.einsum("j,jk->k", xr, wi, precision=alg) + jnp.einsum(
-            "j,jk->k", xi, wr, precision=alg)
-        return ar, ai
-    rows = xr.shape[-2]
-    a = jnp.einsum("...jk,kl->...jl", x2, wr, precision=alg)
-    b = jnp.einsum("...jk,kl->...jl", x2, wi, precision=alg)
-    yr = a[..., :rows, :] - b[..., rows:, :]
-    yi = a[..., rows:, :] + b[..., :rows, :]
-    return yr, yi
+    k = wr.shape[1]
+    wa = jnp.concatenate([wr, wi], axis=1)            # (k, 2k)
+    wb = jnp.concatenate([-wi, wr], axis=1)           # (k, 2k)
+    if xr.ndim == 1:
+        y2 = (jnp.einsum("j,jk->k", xr, wa, precision=alg)
+              + jnp.einsum("j,jk->k", xi, wb, precision=alg))
+        return y2[:k], y2[k:]
+    y2 = (jnp.einsum("...jk,kl->...jl", xr, wa, precision=alg)
+          + jnp.einsum("...jk,kl->...jl", xi, wb, precision=alg))
+    return y2[..., :k], y2[..., k:]
 
 
 def _fft_planar(xr: jnp.ndarray, xi: jnp.ndarray, sign: float,
@@ -336,10 +344,11 @@ class Plan:
         # Auto-route the sizes where the own MXU engine beats the XLA FFT
         # (exp/ fft crossover sweep, both engines twice per size in one
         # process): 1-D c64 smooth lengths 2^17..2^20 — ct measured
-        # 404-1452 vs xla 199-523 GFLOP/s there; ties at 2^21, and XLA
-        # keeps a 1.2-1.5x lead at >=2^22 even with the radix-256
-        # 3-stage plans (exp/fft_radix256: ct 512/371/300 vs xla
-        # 630/520/430 at 2^22/23/24).  VEXTPU_FFT_AUTO=0 disables.
+        # 404-1452 vs xla 199-523 GFLOP/s there; XLA keeps a 5-25%
+        # lead at >=2^21 even with the radix-256 one-pass stages
+        # (exp/fft_window2: ct 769-800/584-635/443-453/338-353 vs xla
+        # 816-840/611-695/524-533/437-454 at 2^21/22/23/24).
+        # VEXTPU_FFT_AUTO=0 disables.
         import os
 
         n0 = shape[self.dims[0]] if len(self.dims) == 1 else 0
