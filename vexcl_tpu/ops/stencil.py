@@ -93,7 +93,10 @@ class stencil:
         if not (0 <= self.center < self.width):
             raise ValueError("stencil center must lie inside the stencil")
 
-    def __rmul__(self, x) -> StencilExpr:  # y = x * s
+    def __rmul__(self, x) -> StencilExpr:  # y = x * s (reference idiom)
+        return StencilExpr(self, x)
+
+    def __mul__(self, x) -> StencilExpr:  # y = s * x also accepted
         return StencilExpr(self, x)
 
     def __call__(self, x) -> StencilExpr:
