@@ -500,8 +500,11 @@ def bench_fft(n=1 << 20):
     # cheap chain bound: |FFT| grows ~N per link, so a 1e-7 scale contracts
     # (0.105x per link); the previous cos(abs(.)) bound cost an extra full
     # pass + transcendental per link
-    t = slope_seconds(lambda v: plan(v) * 1e-7, x0, lo=8, hi=96)
-    t_ct = slope_seconds(lambda v: plan_ct(v) * 1e-7, x0, lo=8, hi=96)
+    # chain-length SNR (docs/benchmarking.md rule 7): the ct engine runs
+    # ~0.11 ms/link at 2^20, so hi-lo must exceed ~200 links to put the
+    # differential above the +-20 ms tunnel RTT noise
+    t = slope_seconds(lambda v: plan(v) * 1e-7, x0, lo=16, hi=224)
+    t_ct = slope_seconds(lambda v: plan_ct(v) * 1e-7, x0, lo=16, hi=224)
     gf = 5 * n * np.log2(n) / 1e9
     return gf / t, gf / t_ct
 
@@ -530,12 +533,15 @@ def bench_fft_sweep():
     # own engine at 2^24: the radix-256 3-stage plan (exp/fft_radix256)
     out["fft_2^24_ct_planner_GFLOPs"] = round(run_1d(1 << 24, 4, 24, "ct"), 1)
 
-    # 2-D 1024x1024 (fft_benchmark.cpp 2-D leg)
+    # 2-D 1024x1024 (fft_benchmark.cpp 2-D leg).  The XLA 2-D FFT runs
+    # ~7-35 us/link here, and r1/r2 chains of 8..96 links measured
+    # anything from 463 to 9834 GFLOP/s — pure RTT noise (rule 7); a
+    # 512..4096-link chain puts the differential at 25-125 ms.
     n2 = 1 << 10
     plan2 = Plan((n2, n2), None, False, np.complex64)
     x2 = jax.jit(lambda r: r.astype(jnp.complex64))(
         jnp.asarray(np.random.rand(n2, n2).astype(np.float32)))
-    t = slope_seconds(lambda v: plan2(v) * 1e-7, x2, lo=8, hi=96)
+    t = slope_seconds(lambda v: plan2(v) * 1e-7, x2, lo=512, hi=4096)
     out["fft2d_1024_GFLOPs"] = round(5 * n2 * n2 * np.log2(n2 * n2) / 1e9 / t, 1)
 
     # non-pow2: prime length -> Bluestein/chirp-z (fft/kernels.hpp:344-520)

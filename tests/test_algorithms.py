@@ -366,6 +366,73 @@ def test_reduce_by_key_compact_path(ctx1, rng):
                                    err_msg=name)
 
 
+def test_reduce_by_key_narrow_payloads_take_generic_path(ctx1, rng,
+                                                         monkeypatch):
+    """bf16 values / i16 keys pass the segscan guard but pallas_compact
+    only transports 32/64-bit planes — the dispatch must FALL BACK to the
+    generic path, not crash (code-review r2 finding)."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    rbk = importlib.import_module("vexcl_tpu.ops.reduce_by_key")
+    segmod = importlib.import_module("vexcl_tpu.ops.pallas_segscan")
+    cmpmod = importlib.import_module("vexcl_tpu.ops.pallas_compact")
+    # force the guards open (on CPU they decline via interpret mode);
+    # reduce_by_key imports them function-locally, so patch the sources
+    monkeypatch.setattr(segmod, "use_pallas_segscan", lambda *a, **k: True)
+    monkeypatch.setattr(cmpmod, "use_pallas_compact", lambda *a, **k: True)
+
+    def boom(*a, **k):
+        raise AssertionError("compact path must not run for narrow dtypes")
+
+    monkeypatch.setattr(rbk, "_reduce_by_key_compact", boom)
+
+    n = 4096
+    hk = np.sort(rng.integers(0, 50, n)).astype(np.int16)
+    hv = rng.random(n).astype(np.float32)
+    heads = np.concatenate([[True], hk[1:] != hk[:-1]])
+    seg = np.cumsum(heads) - 1
+    sums = np.zeros(seg[-1] + 1)
+    np.add.at(sums, seg, hv.astype(np.float64))
+
+    # i16 keys + f32 values
+    kv = vex.vector(data=hk, context=ctx1, sharded=False)
+    vv = vex.vector(data=hv, context=ctx1, sharded=False)
+    ok, ov, m = rbk.reduce_by_key(kv, vv)
+    assert m == len(sums)
+    np.testing.assert_allclose(np.asarray(ov), sums, rtol=2e-5)
+
+    # i32 keys + bf16 values
+    kv32 = vex.vector(data=hk.astype(np.int32), context=ctx1, sharded=False)
+    vvb = vex.vector(data=jnp.asarray(hv).astype(jnp.bfloat16),
+                     context=ctx1, sharded=False)
+    ok2, ov2, m2 = rbk.reduce_by_key(kv32, vvb)
+    assert m2 == len(sums)
+    np.testing.assert_allclose(
+        np.asarray(ov2.array).astype(np.float64), sums, rtol=3e-2)
+
+
+def test_rbk_stage1_count_dtype_is_integer(ctx1, rng):
+    """The synced (total, max) run-count stats must be integer: an f32
+    total loses exactness past 2^24 runs (code-review r2 finding)."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    rbk = importlib.import_module("vexcl_tpu.ops.reduce_by_key")
+    n = 300_000
+    hv = rng.random(n).astype(np.float32)
+    hk = (np.arange(n) // 64).astype(np.int32)
+    jfn = rbk._rbk_stage1(1)
+    out = jfn(jnp.asarray(hv), jnp.asarray(hk))
+    stats = out[2]
+    assert jnp.issubdtype(stats.dtype, jnp.integer), stats.dtype
+    total, cmax = np.asarray(stats)
+    assert total == -(-n // 64)      # 4688 runs (last one short)
+    assert 0 < cmax <= total         # cmax = max per-BLOCK run count
+
+
 def test_reduce_by_key_all_distinct_skips_assembly(ctx1, rng, monkeypatch):
     """Degenerate all-distinct keys: every element is its own run, so the
     compact path must return the inputs (copied) WITHOUT paying the

@@ -166,3 +166,29 @@ def test_auto_ct_window(ctx, rng):
     # inverse roundtrip through the same auto plan
     inv = np.asarray(jax.jit(Plan((n,), None, True, np.complex64))(got))
     assert np.linalg.norm(inv - hx) / np.linalg.norm(hx) < 5e-7
+
+
+def test_fft_expr_sig_separates_engines(ctx):
+    """xla- and ct-engine plans of identical geometry must have distinct
+    expression signatures, or the kernel cache serves the wrong engine
+    (code-review r2 finding)."""
+    from vexcl_tpu.ops.fft import FFT, Plan, FFTExpr
+
+    n = 4096
+    px = Plan((n,), None, False, np.complex64)
+    pc = Plan((n,), None, False, np.complex64, impl="ct")
+    x = vex.vector(n, dtype=np.complex64, context=ctx)
+    sx = FFTExpr(px, x).extra_sig()
+    sc = FFTExpr(pc, x).extra_sig()
+    assert sx != sc
+
+
+def test_dot_alg_f64_is_full_precision():
+    """The bf16 MXU presets accept f32 only and silently downcast f64;
+    f64 stages must use Precision.HIGHEST (code-review r2 finding)."""
+    import jax
+
+    from vexcl_tpu.ops.fft import _dot_alg
+
+    assert _dot_alg(np.float64) == jax.lax.Precision.HIGHEST
+    assert _dot_alg(np.dtype(np.float64)) == jax.lax.Precision.HIGHEST

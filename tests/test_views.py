@@ -138,3 +138,21 @@ def test_tensordot_size_hint_standalone(ctx, rng):
     got = np.asarray(vex.eval(expr))
     np.testing.assert_allclose(
         got.reshape(n, k), ha.reshape(n, m) @ hb.reshape(m, k), rtol=1e-10)
+
+
+def test_tensordot_size_hint_negative_axes(ctx, rng):
+    """Negative contraction axes (accepted by jnp.tensordot) must be
+    normalized in size_hint (code-review r2 finding: the contracted dim
+    was wrongly counted in the output size)."""
+    n, m, k = 12, 8, 5
+    ha = rng.random(n * m)
+    hb = rng.random(m * k)
+    x = vex.vector(data=ha, context=ctx)
+    y = vex.vector(data=hb, context=ctx)
+    A = vex.slicer((n, m))
+    B = vex.slicer((m, k))
+    expr = vex.tensordot(A[:, :](x), B[:, :](y), vex.axes_pairs(-1, 0))
+    assert expr.size_hint() == n * k
+    got = np.asarray(vex.eval(expr))
+    np.testing.assert_allclose(
+        got.reshape(n, k), ha.reshape(n, m) @ hb.reshape(m, k), rtol=1e-10)

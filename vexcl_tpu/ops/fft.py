@@ -53,22 +53,25 @@ __all__ = ["FFT", "fft", "ifft", "prime_factors", "plan_cache"]
 _MAX_CODELET = int(__import__("os").environ.get("VEXTPU_FFT_RADIX", "256"))
 
 
-def _dot_alg():
-    """Matmul algorithm for the DFT stages.
+def _dot_alg(dtype=np.float32):
+    """Matmul algorithm for the DFT stages, per operand REAL dtype.
 
-    TPU: BF16_BF16_F32_X6 — 6 bf16 passes reproducing f32 accuracy (what
-    Precision.HIGHEST uses) but expressed as an explicit algorithm so the
-    twiddle/codelet matmuls stay on the native bf16 MXU path; measured
-    2^20 c64 complex rel err 1.39e-7 on v5e.  Set VEXTPU_FFT_X3=1 for
-    the 3-pass variant: measured ~2.4e-5 rel err (dropped lo*lo term),
-    up to several x faster — for bf16-tolerant pipelines only.  X9 is
-    NOT supported by the v5e libtpu (AOT: "ALG_DOT_BF16_BF16_F32_X9 is
-    not supported").  CPU (tests): HIGHEST — the bf16 presets are
-    TPU-specific.
-    """
+    f32 on TPU: BF16_BF16_F32_X6 — 6 bf16 passes reproducing f32 accuracy
+    (what Precision.HIGHEST uses) but expressed as an explicit algorithm
+    so the twiddle/codelet matmuls stay on the native bf16 MXU path;
+    measured 2^20 c64 complex rel err 1.39e-7 on v5e.  Set
+    VEXTPU_FFT_X3=1 for the 3-pass variant: measured ~2.4e-5 rel err
+    (dropped lo*lo term), up to several x faster — for bf16-tolerant
+    pipelines only.  X9 is NOT supported by the v5e libtpu (AOT:
+    "ALG_DOT_BF16_BF16_F32_X9 is not supported").
+
+    f64 (c128 plans under x64) and CPU: Precision.HIGHEST — the bf16
+    presets only accept f32 operands and would SILENTLY downcast f64 to
+    f32 accuracy (~5e-7 rel err instead of ~1e-15; code-review r2
+    finding, reproduced)."""
     import os
 
-    if jax.default_backend() == "cpu":
+    if np.dtype(dtype) != np.float32 or jax.default_backend() == "cpu":
         return jax.lax.Precision.HIGHEST
     if os.environ.get("VEXTPU_FFT_X3") == "1":
         return jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3
@@ -93,28 +96,6 @@ def prime_factors(n: int) -> Tuple[int, ...]:
 
 def _next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
-
-
-@lru_cache(maxsize=None)
-def _dft_matrix_np(n: int, sign: float, dtype_str: str) -> np.ndarray:
-    k = np.arange(n)
-    w = np.exp(sign * 2j * np.pi * np.outer(k, k) / n)
-    return w.astype(dtype_str)
-
-
-def _codelet(n: int, sign: float, dtype) -> jnp.ndarray:
-    return jnp.asarray(_dft_matrix_np(n, sign, str(np.dtype(dtype))))
-
-
-def _best_radix(n: int) -> int:
-    """Pick the largest codelet-sized factor (planner policy: big radixes
-    amortize twiddle traffic and feed the MXU bigger matmuls)."""
-    best = 0
-    for r in range(_MAX_CODELET, 1, -1):
-        if n % r == 0:
-            best = r
-            break
-    return best
 
 
 @lru_cache(maxsize=None)
@@ -207,7 +188,7 @@ def _cmatmul_radix(wr, wi, xr, xi):
     stages are HBM-bound, and this lifted 2^22 from 547 to 708 GFLOP/s
     (2^24: 294 -> 317) at identical error.
     """
-    alg = _dot_alg()
+    alg = _dot_alg(xr.dtype)
     r = wr.shape[0]
     wa = jnp.concatenate([wr, wi], axis=0)            # (2r, r)
     wb = jnp.concatenate([-wi, wr], axis=0)           # (2r, r)
@@ -223,7 +204,7 @@ def _cmatmul_last(xr, xi, wr, wi):
     Same one-pass accumulated form as `_cmatmul_radix`, output planes
     stacked along the minor axis:  [Yr | Yi] = Xr @ [wr | wi] +
     Xi @ [-wi | wr]  — each input plane is read once."""
-    alg = _dot_alg()
+    alg = _dot_alg(xr.dtype)
     k = wr.shape[1]
     wa = jnp.concatenate([wr, wi], axis=1)            # (k, 2k)
     wb = jnp.concatenate([-wi, wr], axis=1)           # (k, 2k)
@@ -390,8 +371,12 @@ class FFTExpr(Expr):
         self.children = (as_expr(x),)
 
     def extra_sig(self) -> str:
+        # impl + routing flags are part of the structure: an xla-engine
+        # and a ct-engine plan of the same geometry must not share a
+        # cached kernel (code-review r2 finding)
         p = self.plan
-        return f"{p.shape}:{p.dims}:{p.inverse}:{p.dtype}"
+        return (f"{p.shape}:{p.dims}:{p.inverse}:{p.dtype}:{p.impl}"
+                f":{int(p._route_ct)}{int(p._auto_ct)}")
 
     def emit(self, env: EmitEnv):
         return self.plan(self.children[0].emit_cached(env))

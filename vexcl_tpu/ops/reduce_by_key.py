@@ -47,8 +47,11 @@ def _rbk_stage1(nkeys: int, mono: str = "add"):
         out = pallas_compact(tails, incl, *keys_in)
         pos, counts = out[0], out[1]
         # total + max in ONE array: each host scalar fetch is a full
-        # tunnel round trip (~30-400 ms)
-        stats = jnp.stack([jnp.sum(counts), jnp.max(counts)])
+        # tunnel round trip (~30-400 ms).  Sum as i32: per-block counts
+        # are f32-exact (<= block size) but an f32 TOTAL loses exactness
+        # past 2^24 runs (code-review r2 finding).
+        ci = counts.astype(jnp.int32)
+        stats = jnp.stack([jnp.sum(ci), jnp.max(ci)])
         return (pos, counts, stats) + tuple(out[2:])
 
     return jax.jit(run)
@@ -162,7 +165,14 @@ def reduce_by_key(
     seg_pallas = (mono is not None and key_eq is None and all_int_keys
                   and use_pallas_segscan(ks[0], vals.array, None, None))
 
-    if seg_pallas and all(use_pallas_compact(k) for k in ks):
+    # compact-path payloads (values + keys) ride pallas_compact, which
+    # transports 32/64-bit planes only; bf16 values or i8/i16 keys pass
+    # the segscan guard but must take the generic path (code-review r2
+    # finding: the mismatch crashed instead of falling back)
+    compact_ok = (np.dtype(vals.dtype).itemsize in (4, 8)
+                  and all(np.dtype(k.dtype).itemsize in (4, 8) for k in ks))
+
+    if seg_pallas and compact_ok and all(use_pallas_compact(k) for k in ks):
         return _reduce_by_key_compact(ks, vals, okeys, ovals, multi, mono)
 
     # generic path: the inline segscan below is add-only single-key

@@ -68,7 +68,11 @@ class TensordotExpr(Expr):
             a_ax = tuple(range(len(sa) - int(ax), len(sa)))
             b_ax = tuple(range(int(ax)))
         else:
-            a_ax, b_ax = (tuple(int(i) for i in x) for x in ax)
+            # normalize negative axes (jnp.tensordot accepts them, so the
+            # size hint must count them the same way)
+            a_ax, b_ax = ax
+            a_ax = tuple(int(i) % len(sa) for i in a_ax)
+            b_ax = tuple(int(i) % len(sb) for i in b_ax)
         out = [d for i, d in enumerate(sa) if i not in set(a_ax)]
         out += [d for i, d in enumerate(sb) if i not in set(b_ax)]
         return int(np.prod(out)) if out else 1
