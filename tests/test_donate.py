@@ -112,6 +112,49 @@ def test_tie_compound_donates_olds(ctx, rng, donate_on):
     np.testing.assert_allclose(np.asarray(y), ey)
 
 
+def test_tagged_multi_slot_suppresses_donation(ctx, rng, donate_on):
+    """x = x - tag(0, x): the same storage occupies TWO leaf slots (one
+    buffer-identity keyed, one tag keyed).  Donating both would crash at
+    execute time; donating one would corrupt the other slot's read.  The
+    dispatch must decline donation entirely (compile._donate_slots)."""
+    hx = rng.random(1024)
+    x = vex.vector(data=hx, context=ctx)
+    x[:] = x - vex.tag(0, x) + 1.0
+    np.testing.assert_allclose(np.asarray(x), np.ones_like(hx))
+    # warm path replays the non-donated cached kernel
+    x[:] = x - vex.tag(0, x) + 1.0
+    np.testing.assert_allclose(np.asarray(x), np.ones_like(hx))
+
+
+def test_copy_does_not_share_storage_with_donation(ctx, rng, donate_on):
+    """copy()/assign(vector) must produce a distinct device buffer: if the
+    two vectors shared storage, a donated x = f(x) on one would delete the
+    other's data out from under it."""
+    hx = rng.random(2048)
+    x = vex.vector(data=hx, context=ctx)
+    y = x.copy()
+    x[:] = x * 2  # donates x's buffer
+    np.testing.assert_allclose(np.asarray(y), hx)  # y unharmed
+    np.testing.assert_allclose(np.asarray(x), hx * 2)
+
+    z = vex.vector(2048, dtype=x.dtype, context=ctx)
+    z.assign(y)  # same-dtype assign: astype() is a no-op short-circuit
+    y[:] = y + 1  # donates y's buffer
+    np.testing.assert_allclose(np.asarray(z), hx)  # z unharmed
+
+
+def test_padded_destination_buffer_survives(ctx, rng, donate_on):
+    """Odd (padded) destinations never alias output onto storage, so the
+    dispatch must not request donation — the old padded buffer stays
+    readable after the assignment."""
+    hx = rng.random(1003)
+    x = vex.vector(data=hx, context=ctx)
+    keep = x.storage  # padded device buffer
+    x[:] = x * 2
+    np.testing.assert_allclose(np.asarray(x), hx * 2)
+    assert np.asarray(keep).shape[0] >= 1003  # still readable, not donated
+
+
 def test_donate_off_by_default(ctx, rng):
     assert config.donate in (False, True)  # env-driven; just exercise off
     old = config.donate

@@ -103,6 +103,32 @@ def _build_evaluator(
     return jfn
 
 
+def _donate_slots(buf, leaves) -> Tuple[int, ...]:
+    """Leaf slots safe to donate for ``buf``: () unless the buffer
+    occupies exactly ONE slot.  Tagged terminals key slots by tag — not
+    buffer identity — so the same storage can appear at several argnums
+    (``x - tag(0, x)``); donating any of them then either crashes at
+    execute time (multi-slot donation) or silently corrupts the other
+    read (single-slot donation of a multiply-passed buffer)."""
+    if buf is None:
+        return ()
+    slots = tuple(i for i, l in enumerate(leaves) if l is buf)
+    return slots if len(slots) == 1 else ()
+
+
+def _olds_donation_safe(olds, leaves) -> bool:
+    """Old-value buffers (compound assignment) are safe to donate iff none
+    of them is also an expression leaf (x += x*y would alias the output
+    over memory another parameter still reads) and no buffer appears as
+    two destinations (tie(x, x))."""
+    return (
+        config.donate
+        and bool(olds)
+        and not any(l is o for l in leaves for o in olds)
+        and len({id(o) for o in olds}) == len(olds)
+    )
+
+
 def _check_sizes(analysis: Analysis, n: Optional[int]) -> None:
     """Elementwise size validation (VEXCL_CHECK_SIZES,
     operations.hpp:1442-1458): vector terminals reached only through
@@ -151,10 +177,8 @@ def evaluate(
         analysis = analyze(expr)
         _check_sizes(analysis, n)
         dslots: Tuple[int, ...] = ()
-        if config.donate and donate_buffer is not None and leaf_transform is None:
-            dslots = tuple(
-                i for i, l in enumerate(analysis.leaves) if l is donate_buffer
-            )
+        if config.donate and leaf_transform is None:
+            dslots = _donate_slots(donate_buffer, analysis.leaves)
         cache_key = (analysis.sig, "=", n, out_dtype, dslots)
 
         def factory():
@@ -180,10 +204,7 @@ def evaluate(
     # compound: old value becomes leaf 0
     analysis = analyze(expr)
     _check_sizes(analysis, n)
-    # Only donate `old` when its buffer is NOT also an expression leaf
-    # (x += x*y passes the same buffer twice: donating would let the
-    # aliased output overwrite memory another parameter still reads).
-    donate_old = config.donate and not any(l is old for l in analysis.leaves)
+    donate_old = _olds_donation_safe((old,), analysis.leaves)
     cache_key = (analysis.sig, op, n, out_dtype, donate_old)
 
     def factory():
@@ -215,7 +236,9 @@ def assign_value(vec, value, op: str = "=") -> None:
     arr = evaluate(
         value, n=vec.size, op=op, old=vec.array if op != "=" else None,
         out_dtype=vec.dtype,
-        donate_buffer=vec.storage if op == "=" else None,
+        donate_buffer=(vec.storage
+                       if op == "=" and not getattr(vec, "_pad", 0)
+                       else None),
     )
     vec._set_array(arr)
 
@@ -242,16 +265,8 @@ def evaluate_multi(
             _check_sizes(analyze(e), n)
     analysis = analyze(*exprs)
     need_old = [ASSIGN_OPS[op] is not None for op in ops]
-    # donate the olds tuple unless any old buffer is also an expression
-    # leaf (same aliasing hazard as the single-expression path) or the
-    # same buffer appears as two destinations
     olds_real = [o for o, ne in zip(olds, need_old) if ne]
-    donate_olds = (
-        config.donate
-        and bool(olds_real)
-        and not any(l is o for l in analysis.leaves for o in olds_real)
-        and len({id(o) for o in olds_real}) == len(olds_real)
-    )
+    donate_olds = _olds_donation_safe(olds_real, analysis.leaves)
     cache_key = (
         analysis.sig,
         tuple(ops),

@@ -325,7 +325,14 @@ class vector(_ExprOpsMixin):
     def assign(self, value: Any, op: str = "=") -> "vector":
         if isinstance(value, vector) and op == "=":
             self._check_copy(value)
-            self._array = self._place(value.array.astype(self.dtype))
+            arr = value.array.astype(self.dtype)
+            if arr is value.array or arr is value._array:
+                # astype/device_put short-circuit and return the SAME
+                # jax.Array: force a real device copy so the vectors never
+                # share storage — a later donated assignment (config.donate)
+                # to either would delete the other's buffer
+                arr = arr.copy()
+            self._array = self._place(arr)
             return self
         if isinstance(value, (int, float, complex, bool, np.generic)) and op == "=":
             self._array = self._place(np.full(self.size, value, dtype=self.dtype))
@@ -339,8 +346,12 @@ class vector(_ExprOpsMixin):
             old=self.array if ASSIGN_OPS[op] is not None else None,
             out_dtype=self.dtype,
             # x = f(x): donate the destination's buffer so XLA writes the
-            # result in place (config.donate; compile.evaluate docstring)
-            donate_buffer=self.storage if op == "=" else None,
+            # result in place (config.donate; compile.evaluate docstring).
+            # Padded storage can never alias (storage length != logical
+            # output length) — donating it would only invalidate the
+            # buffer for zero benefit, so don't ask.
+            donate_buffer=(self.storage if op == "=" and not self._pad
+                           else None),
         )
         self._set_array(arr)
         return self
@@ -475,8 +486,11 @@ class vector(_ExprOpsMixin):
     # -- misc -------------------------------------------------------------------
     def copy(self) -> "vector":
         self._check_copy(self)
-        return vector(data=self.array, dtype=self.dtype, context=self.context,
-                      sharded=self._sharded)
+        # .copy(): the constructor's device_put is a no-op for an
+        # already-placed array, which would SHARE storage (hazardous once
+        # config.donate can invalidate a buffer in place)
+        return vector(data=self.array.copy(), dtype=self.dtype,
+                      context=self.context, sharded=self._sharded)
 
     def clone(self) -> "vector":
         return self.copy()
