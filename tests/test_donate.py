@@ -112,6 +112,31 @@ def test_tie_compound_donates_olds(ctx, rng, donate_on):
     np.testing.assert_allclose(np.asarray(y), ey)
 
 
+def test_tie_plain_assign_donates_destinations(ctx, rng, donate_on):
+    """tie(x, y) = (f(x), g(y)): each destination storage occupying one
+    leaf slot is donated (evaluate_multi donate_buffers)."""
+    hx = rng.random(1024)
+    hy = rng.random(1024)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(data=hy, context=ctx)
+    vex.tie(x, y).assign((2 * x + y, x - y))
+    np.testing.assert_allclose(np.asarray(x), 2 * hx + hy)
+    np.testing.assert_allclose(np.asarray(y), hx - hy)
+    # swap through the fused kernel: donation must still read old values
+    vex.tie(x, y).assign((y * 1, x * 1))
+    np.testing.assert_allclose(np.asarray(x), hx - hy)
+    np.testing.assert_allclose(np.asarray(y), 2 * hx + hy)
+
+
+def test_multivector_plain_assign_donates(ctx, rng, donate_on):
+    h = rng.random((3, 512))
+    m = vex.multivector(data=h, context=ctx)
+    m[:] = m * 2 + 1
+    np.testing.assert_allclose(m.to_numpy(), h * 2 + 1)
+    m[:] = m * 2 + 1  # warm path replays the donated kernel
+    np.testing.assert_allclose(m.to_numpy(), (h * 2 + 1) * 2 + 1)
+
+
 def test_tagged_multi_slot_suppresses_donation(ctx, rng, donate_on):
     """x = x - tag(0, x): the same storage occupies TWO leaf slots (one
     buffer-identity keyed, one tag keyed).  Donating both would crash at

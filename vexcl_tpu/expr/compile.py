@@ -249,6 +249,7 @@ def evaluate_multi(
     ops: Sequence[str],
     olds: Sequence[Any],
     out_dtypes: Sequence[Any],
+    donate_buffers: Optional[Sequence[Any]] = None,
 ) -> Tuple:
     """Fused evaluation of N expressions in ONE compiled kernel.
 
@@ -267,12 +268,25 @@ def evaluate_multi(
     need_old = [ASSIGN_OPS[op] is not None for op in ops]
     olds_real = [o for o, ne in zip(olds, need_old) if ne]
     donate_olds = _olds_donation_safe(olds_real, analysis.leaves)
+    # pure-"=" fused assignments (tie(x, y) = (f(x), g(y))): donate each
+    # destination storage occupying exactly one leaf slot, same rule as the
+    # single-expression path.  Leaves sit at argnums 1.. (argnum 0 is the
+    # olds tuple); skipped whenever any old is in play so a buffer can
+    # never be donated through both routes at once.
+    dslots: Tuple[int, ...] = ()
+    if config.donate and donate_buffers and not olds_real:
+        bufs = [b for b in donate_buffers if b is not None]
+        if len({id(b) for b in bufs}) == len(bufs):
+            dslots = tuple(
+                s + 1 for b in bufs for s in _donate_slots(b, analysis.leaves)
+            )
     cache_key = (
         analysis.sig,
         tuple(ops),
         tuple(ns),
         tuple(out_dtypes),
         donate_olds,
+        dslots,
     )
 
     def factory():
@@ -293,7 +307,8 @@ def evaluate_multi(
                 outs.append(val)
             return tuple(outs)
 
-        return jax.jit(run, donate_argnums=(0,) if donate_olds else ())
+        donate = (0,) if donate_olds else dslots
+        return jax.jit(run, donate_argnums=donate)
 
     jfn = (
         kernel_cache.get_or_create(cache_key, factory)

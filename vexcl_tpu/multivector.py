@@ -230,6 +230,10 @@ class multivector:
             ops=[op] * self.nparts,
             olds=[c.array for c in self._comps],
             out_dtypes=[c.dtype for c in self._comps],
+            donate_buffers=[
+                c.storage if op == "=" and not c._pad else None
+                for c in self._comps
+            ],
         )
         for c, arr in zip(self._comps, outs):
             c._set_array(arr)
@@ -273,6 +277,10 @@ class _Tied:
             ops=[op] * len(exprs),
             olds=[v.array for v in self.vectors],
             out_dtypes=[v.dtype for v in self.vectors],
+            donate_buffers=[
+                v.storage if op == "=" and not v._pad else None
+                for v in self.vectors
+            ],
         )
         for v, arr in zip(self.vectors, outs):
             v._set_array(arr)
