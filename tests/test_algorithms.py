@@ -611,3 +611,23 @@ def test_reduce_by_key_max(ctx1, rng):
     ok2, ov2, m2 = vex.reduce_by_key(kv, v, op_name="max")
     assert m2 == len(want)
     np.testing.assert_allclose(np.asarray(ov2), want, rtol=1e-6)
+
+
+def test_unrecognized_op_name_raises(ctx, rng):
+    """op_name alone must select a known operation: op_name='prod' with no
+    callable silently computed a SUM before the r2 review fix
+    (ops/monoid.py shared dispatch)."""
+    v = vex.vector(data=rng.random(64), context=ctx)
+    k = vex.vector(data=np.zeros(64, np.int32), context=ctx)
+    with pytest.raises(ValueError):
+        vex.inclusive_scan(v, op_name="prod")
+    with pytest.raises(ValueError):
+        vex.inclusive_scan_by_key(k, v, op_name="prod")
+    with pytest.raises(ValueError):
+        vex.reduce_by_key(k, v, op_name="prod")
+    # a callable with an unrecognized name still runs the generic path
+    import jax.numpy as jnp
+
+    out = vex.reduce_by_key(k, v, op=jnp.multiply, op_name="prod")
+    np.testing.assert_allclose(np.asarray(out[1])[0],
+                               np.prod(np.asarray(v)), rtol=1e-10)

@@ -194,3 +194,51 @@ def test_donate_off_by_default(ctx, rng):
         np.testing.assert_allclose(np.asarray(keep), hx)
     finally:
         config.donate = old
+
+
+def test_constructed_from_jax_array_is_borrowed(ctx, rng, donate_on):
+    """vector(data=<jax.Array>) may alias the caller's buffer (device_put
+    is a no-copy when placement already matches), so the first assignment
+    must not donate it: donation would delete the caller's array and any
+    sibling vector built from the same buffer (r2 review finding)."""
+    import jax
+
+    host = rng.random(4096).astype(np.float64)
+    arr = jax.device_put(host, ctx.vector_sharding)  # placement matches
+    a = vex.vector(data=arr, context=ctx)
+    b = vex.vector(data=arr, context=ctx)
+    a[:] = 2 * a + 1  # must NOT donate the shared buffer
+    np.testing.assert_allclose(np.asarray(a), 2 * host + 1)
+    np.testing.assert_allclose(np.asarray(b), host)   # sibling intact
+    np.testing.assert_allclose(np.asarray(arr), host)  # caller intact
+    # the result buffer is fresh and exclusively owned: donation resumes
+    a[:] = a * 2
+    np.testing.assert_allclose(np.asarray(a), (2 * host + 1) * 2)
+
+
+def test_tie_with_borrowed_storage_does_not_donate(ctx, rng, donate_on):
+    """Fused tie assignment skips donation for components whose storage is
+    still shared with a caller-held jax.Array."""
+    import jax
+
+    hx = rng.random(2048)
+    hy = rng.random(2048)
+    ax = jax.device_put(hx, ctx.vector_sharding)
+    x = vex.vector(data=ax, context=ctx)
+    y = vex.vector(data=hy, context=ctx)
+    vex.tie(x, y).assign((x * 2, y + 1))
+    np.testing.assert_allclose(np.asarray(x), hx * 2)
+    np.testing.assert_allclose(np.asarray(ax), hx)  # caller's array intact
+    np.testing.assert_allclose(np.asarray(y), hy + 1)
+
+
+def test_swap_carries_borrowed_flag(ctx, rng, donate_on):
+    import jax
+
+    hx = rng.random(1024)
+    ax = jax.device_put(hx, ctx.vector_sharding)
+    x = vex.vector(data=ax, context=ctx)  # borrowed
+    y = vex.vector(data=rng.random(1024), context=ctx)  # owned
+    x.swap(y)
+    y[:] = y * 3  # y now holds the borrowed buffer: must not donate
+    np.testing.assert_allclose(np.asarray(ax), hx)

@@ -214,6 +214,13 @@ def test_negative_indices_on_padded_vector(ctx):
         v[-n - 1] = 0.0
     with pytest.raises(IndexError):
         v[np.array([0, -n - 1])] = [0.0, 0.0]
+    # positive out-of-range array keys must raise too (r2 review: jax
+    # .at[].set drops OOB writes silently; on padded storage an index in
+    # [n, n+pad) would land in the zero pad)
+    with pytest.raises(IndexError):
+        v[np.array([n])] = [0.0]
+    with pytest.raises(IndexError):
+        v[np.array([0, n + v._pad - 1])] = [0.0, 0.0]
 
 
 def test_padded_assignment_reuses_compiled_pad(ctx):
@@ -353,3 +360,16 @@ def test_enqueue_runs_on_target_and_supports_compound(ctx, ctx1, rng):
     vex.enqueue(ctx)(y)[:] = y[:] * 0.5
     assert y.context is ctx
     np.testing.assert_allclose(np.asarray(y), 0.5 * ha)
+
+
+def test_enqueue_redirect_complex_leaves(ctx, ctx1, rng):
+    """The enqueue placer must move complex leaves through the split
+    (real, imag) shim (events._put): raw device_put of complex arrays
+    raises UNIMPLEMENTED on the axon TPU platform (r2 review).  The CPU
+    mesh transfers complex fine either way — this pins the code path."""
+    n = 512
+    hz = (rng.random(n) + 1j * rng.random(n)).astype(np.complex128)
+    z = vex.vector(data=hz, context=ctx)
+    w = vex.vector(n, dtype=np.complex128, context=ctx)
+    vex.enqueue(ctx1)(w)[:] = z * (2 + 0j)
+    np.testing.assert_allclose(np.asarray(w), hz * 2, rtol=1e-12)

@@ -231,7 +231,8 @@ class multivector:
             olds=[c.array for c in self._comps],
             out_dtypes=[c.dtype for c in self._comps],
             donate_buffers=[
-                c.storage if op == "=" and not c._pad else None
+                c.storage
+                if op == "=" and not c._pad and not c._borrowed else None
                 for c in self._comps
             ],
         )
@@ -278,7 +279,8 @@ class _Tied:
             olds=[v.array for v in self.vectors],
             out_dtypes=[v.dtype for v in self.vectors],
             donate_buffers=[
-                v.storage if op == "=" and not v._pad else None
+                v.storage
+                if op == "=" and not v._pad and not v._borrowed else None
                 for v in self.vectors
             ],
         )

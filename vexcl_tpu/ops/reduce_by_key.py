@@ -148,19 +148,9 @@ def reduce_by_key(
     from .pallas_segscan import use_pallas_segscan
 
     all_int_keys = all(jnp.issubdtype(k.dtype, jnp.integer) for k in ks)
-    mono = None
-    if op is None and (op_name in (None, "add", "sum")):
-        mono = "add"
-    else:
-        named = {"max": "max", "maximum": "max", "fmax": "max",
-                 "min": "min", "minimum": "min", "fmin": "min"}.get(
-            (op_name or "").lower())
-        if named and op in (None, jnp.maximum, jnp.minimum):
-            if (named == "max" and op in (None, jnp.maximum)) or (
-                    named == "min" and op in (None, jnp.minimum)):
-                mono = named
-                if op is None:
-                    op = jnp.maximum if named == "max" else jnp.minimum
+    from .monoid import monoid_of
+
+    mono, op = monoid_of(op, op_name)
 
     seg_pallas = (mono is not None and key_eq is None and all_int_keys
                   and use_pallas_segscan(ks[0], vals.array, None, None))

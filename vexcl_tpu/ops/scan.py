@@ -75,15 +75,13 @@ def scan(
     from .pallas_monoid_scan import use_pallas_monoid_scan
     from .pallas_scan import use_pallas_scan
 
-    mono = {"max": "max", "maximum": "max", "fmax": "max",
-            "min": "min", "minimum": "min", "fmin": "min"}.get(
-        (op_name or "").lower())
-    if mono and op is None:
-        # op_name alone must mean the same thing on every path (the XLA
-        # fallback uses `op or jnp.add`, which would silently SUM)
-        op = jnp.maximum if mono == "max" else jnp.minimum
-    std_mono = (mono == "max" and op is jnp.maximum) or (
-        mono == "min" and op is jnp.minimum)
+    # op_name alone must mean the same thing on every path (the XLA
+    # fallback uses `op or jnp.add`, which would silently SUM); shared
+    # named-monoid dispatch in ops/monoid.py raises on unrecognized names
+    from .monoid import monoid_of
+
+    mono, op = monoid_of(op, op_name)
+    std_mono = mono in ("max", "min")
     if use_pallas_scan(src.array, op):
         mode = "sum"
     elif std_mono and use_pallas_monoid_scan(src.array, mono):

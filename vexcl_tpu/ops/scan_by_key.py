@@ -66,23 +66,12 @@ def _run(keys, src, dst, op, op_name, key_eq, exclusive, init):
     # (scan_by_key.hpp :743-757).  MUST go through kernel_cache: a fresh
     # jit closure per call would re-pay the kernel's multi-minute Mosaic
     # compile on every call; `init` rides as a runtime argument.
-    # monoid selection (mirrors ops/scan.py): plain add, or the STANDARD
-    # max/min callables — a custom op merely named "max" must not take
-    # the kernel path
-    mono = None
-    if op is None and (op_name in (None, "add", "sum")):
-        mono = "add"
-    else:
-        named = {"max": "max", "maximum": "max", "fmax": "max",
-                 "min": "min", "minimum": "min", "fmin": "min"}.get(
-            (op_name or "").lower())
-        if named and (op is None or op is jnp.maximum or op is jnp.minimum):
-            std = (named == "max" and op in (None, jnp.maximum)) or (
-                named == "min" and op in (None, jnp.minimum))
-            if std:
-                mono = named
-                if op is None:
-                    op = jnp.maximum if named == "max" else jnp.minimum
+    # monoid selection (shared with reduce_by_key, ops/monoid.py): plain
+    # add, or the STANDARD max/min callables — a custom op merely named
+    # "max" must not take the kernel path
+    from .monoid import monoid_of
+
+    mono, op = monoid_of(op, op_name)
 
     if mono is not None:
         from .pallas_segscan import (

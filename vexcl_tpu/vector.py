@@ -237,6 +237,12 @@ class vector(_ExprOpsMixin):
         self._n = int(np.shape(arr)[0]) if np.ndim(arr) else 0
         self._logical = None
         self._array = self._place(arr)
+        # A user-supplied jax.Array may still be referenced by the caller
+        # (device_put is a no-copy when placement already matches), so its
+        # buffer must never be donated: donation would delete the caller's
+        # array and any sibling vector built from it.  The flag clears on
+        # the first assignment that installs a fresh result buffer.
+        self._borrowed = isinstance(data, jax.Array)
 
     # -- storage -----------------------------------------------------------
     def _place(self, arr) -> jax.Array:
@@ -289,6 +295,7 @@ class vector(_ExprOpsMixin):
         ndev = self.context.size
         self._logical = None
         self._n = n
+        self._borrowed = False  # fresh result buffer, exclusively owned
         if self._sharded and n > 0 and n % ndev != 0:
             self._pad = (-n) % ndev
             self._array = _pad_to_sharding(
@@ -333,9 +340,11 @@ class vector(_ExprOpsMixin):
                 # to either would delete the other's buffer
                 arr = arr.copy()
             self._array = self._place(arr)
+            self._borrowed = False
             return self
         if isinstance(value, (int, float, complex, bool, np.generic)) and op == "=":
             self._array = self._place(np.full(self.size, value, dtype=self.dtype))
+            self._borrowed = False
             return self
         arr = evaluate(
             value,
@@ -350,8 +359,9 @@ class vector(_ExprOpsMixin):
             # Padded storage can never alias (storage length != logical
             # output length) — donating it would only invalidate the
             # buffer for zero benefit, so don't ask.
-            donate_buffer=(self.storage if op == "=" and not self._pad
-                           else None),
+            donate_buffer=(self.storage
+                           if op == "=" and not self._pad
+                           and not self._borrowed else None),
         )
         self._set_array(arr)
         return self
@@ -390,11 +400,15 @@ class vector(_ExprOpsMixin):
             idx = np.arange(*key.indices(self.size))
         else:
             idx = np.asarray(key)
-            if np.issubdtype(idx.dtype, np.integer) and (idx < 0).any():
+            if np.issubdtype(idx.dtype, np.integer):
+                # validate BOTH signs: jax .at[].set drops out-of-bounds
+                # writes silently, and on padded sharded storage an index
+                # in [n, n+pad) would land in the zero pad instead
                 if (idx < -self._n).any() or (idx >= self._n).any():
                     raise IndexError(
                         f"index out of range for vector of size {self._n}")
-                idx = np.where(idx < 0, idx + self._n, idx)
+                if (idx < 0).any():
+                    idx = np.where(idx < 0, idx + self._n, idx)
         val = evaluate(value, n=len(idx)) if isinstance(value, (Expr, vector)) else value
         if isinstance(val, vector):
             val = val.array
@@ -524,6 +538,7 @@ class vector(_ExprOpsMixin):
         self._n, other._n = other._n, self._n
         self._pad, other._pad = other._pad, self._pad
         self._logical, other._logical = other._logical, self._logical
+        self._borrowed, other._borrowed = other._borrowed, self._borrowed
 
     def block_until_ready(self) -> "vector":
         self._array.block_until_ready()
