@@ -242,3 +242,58 @@ def test_swap_carries_borrowed_flag(ctx, rng, donate_on):
     x.swap(y)
     y[:] = y * 3  # y now holds the borrowed buffer: must not donate
     np.testing.assert_allclose(np.asarray(ax), hx)
+
+
+def test_compound_on_borrowed_does_not_donate_old(ctx, rng, donate_on):
+    """x += expr donates the old value — but NOT when x's storage is a
+    buffer the caller handed in (vector._borrowed): donating it would
+    delete the caller's jax.Array (r2 review finding, compile.evaluate
+    old_donatable)."""
+    import jax
+
+    host = rng.random(4096)
+    arr = jax.device_put(host, ctx.vector_sharding)
+    x = vex.vector(data=arr, context=ctx)
+    x += 1
+    np.testing.assert_allclose(np.asarray(x), host + 1)
+    np.testing.assert_allclose(np.asarray(arr), host)  # caller intact
+    # the fresh result buffer is owned: old-donation resumes next time
+    x += 1
+    np.testing.assert_allclose(np.asarray(x), host + 2)
+
+
+def test_tie_compound_on_borrowed_does_not_donate_olds(ctx, rng, donate_on):
+    """Fused compound (tie += / multivector +=) skips olds donation when
+    ANY destination storage is borrowed (donation of the olds tuple is
+    all-or-nothing)."""
+    import jax
+
+    hx = rng.random(2048)
+    hy = rng.random(2048)
+    ax = jax.device_put(hx, ctx.vector_sharding)
+    x = vex.vector(data=ax, context=ctx)
+    y = vex.vector(data=hy, context=ctx)
+    vex.tie(x, y).assign((1.0, 2.0), "+=")
+    np.testing.assert_allclose(np.asarray(x), hx + 1)
+    np.testing.assert_allclose(np.asarray(y), hy + 2)
+    np.testing.assert_allclose(np.asarray(ax), hx)  # caller intact
+
+
+def test_assign_value_guards_borrowed(ctx, rng, donate_on):
+    """The exported compile.assign_value must apply the same borrowed
+    guards as vector.assign (both '=' donate_buffer and compound old)."""
+    import jax
+
+    from vexcl_tpu.expr.compile import assign_value
+
+    host = rng.random(1024)
+    arr = jax.device_put(host, ctx.vector_sharding)
+    v = vex.vector(data=arr, context=ctx)
+    assign_value(v, 2.0 * v)
+    np.testing.assert_allclose(np.asarray(v), 2 * host)
+    np.testing.assert_allclose(np.asarray(arr), host)
+    w = vex.vector(data=jax.device_put(host, ctx.vector_sharding), context=ctx)
+    warr = w._array
+    assign_value(w, 1.0, op="+=")
+    np.testing.assert_allclose(np.asarray(w), host + 1)
+    np.testing.assert_allclose(np.asarray(warr), host)

@@ -182,3 +182,51 @@ def test_multi_device_partition(ctx):
     assert x.nparts == ctx.size
     p = x.partition()
     assert p[0] == 0 and p[-1] == N and len(p) == ctx.size + 1
+
+
+def test_scalar_leaves_committed_once(ctx, rng):
+    """Scalar expression leaves are committed to the device set once per
+    distinct (value, type) and reused across calls (expr/compile
+    _commit_scalars) — a per-call host->device scalar transfer is a
+    tunnel-RTT-class cost on the real chip.  Committed scalars keep
+    weak_type, so dtype promotion is unchanged."""
+    from vexcl_tpu.expr.compile import _scalar_cache
+
+    hx = rng.random(1024).astype(np.float32)
+    x = vex.vector(data=hx, context=ctx)
+    z = vex.vector(1024, dtype=np.float32, context=ctx)
+    z[:] = 2 * x + 0.25
+    np.testing.assert_allclose(np.asarray(z), 2 * hx + 0.25, rtol=1e-6)
+    assert z.dtype == np.float32  # weak-typed scalars: no f64 upcast
+    size0 = len(_scalar_cache)
+    for _ in range(5):
+        z[:] = 2 * x + 0.25
+    assert len(_scalar_cache) == size0  # reused, not re-committed
+    # distinct values/types get their own entries; results stay exact
+    z[:] = 3 * x + np.float32(0.5)
+    np.testing.assert_allclose(np.asarray(z), 3 * hx + 0.5, rtol=1e-6)
+    assert len(_scalar_cache) >= size0 + 1
+    vex.purge_caches()
+    assert len(_scalar_cache) == 0
+    z[:] = 2 * x + 0.25  # repopulates transparently
+    np.testing.assert_allclose(np.asarray(z), 2 * hx + 0.25, rtol=1e-6)
+
+
+def test_scalar_cache_signed_zero_and_nan(ctx, rng):
+    """+0.0 and -0.0 are distinct committed scalars (0.0 == -0.0 would
+    collapse them, breaking sign-of-zero semantics), and NaN scalars hit
+    the cache (bit-pattern keys; nan != nan would miss every lookup)."""
+    from vexcl_tpu.expr.compile import _scalar_cache
+
+    hx = np.ones(512, np.float32)
+    x = vex.vector(data=hx, context=ctx)
+    z = vex.vector(512, dtype=np.float32, context=ctx)
+    z[:] = x * 0.0
+    assert not np.signbit(np.asarray(z)).any()
+    z[:] = x * -0.0
+    assert np.signbit(np.asarray(z)).all()
+    n0 = len(_scalar_cache)
+    for _ in range(3):
+        z[:] = x * float("nan")
+    assert np.isnan(np.asarray(z)).all()
+    assert len(_scalar_cache) == n0 + 1  # one entry, reused

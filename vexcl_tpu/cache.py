@@ -70,6 +70,18 @@ def purge_caches() -> None:
     for c in caches:
         c.purge()
     try:
+        from .expr import compile as _compile
+
+        _compile._scalar_cache.clear()
+    except Exception:
+        pass
+    try:
+        from . import vector as _vector
+
+        _vector._pad_to_sharding.cache_clear()
+    except Exception:
+        pass
+    try:
         import jax
 
         jax.clear_caches()

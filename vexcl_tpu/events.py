@@ -56,6 +56,34 @@ def enqueue_barrier(context: Optional[Context] = None) -> None:
     (context or current_context()).finish()
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=2)
+def _recombine(re, im, dt):
+    return jax.lax.complex(re, im).astype(dt)
+
+
+def _put(leaf, sh):
+    """device_put that tolerates complex dtypes on the axon TPU platform
+    (eager complex transfers raise UNIMPLEMENTED there): complex arrays
+    migrate as (real, imag) float planes and recombine in a tiny jitted
+    kernel on the target devices."""
+    from .vector import (
+        _complex_workaround_needed, _host_to_device_any, _split_complex)
+
+    if isinstance(leaf, np.ndarray):
+        return _host_to_device_any(leaf, sh)
+    if _complex_workaround_needed(getattr(leaf, "dtype", np.float32)):
+        dt = np.dtype(leaf.dtype)
+        re, im = _split_complex(leaf)
+        re = jax.device_put(re, sh)
+        im = jax.device_put(im, sh)
+        # combine runs where its inputs are committed (the target)
+        return _recombine(re, im, dt)
+    return jax.device_put(leaf, sh)
+
+
 def _target_placer(ctx: Context):
     """Commit a concrete leaf to the target context so the computation
     executes THERE (committed inputs pin XLA's execution device)."""
@@ -69,9 +97,9 @@ def _target_placer(ctx: Context):
                 and leaf.shape[0] > 0
                 and leaf.shape[0] % ctx.size == 0
             ):
-                return jax.device_put(leaf, ctx.vector_sharding)
-            return jax.device_put(leaf, ctx.replicated)
-        return jax.device_put(leaf, ctx.devices[0])
+                return _put(leaf, ctx.vector_sharding)
+            return _put(leaf, ctx.replicated)
+        return _put(leaf, jax.sharding.SingleDeviceSharding(ctx.devices[0]))
 
     return place
 
@@ -120,6 +148,9 @@ class _EnqueueTarget:
                 arr = evaluate(
                     value, n=vec.size, op=op, old=old,
                     out_dtype=vec.dtype, leaf_transform=place,
+                    # same-device re-commit is a no-copy alias of the
+                    # vector's storage: borrowed buffers must survive
+                    old_donatable=not vec._borrowed,
                 )
                 if not same:
                     # the vector migrates to the context that computed it

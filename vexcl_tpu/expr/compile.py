@@ -18,6 +18,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..cache import kernel_cache
 from ..config import config
@@ -40,6 +41,85 @@ ASSIGN_OPS = {
     "<<=": lambda old, new: old << new,
     ">>=": lambda old, new: old >> new,
 }
+
+
+def _replicated_like(sh):
+    """Rank-0-compatible replicated sharding over the same device set as
+    an array leaf's sharding (None when the layout is exotic)."""
+    if isinstance(sh, jax.sharding.NamedSharding):
+        return jax.sharding.NamedSharding(sh.mesh, jax.sharding.PartitionSpec())
+    if isinstance(sh, jax.sharding.SingleDeviceSharding):
+        return sh
+    return None
+
+
+_SCALAR_TYPES = (bool, int, float, np.bool_, np.integer, np.floating)
+_scalar_cache: dict = {}
+_SCALAR_CACHE_MAX = 4096
+
+
+def _commit_scalars(leaves):
+    """Python/np scalar leaves ship host->device on EVERY kernel call
+    (measured: the 8-device CPU mesh pays ~200 us/call broadcasting the
+    scalar; the real chip pays a host->device transfer through the
+    tunnel).  Scalar coefficients repeat across iterations, so commit
+    each distinct (value, type) once per device set and reuse the
+    committed array.  device_put preserves weak_type for Python scalars,
+    so the jit signature — and the compiled kernel's dtype-promotion
+    semantics (2*x stays f32 for f32 x) — is unchanged."""
+    out = None
+    sh = None
+    for i, l in enumerate(leaves):
+        if isinstance(l, _SCALAR_TYPES):
+            if sh is None:
+                # Pick the widest device set among the array leaves: a
+                # multi-device NamedSharding leaf wins (replicate the
+                # scalar over its mesh); otherwise commit to the single
+                # device only when EVERY array leaf lives there — an
+                # auxiliary single-device array next to a sharded vector
+                # must not pin the scalar (r2: stencil coefficients).
+                single = None
+                ok_single = True
+                for a in leaves:
+                    s = getattr(a, "sharding", None)
+                    if s is None:
+                        continue
+                    if isinstance(s, jax.sharding.NamedSharding):
+                        if len(s.mesh.devices.flat) > 1:
+                            sh = _replicated_like(s)
+                            break
+                        d = next(iter(s.device_set))
+                    elif isinstance(s, jax.sharding.SingleDeviceSharding):
+                        d = next(iter(s.device_set))
+                    else:
+                        ok_single = False
+                        continue
+                    if single is None:
+                        single = d
+                    elif single != d:
+                        ok_single = False
+                if sh is None:
+                    if not (ok_single and single is not None):
+                        return leaves  # mixed/exotic placement: leave as-is
+                    sh = jax.sharding.SingleDeviceSharding(single)
+            # Floats key by bit pattern: 0.0 == -0.0 would collapse the
+            # signed zeros into one committed entry (wrong copysign /
+            # 1/(x*-0.0) results), and nan != nan would MISS on every
+            # lookup, inserting a dead entry per call.
+            if isinstance(l, (float, np.floating)):
+                key = (sh, type(l), np.float64(l).tobytes())
+            else:
+                key = (sh, type(l), l)
+            arr = _scalar_cache.get(key)
+            if arr is None:
+                if len(_scalar_cache) >= _SCALAR_CACHE_MAX:
+                    _scalar_cache.clear()
+                arr = jax.device_put(l, sh)
+                _scalar_cache[key] = arr
+            if out is None:
+                out = list(leaves)
+            out[i] = arr
+    return out if out is not None else leaves
 
 
 def _env_from(analysis: Analysis, exprs: Sequence[Expr], leaves, n):
@@ -153,6 +233,7 @@ def evaluate(
     out_dtype=None,
     leaf_transform: Optional[Callable] = None,
     donate_buffer=None,
+    old_donatable: bool = True,
 ):
     """Evaluate one expression, optionally combining with the old LHS value
     for compound assignment.  Returns a jax.Array.
@@ -167,6 +248,11 @@ def evaluate(
     in-place-update lever that roughly doubles 1-read/1-write streaming
     bandwidth on TPU (see docs/tpu_kernel_notes.md).  Safe because the
     caller replaces the destination's storage with the result.
+
+    ``old_donatable``: pass False when ``old`` is (or may share) a buffer
+    the caller does not exclusively own — e.g. a vector built from a
+    user-held jax.Array (``vector._borrowed``): donating it would delete
+    the user's array.
     """
     from .node import as_expr
 
@@ -199,12 +285,12 @@ def evaluate(
         )
         leaves = analysis.leaves if leaf_transform is None else [
             leaf_transform(l) for l in analysis.leaves]
-        return jfn(*leaves)
+        return jfn(*_commit_scalars(leaves))
 
     # compound: old value becomes leaf 0
     analysis = analyze(expr)
     _check_sizes(analysis, n)
-    donate_old = _olds_donation_safe((old,), analysis.leaves)
+    donate_old = old_donatable and _olds_donation_safe((old,), analysis.leaves)
     cache_key = (analysis.sig, op, n, out_dtype, donate_old)
 
     def factory():
@@ -228,17 +314,20 @@ def evaluate(
     if leaf_transform is not None:
         old = leaf_transform(old)
         leaves = [leaf_transform(l) for l in leaves]
-    return jfn(old, *leaves)
+    return jfn(old, *_commit_scalars(leaves))
 
 
 def assign_value(vec, value, op: str = "=") -> None:
     """Drive an assignment onto a vector container."""
+    borrowed = getattr(vec, "_borrowed", False)
     arr = evaluate(
         value, n=vec.size, op=op, old=vec.array if op != "=" else None,
         out_dtype=vec.dtype,
         donate_buffer=(vec.storage
                        if op == "=" and not getattr(vec, "_pad", 0)
+                       and not borrowed
                        else None),
+        old_donatable=not borrowed,
     )
     vec._set_array(arr)
 
@@ -250,6 +339,7 @@ def evaluate_multi(
     olds: Sequence[Any],
     out_dtypes: Sequence[Any],
     donate_buffers: Optional[Sequence[Any]] = None,
+    olds_donatable: Optional[Sequence[bool]] = None,
 ) -> Tuple:
     """Fused evaluation of N expressions in ONE compiled kernel.
 
@@ -257,6 +347,11 @@ def evaluate_multi(
     :2251): all component expressions are traced into a single jitted
     function so XLA emits one fused kernel, sharing common subexpression
     loads exactly like the reference's fused multivector kernels.
+
+    ``olds_donatable`` (aligned with ``olds``): False entries mark old
+    values whose buffer the caller does not exclusively own (borrowed
+    storage, ``vector._borrowed``) — donation of the olds tuple is
+    all-or-nothing, so any False disables it.
     """
     from .node import as_expr
 
@@ -267,7 +362,10 @@ def evaluate_multi(
     analysis = analyze(*exprs)
     need_old = [ASSIGN_OPS[op] is not None for op in ops]
     olds_real = [o for o, ne in zip(olds, need_old) if ne]
-    donate_olds = _olds_donation_safe(olds_real, analysis.leaves)
+    donate_olds = _olds_donation_safe(olds_real, analysis.leaves) and (
+        olds_donatable is None
+        or all(d for d, ne in zip(olds_donatable, need_old) if ne)
+    )
     # pure-"=" fused assignments (tie(x, y) = (f(x), g(y))): donate each
     # destination storage occupying exactly one leaf slot, same rule as the
     # single-expression path.  Leaves sit at argnums 1.. (argnum 0 is the
@@ -315,7 +413,7 @@ def evaluate_multi(
         if config.cache_kernels
         else factory()
     )
-    return jfn(tuple(olds_real), *analysis.leaves)
+    return jfn(tuple(olds_real), *_commit_scalars(analysis.leaves))
 
 
 def eval_expr(expr: Expr):

@@ -235,6 +235,7 @@ class multivector:
                 if op == "=" and not c._pad and not c._borrowed else None
                 for c in self._comps
             ],
+            olds_donatable=[not c._borrowed for c in self._comps],
         )
         for c, arr in zip(self._comps, outs):
             c._set_array(arr)
@@ -283,6 +284,7 @@ class _Tied:
                 if op == "=" and not v._pad and not v._borrowed else None
                 for v in self.vectors
             ],
+            olds_donatable=[not v._borrowed for v in self.vectors],
         )
         for v, arr in zip(self.vectors, outs):
             v._set_array(arr)

@@ -84,6 +84,10 @@ def _run(keys, src, dst, op, op_name, key_eq, exclusive, init):
         if use_pallas_segscan_flags(ks, src.array):
             if dst is None:
                 dst = vector(src.size, dtype=src.dtype, context=src.context)
+            # id(key_eq) is a safe cache key ONLY because the cached
+            # closure below captures key_eq, pinning it alive for the
+            # cache entry's lifetime — so the id cannot be recycled by a
+            # different callable while the entry exists.
             pk = ("segscan_pallas", mono, exclusive, init is not None,
                   len(ks), id(key_eq) if key_eq is not None else None)
             fn = (jnp.add if mono == "add"

@@ -362,6 +362,10 @@ class vector(_ExprOpsMixin):
             donate_buffer=(self.storage
                            if op == "=" and not self._pad
                            and not self._borrowed else None),
+            # compound ops donate the old value — never when the storage
+            # is a buffer the user handed in (x += ... must not delete
+            # the caller's jax.Array)
+            old_donatable=not self._borrowed,
         )
         self._set_array(arr)
         return self
