@@ -192,3 +192,57 @@ def test_dot_alg_f64_is_full_precision():
 
     assert _dot_alg(np.float64) == jax.lax.Precision.HIGHEST
     assert _dot_alg(np.dtype(np.float64)) == jax.lax.Precision.HIGHEST
+
+
+def test_distributed_1d_fft(ctx, rng):
+    """Mesh-distributed four-step 1-D FFT (ops/fft_dist.py): a SHARDED
+    vector transforms via all_to_all transposes + local MXU stages,
+    never gathering the signal on one device (the reference forbids
+    multi-device FFT outright, fft/plan.hpp:218-220).  Auto-selected
+    when n decomposes as n1*n2 with D | n1, D | n2."""
+    from vexcl_tpu.ops.fft import plan_cache
+    from vexcl_tpu.ops.fft_dist import split_1d
+
+    for n in (1 << 12, 192 * 64):
+        hx = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex128)
+        x = vex.vector(data=hx, context=ctx)
+        y = vex.vector(n, dtype=np.complex128, context=ctx)
+        y[:] = vex.fft(x)
+        ref = np.fft.fft(hx)
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-11,
+                                   atol=1e-10 * np.abs(ref).max())
+        z = vex.vector(n, dtype=np.complex128, context=ctx)
+        z[:] = vex.ifft(y)
+        np.testing.assert_allclose(np.asarray(z), hx, rtol=1e-11, atol=1e-11)
+    if ctx.size > 1:
+        assert any("dist" in str(k) for k in plan_cache._store)
+        assert split_1d(1 << 12, ctx.size) is not None
+
+
+def test_distributed_fft_fallback_and_gate(ctx, rng):
+    """Sizes with no D^2-divisible smooth split fall through to the
+    plain engines; VEXTPU_FFT_DIST=0 disables routing entirely."""
+    import os
+
+    from vexcl_tpu.ops.fft import FFT
+
+    n = 1009 * 8  # 8072 = 2^3 * 1009: no split with D | n1 and D | n2
+    hx = (rng.standard_normal(n)
+          + 1j * rng.standard_normal(n)).astype(np.complex128)
+    x = vex.vector(data=hx, context=ctx)
+    plan = FFT(n)._route(x)
+    assert plan.impl != "dist"
+    y = vex.vector(n, dtype=np.complex128, context=ctx)
+    y[:] = vex.fft(x)
+    ref = np.fft.fft(hx)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-9,
+                               atol=1e-9 * np.abs(ref).max())
+
+    os.environ["VEXTPU_FFT_DIST"] = "0"
+    try:
+        x2 = vex.vector(data=rng.standard_normal(4096).astype(np.complex128),
+                        context=ctx)
+        assert FFT(4096)._route(x2).impl != "dist"
+    finally:
+        os.environ.pop("VEXTPU_FFT_DIST", None)

@@ -298,6 +298,12 @@ class Plan:
       planner built from MXU matmul codelets (the from-scratch analog of
       the reference's own kernels, and the fallback if an XLA backend
       lacks the FFT HLO).
+    * ``impl="dist"`` — four-step over the device mesh (ops/fft_dist.py):
+      a single large 1-D transform of a SHARDED vector computed with
+      all_to_all transposes + local MXU stages, never gathering the
+      signal on one device.  Auto-selected by ``FFT.__call__`` for
+      sharded 1-D inputs when the geometry decomposes (the reference
+      forbids multi-device FFT outright, fft/plan.hpp:218-220).
     """
 
     def __init__(
@@ -307,6 +313,7 @@ class Plan:
         inverse: bool,
         dtype,
         impl: str = "xla",
+        dist_ctx=None,
     ):
         self.shape = shape
         self.dims = tuple(dims) if dims is not None else tuple(range(len(shape)))
@@ -342,8 +349,32 @@ class Plan:
             and max(prime_factors(n0), default=1) <= _MAX_CODELET
         )
         self.impl = impl
+        self._dist_fn = None
+        self._dist_d = 0
+        if impl == "dist":
+            from .fft_dist import make_distributed_1d
+
+            if len(shape) != 1 or len(self.dims) != 1 or dist_ctx is None:
+                raise ValueError("impl='dist' needs a 1-D plan + context")
+            rdt = np.float64 if self.dtype == np.complex128 else np.float32
+            self._dist_fn = make_distributed_1d(
+                shape[0], dist_ctx.mesh, dist_ctx.axis, self.sign, rdt)
+            if self._dist_fn is None:
+                raise ValueError(
+                    f"n={shape[0]} does not decompose over {dist_ctx.size} "
+                    "devices (need n divisible by D^2 with smooth factors)")
+            self._dist_d = dist_ctx.size
+            self._rdt = rdt
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.impl == "dist":
+            x = x.astype(self.dtype)
+            yr, yi = self._dist_fn(
+                jnp.real(x).astype(self._rdt), jnp.imag(x).astype(self._rdt))
+            out = jax.lax.complex(yr, yi).astype(self.dtype)
+            if self.scale != 1.0:
+                out = out * jnp.asarray(self.scale, dtype=out.dtype)
+            return out
         flat_in = x.ndim == 1 and len(self.shape) > 1
         if flat_in:
             x = x.reshape(self.shape)
@@ -375,8 +406,12 @@ class FFTExpr(Expr):
         # and a ct-engine plan of the same geometry must not share a
         # cached kernel (code-review r2 finding)
         p = self.plan
+        # dist plans additionally key on the shard-mapped closure (one
+        # per (geometry, mesh)): same-shape plans over DIFFERENT meshes
+        # must not share a cached kernel
+        dist = f":dist{p._dist_d}:{id(p._dist_fn)}" if p._dist_fn else ""
         return (f"{p.shape}:{p.dims}:{p.inverse}:{p.dtype}:{p.impl}"
-                f":{int(p._route_ct)}{int(p._auto_ct)}")
+                f":{int(p._route_ct)}{int(p._auto_ct)}{dist}")
 
     def emit(self, env: EmitEnv):
         return self.plan(self.children[0].emit_cached(env))
@@ -417,7 +452,37 @@ class FFT:
         )
 
     def __call__(self, x) -> FFTExpr:
-        return FFTExpr(self.plan, x)
+        return FFTExpr(self._route(x), x)
+
+    def _route(self, x) -> Plan:
+        """Swap in the mesh-distributed four-step plan for a 1-D
+        transform of a sharded vector (fft_dist.py): the SPMD
+        alternative all-gathers the whole signal onto every device.
+        ``VEXTPU_FFT_DIST=0`` disables."""
+        import os
+
+        p = self.plan
+        ctx = getattr(x, "context", None)
+        if (
+            p.impl in ("xla", "ct") and not p._route_ct
+            and len(p.shape) == 1 and len(p.dims) == 1
+            and ctx is not None and getattr(x, "nparts", 1) > 1
+            and getattr(x, "size", None) == p.shape[0]
+            and os.environ.get("VEXTPU_FFT_DIST", "1") != "0"
+        ):
+            from .fft_dist import split_1d
+
+            if split_1d(p.shape[0], ctx.size) is not None:
+                # id(mesh) is safe here for the same reason as
+                # scan_by_key's id(key_eq): the cached Plan's shard_map
+                # closure pins the mesh alive, so the id cannot be
+                # recycled while the entry exists
+                key = (p.shape, p.dims, p.inverse, str(p.dtype), "dist",
+                       id(ctx.mesh))
+                return plan_cache.get_or_create(
+                    key, lambda: Plan(p.shape, p.dims, p.inverse, p.dtype,
+                                      impl="dist", dist_ctx=ctx))
+        return p
 
 
 def fft(x, **kwargs) -> FFTExpr:
