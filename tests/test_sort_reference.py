@@ -105,3 +105,46 @@ def test_sort_greater_comparator(ctx, rng):
     keys = vex.vector(data=k, context=ctx)
     vex.sort(keys, descending=True)
     np.testing.assert_array_equal(np.asarray(keys), np.sort(k)[::-1])
+
+
+def test_distributed_sort_engages_on_mesh(ctx, rng):
+    """Sharded inputs route to the odd-even block merge-split over
+    ppermute (ops/sort_dist.py) — device-side, no host merge (the
+    reference k-way-merges on the HOST, sort.hpp:1924-2068), memory
+    scaling with the mesh.  Eligibility: un-padded sizes divisible by
+    the device count."""
+    from vexcl_tpu.cache import kernel_cache
+    from vexcl_tpu.ops.sort_dist import distributed_eligible
+
+    n = 4096
+    h = rng.standard_normal(n)
+    x = vex.vector(data=h, context=ctx)
+    if ctx.size > 1:
+        assert distributed_eligible([x])
+    vex.sort(x)
+    np.testing.assert_array_equal(np.asarray(x), np.sort(h))
+    if ctx.size > 1:
+        assert any(isinstance(k, tuple) and k and k[0] == "sort_dist"
+                   for k in kernel_cache._store)
+
+    # stability with heavy duplicates (global-index tiebreak column)
+    hk = rng.integers(0, 4, n).astype(np.int64)
+    hv = np.arange(n).astype(np.float64)
+    k = vex.vector(data=hk, context=ctx)
+    v = vex.vector(data=hv, context=ctx)
+    vex.sort_by_key(k, v)
+    order = np.argsort(hk, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), hk[order])
+    np.testing.assert_array_equal(np.asarray(v), hv[order])
+
+    # all-equal keys: the static pairwise schedule is skew-immune
+    e = vex.vector(data=np.zeros(n), context=ctx)
+    vex.sort(e)
+    np.testing.assert_array_equal(np.asarray(e), np.zeros(n))
+
+    # odd sizes (padded storage) are not eligible and fall back
+    h3 = rng.standard_normal(1003)
+    x3 = vex.vector(data=h3, context=ctx)
+    assert not distributed_eligible([x3]) or ctx.size == 1
+    vex.sort(x3)
+    np.testing.assert_array_equal(np.asarray(x3), np.sort(h3))

@@ -6,8 +6,9 @@ across devices :1924-2068).
 
 TPU-native design: XLA's sort HLO (`jax.lax.sort`) — a vectorized
 bitonic-style network the TPU backend schedules across the VPU — replaces
-the CTA mergesort, and for sharded inputs GSPMD handles redistribution
-device-side, eliminating the reference's host merge.  Fusion-tuple keys
+the CTA mergesort.  Sharded inputs route to a mesh-distributed odd-even
+block merge-split over ppermute (ops/sort_dist.py) — device-side, no
+host merge, memory scaling with the mesh.  Fusion-tuple keys
 (sort.hpp:2120-2156) map to multi-operand lexicographic sort via
 ``num_keys``.  Arbitrary comparator *functors* cannot be compiled to a TPU
 sort network; supported orderings are ascending (default), descending, and
@@ -82,6 +83,33 @@ def _neg_order(k):
     return -k
 
 
+def _dist_sorter(vecs, nkeys: int, nvals: int, descending: bool, key_fn):
+    """Mesh-distributed sorter for sharded inputs (ops/sort_dist.py):
+    odd-even block merge-split over ppermute — GSPMD would instead
+    gather and redundantly full-sort on every device.  None when the
+    inputs are not eligible."""
+    from .sort_dist import distributed_eligible, make_distributed_sorter
+
+    if not distributed_eligible(vecs):
+        return None
+    ctx = vecs[0].context
+    # id(mesh)/id(key_fn) are safe cache keys: the cached shard_map
+    # closure pins both alive, so the ids cannot be recycled while the
+    # entry exists (same argument as scan_by_key)
+    cache_key = ("sort_dist", id(ctx.mesh), nkeys, nvals, descending,
+                 id(key_fn) if key_fn is not None else None)
+
+    def factory():
+        return jax.jit(make_distributed_sorter(
+            ctx.mesh, ctx.axis, ctx.size, nkeys, nvals, descending, key_fn))
+
+    return (
+        kernel_cache.get_or_create(cache_key, factory)
+        if config.cache_kernels
+        else factory()
+    )
+
+
 def sort(
     keys: Union[vector, Sequence[vector]],
     descending: bool = False,
@@ -90,7 +118,8 @@ def sort(
     """In-place sort of one vector or a tuple of key vectors
     (vex::sort, sort.hpp:2157-2169)."""
     ks = _keys_tuple(keys)
-    jfn = _sorter(len(ks), 0, descending, key_fn is not None, key_fn)
+    jfn = (_dist_sorter(ks, len(ks), 0, descending, key_fn)
+           or _sorter(len(ks), 0, descending, key_fn is not None, key_fn))
     outs = jfn(*[k.array for k in ks])
     for k, arr in zip(ks, outs):
         k._set_array(arr)
@@ -105,7 +134,10 @@ def sort_by_key(
     """In-place key-value sort (vex::sort_by_key, sort.hpp:2171-2183)."""
     ks = _keys_tuple(keys)
     vs = _keys_tuple(vals)
-    jfn = _sorter(len(ks), len(vs), descending, key_fn is not None, key_fn)
+    both = list(ks) + list(vs)
+    jfn = (_dist_sorter(both, len(ks), len(vs), descending, key_fn)
+           or _sorter(len(ks), len(vs), descending, key_fn is not None,
+                      key_fn))
     outs = jfn(*[k.array for k in ks], *[v.array for v in vs])
-    for k, arr in zip(list(ks) + list(vs), outs):
+    for k, arr in zip(both, outs):
         k._set_array(arr)
