@@ -631,3 +631,35 @@ def test_unrecognized_op_name_raises(ctx, rng):
     out = vex.reduce_by_key(k, v, op=jnp.multiply, op_name="prod")
     np.testing.assert_allclose(np.asarray(out[1])[0],
                                np.prod(np.asarray(v)), rtol=1e-10)
+
+
+def test_distributed_scan_engages_on_mesh(ctx, rng):
+    """Sharded scans route to the shard_map three-phase scan (local scan
+    + all_gather of D block tails + carry combine, ops/scan._scan_impl_dist)
+    — the device-side version of the reference's host partial_sum fix-up
+    (scan.hpp:426-458).  GSPMD alone all-gathers the whole signal for a
+    cumulative op (measured: 3 all-gathers for a jitted sharded cumsum)."""
+    import jax.numpy as jnp
+
+    from vexcl_tpu.cache import kernel_cache
+
+    n = 4096
+    h = rng.standard_normal(n)
+    x = vex.vector(data=h, context=ctx)
+    y = vex.inclusive_scan(x)
+    np.testing.assert_allclose(np.asarray(y), np.cumsum(h), rtol=1e-12)
+    y = vex.exclusive_scan(x, init=5.0)
+    ref = 5.0 + np.concatenate([[0], np.cumsum(h)[:-1]])
+    ref[0] = 5.0
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-12)
+    # custom associative op crosses shard boundaries correctly
+    y = vex.inclusive_scan(x, op=lambda a, b: a + b + 1.0, op_name="addp1")
+    ref = np.empty(n)
+    acc = 0.0
+    for i in range(n):
+        acc = (acc + h[i] + 1.0) if i else h[i]
+        ref[i] = acc
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-9)
+    if ctx.size > 1:
+        assert any(isinstance(k, tuple) and k and k[0] == "scan_dist"
+                   for k in kernel_cache._store)

@@ -5,10 +5,14 @@ inclusive scan, intra-block scan of block tails, uniform add; multi-device
 via host partial_sum of per-device tails :426-458).
 
 TPU-native design: one fused `associative_scan` (Blelloch-style log-depth
-scan that XLA maps onto the VPU) replaces all three kernels; for sharded
-inputs XLA partitions the scan and inserts the cross-shard tail propagation
-as ICI collectives — the device-side version of the reference's host fix-up.
-Custom associative operators are traced Python callables.
+scan that XLA maps onto the VPU) replaces all three kernels.  Sharded
+inputs route to a shard_map three-phase scan (`_scan_impl_dist`): local
+scan, all_gather of the D block tails (D scalars), combine-and-offset —
+the device-side version of the reference's host partial_sum fix-up
+(scan.hpp:426-458).  GSPMD alone does NOT partition a cumulative op: a
+jitted cumsum over a P('x') array lowers with THREE all-gathers
+(measured on the 8-device mesh), i.e. the whole signal lands on every
+device.  Custom associative operators are traced Python callables.
 """
 
 from __future__ import annotations
@@ -42,20 +46,74 @@ def _scan_impl(op_name, op, exclusive, has_init, pallas_mode=None):
                 y = pallas_cummax(x, is_max=pallas_mode == "max")
             else:
                 y = jax.lax.associative_scan(fn, x)
-            if exclusive:
-                y = jnp.concatenate([jnp.zeros((1,), x.dtype), y[:-1]])
-                if has_init:
-                    # init folds into every prefix (scan.hpp exclusive :471-)
-                    y = fn(jnp.broadcast_to(jnp.asarray(init, x.dtype), y.shape), y)
-                    y = y.at[0].set(jnp.asarray(init, x.dtype))
-            elif has_init:
-                y = fn(jnp.broadcast_to(jnp.asarray(init, x.dtype), y.shape), y)
-            return y
+            # init folds into every prefix (scan.hpp exclusive :471-)
+            return _exclusive_post(y, fn, exclusive, has_init, init, x.dtype)
 
         return jax.jit(run)
 
     return (
         kernel_cache.get_or_create(key, factory) if config.cache_kernels else factory()
+    )
+
+
+def _exclusive_post(y, fn, exclusive, has_init, init, dtype):
+    """Shared exclusive-shift + init-fold postprocessing (global array)."""
+    if exclusive:
+        y = jnp.concatenate([jnp.zeros((1,), dtype), y[:-1]])
+        if has_init:
+            y = fn(jnp.broadcast_to(jnp.asarray(init, dtype), y.shape), y)
+            y = y.at[0].set(jnp.asarray(init, dtype))
+    elif has_init:
+        y = fn(jnp.broadcast_to(jnp.asarray(init, dtype), y.shape), y)
+    return y
+
+
+def _scan_impl_dist(ctx, op_name, op, exclusive, has_init):
+    """Mesh-distributed scan: local scan per shard, all_gather of the D
+    block tails (D scalars over ICI), left-combine the carry.  The
+    reference's multi-device scan does this fix-up on the HOST
+    (scan.hpp:426-458); GSPMD's alternative all-gathers the whole
+    signal.  id(mesh)/id(op) cache keys are pinned by the cached
+    closure (same argument as scan_by_key)."""
+    key = ("scan_dist", id(ctx.mesh), op_name,
+           id(op) if op is not None else None, exclusive, has_init)
+
+    def factory():
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        fn = op or jnp.add
+        axis = ctx.axis
+
+        def local(x):
+            y = jax.lax.associative_scan(fn, x)
+            tails = jax.lax.all_gather(y[-1], axis)       # (D,)
+            s = jax.lax.associative_scan(fn, tails)
+            r = jax.lax.axis_index(axis)
+            carry = s[jnp.maximum(r, 1) - 1]              # s[r-1]
+            yc = fn(jnp.broadcast_to(carry, y.shape), y)  # left-combine
+            return jnp.where(r == 0, y, yc)
+
+        sm = shard_map(local, mesh=ctx.mesh, in_specs=P(axis),
+                       out_specs=P(axis))
+
+        def run(x, init):
+            return _exclusive_post(sm(x), fn, exclusive, has_init, init,
+                                   x.dtype)
+
+        return jax.jit(run)
+
+    return (
+        kernel_cache.get_or_create(key, factory) if config.cache_kernels else factory()
+    )
+
+
+def _dist_eligible(src: vector) -> bool:
+    import os
+
+    return (
+        os.environ.get("VEXTPU_SCAN_DIST", "1") != "0"
+        and src.nparts > 1 and not src._pad and src.size > 0
     )
 
 
@@ -91,10 +149,14 @@ def scan(
     else:
         mode = None
 
-    jfn = _scan_impl(
-        op_name or "add", op, exclusive, init is not None,
-        pallas_mode=mode,
-    )
+    if mode is None and _dist_eligible(src):
+        jfn = _scan_impl_dist(src.context, op_name or "add", op,
+                              exclusive, init is not None)
+    else:
+        jfn = _scan_impl(
+            op_name or "add", op, exclusive, init is not None,
+            pallas_mode=mode,
+        )
     dst._set_array(jfn(src.array, 0 if init is None else init).astype(dst.dtype))
     return dst
 
