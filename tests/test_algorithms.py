@@ -663,3 +663,41 @@ def test_distributed_scan_engages_on_mesh(ctx, rng):
     if ctx.size > 1:
         assert any(isinstance(k, tuple) and k and k[0] == "scan_dist"
                    for k in kernel_cache._store)
+
+
+def test_distributed_scan_by_key_engages_on_mesh(ctx, rng):
+    """Sharded segmented scans run the pair monoid as a shard_map
+    three-phase scan: local pair scan, all_gather of the D block-tail
+    pairs, carry combine gated on the shard's has-seen-a-head flag —
+    segments spanning shard boundaries chain correctly."""
+    n = 4096
+    hk = (np.arange(n) // 700).astype(np.int64)  # runs cross shard edges
+    hv = rng.standard_normal(n)
+    k = vex.vector(data=hk, context=ctx)
+    v = vex.vector(data=hv, context=ctx)
+
+    def ref(exclusive, init=None):
+        out = np.empty_like(hv)
+        for i in range(n):
+            head = i == 0 or hk[i] != hk[i - 1]
+            if head:
+                acc_prev = None
+            out[i] = ((init or 0.0) if head else
+                      (acc_prev if init is None else init + acc_prev)) \
+                if exclusive else hv[i] if head else acc_prev + hv[i]
+            acc_prev = hv[i] if head else acc_prev + hv[i]
+            if not exclusive and init is not None:
+                out[i] += init
+        return out
+
+    got = vex.inclusive_scan_by_key(k, v, op=lambda a, b: a + b,
+                                    op_name="mysum")
+    np.testing.assert_allclose(np.asarray(got), ref(False), rtol=1e-11)
+    got = vex.exclusive_scan_by_key(k, v, init=2.5, op=lambda a, b: a + b,
+                                    op_name="mysum")
+    np.testing.assert_allclose(np.asarray(got), ref(True, 2.5), rtol=1e-11)
+    if ctx.size > 1:
+        from vexcl_tpu.cache import kernel_cache
+
+        assert any(isinstance(kk, tuple) and kk and kk[0] == "scan_by_key"
+                   and kk[-1] is not None for kk in kernel_cache._store)

@@ -7,9 +7,12 @@ reference).
 TPU-native design: the classic segmented-scan monoid over (reset-flag,
 value) pairs run through one `associative_scan` —
     (f1,v1) . (f2,v2) = (f1|f2,  f2 ? v2 : op(v1,v2))
-which is associative for any associative op, so XLA's log-depth scan and
-its sharded partitioning apply unchanged; no host fix-up, and multi-device
-works (improving on the reference's single-device restriction).
+which is associative for any associative op.  Sharded inputs route to a
+shard_map three-phase version of the same monoid (local pair scan,
+all_gather of the D block-tail pairs, carry combine gated on the local
+has-seen-a-head flag) — multi-device with ICI-only fix-up, improving on
+the reference's single-device restriction (GSPMD alone all-gathers the
+whole signal for a cumulative op; measured in ops/scan.py).
 
 Keys may be a single vector or a tuple of vectors (the reference's
 fusion-tuple keys, scan_by_key.hpp:724-757); a custom key-equality
@@ -133,28 +136,62 @@ def _run(keys, src, dst, op, op_name, key_eq, exclusive, init):
     if dst is None:
         dst = vector(src.size, dtype=src.dtype, context=src.context)
 
+    from .scan import _dist_eligible
+
+    dist_ctx = src.context if _dist_eligible(src) else None
     cache_key = (
         "scan_by_key",
         op_name or "add",
         # distinct custom callables must not share a cached closure even
-        # when their names collide (e.g. two lambdas)
+        # when their names collide (e.g. two lambdas); the closure pins
+        # op/mesh alive so the ids cannot be recycled
         id(op) if op is not None else None,
         key_eq is not None,
         exclusive,
         init is not None,
         len(ks),
+        id(dist_ctx.mesh) if dist_ctx is not None else None,
     )
 
     def factory():
+        def combine(a, b):
+            fn = op or jnp.add
+            fa, va = a
+            fb, vb = b
+            return fa | fb, jnp.where(fb, vb, fn(va, vb))
+
+        if dist_ctx is not None:
+            # distributed pair scan: local scan, all_gather the D
+            # block-tail PAIRS, combine the carry value into positions
+            # before the shard's first head (the local pair-scan flag)
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            axis = dist_ctx.axis
+
+            def local(flags, vals):
+                fn = op or jnp.add
+                f, v = jax.lax.associative_scan(combine, (flags, vals))
+                tf = jax.lax.all_gather(f[-1], axis)
+                tv = jax.lax.all_gather(v[-1], axis)
+                _, sv = jax.lax.associative_scan(combine, (tf, tv))
+                r = jax.lax.axis_index(axis)
+                cv = sv[jnp.maximum(r, 1) - 1]       # blocks 0..r-1
+                vc = jnp.where(f, v, fn(jnp.broadcast_to(cv, v.shape), v))
+                return jnp.where(r == 0, v, vc)
+
+            seg_scan = shard_map(local, mesh=dist_ctx.mesh,
+                                 in_specs=(P(axis), P(axis)),
+                                 out_specs=P(axis))
+        else:
+            def seg_scan(flags, vals):
+                _, incl = jax.lax.associative_scan(combine, (flags, vals))
+                return incl
+
         def run(flags, vals, init_val):
             fn = op or jnp.add
 
-            def combine(a, b):
-                fa, va = a
-                fb, vb = b
-                return fa | fb, jnp.where(fb, vb, fn(va, vb))
-
-            _, incl = jax.lax.associative_scan(combine, (flags, vals))
+            incl = seg_scan(flags, vals)
             if not exclusive:
                 if init is not None:
                     incl = fn(jnp.broadcast_to(init_val, incl.shape), incl)
