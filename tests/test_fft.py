@@ -246,3 +246,28 @@ def test_distributed_fft_fallback_and_gate(ctx, rng):
         assert FFT(4096)._route(x2).impl != "dist"
     finally:
         os.environ.pop("VEXTPU_FFT_DIST", None)
+
+
+def test_distributed_2d_fft(ctx, rng):
+    """Full 2-D transforms of sharded images distribute too: separable,
+    so two local batched stage sets around two all_to_all transposes —
+    no twiddle step (ops/fft_dist.make_distributed_2d)."""
+    r, c = 64, 128
+    hx = (rng.standard_normal((r, c))
+          + 1j * rng.standard_normal((r, c))).astype(np.complex128)
+    x = vex.vector(data=hx.ravel(), context=ctx)
+    y = vex.vector(r * c, dtype=np.complex128, context=ctx)
+    y[:] = vex.FFT((r, c))(x)
+    ref = np.fft.fft2(hx)
+    np.testing.assert_allclose(np.asarray(y).reshape(r, c), ref,
+                               rtol=1e-11, atol=1e-10 * np.abs(ref).max())
+    z = vex.vector(r * c, dtype=np.complex128, context=ctx)
+    z[:] = vex.FFT((r, c), inverse=True)(y)
+    np.testing.assert_allclose(np.asarray(z).reshape(r, c), hx,
+                               rtol=1e-11, atol=1e-11)
+    # batch-dims transforms (fft::none axes) are NOT the full-2-D case:
+    # they shard over the batch axis with no comm at all
+    from vexcl_tpu.ops.fft import FFT
+
+    xb = vex.vector(data=hx.ravel(), context=ctx)
+    assert FFT((r, c), dims=(1,))._route(xb).impl != "dist"

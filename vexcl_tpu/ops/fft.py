@@ -352,17 +352,24 @@ class Plan:
         self._dist_fn = None
         self._dist_d = 0
         if impl == "dist":
-            from .fft_dist import make_distributed_1d
+            from .fft_dist import make_distributed_1d, make_distributed_2d
 
-            if len(shape) != 1 or len(self.dims) != 1 or dist_ctx is None:
-                raise ValueError("impl='dist' needs a 1-D plan + context")
             rdt = np.float64 if self.dtype == np.complex128 else np.float32
-            self._dist_fn = make_distributed_1d(
-                shape[0], dist_ctx.mesh, dist_ctx.axis, self.sign, rdt)
+            if dist_ctx is None:
+                raise ValueError("impl='dist' needs a context")
+            if len(shape) == 1 and len(self.dims) == 1:
+                self._dist_fn = make_distributed_1d(
+                    shape[0], dist_ctx.mesh, dist_ctx.axis, self.sign, rdt)
+            elif len(shape) == 2 and tuple(sorted(self.dims)) == (0, 1):
+                self._dist_fn = make_distributed_2d(
+                    shape[0], shape[1], dist_ctx.mesh, dist_ctx.axis,
+                    self.sign, rdt)
+            else:
+                raise ValueError("impl='dist' supports 1-D and full 2-D")
             if self._dist_fn is None:
                 raise ValueError(
-                    f"n={shape[0]} does not decompose over {dist_ctx.size} "
-                    "devices (need n divisible by D^2 with smooth factors)")
+                    f"shape {shape} does not decompose over "
+                    f"{dist_ctx.size} devices")
             self._dist_d = dist_ctx.size
             self._rdt = rdt
 
@@ -465,14 +472,20 @@ class FFT:
         ctx = getattr(x, "context", None)
         if (
             p.impl in ("xla", "ct") and not p._route_ct
-            and len(p.shape) == 1 and len(p.dims) == 1
             and ctx is not None and getattr(x, "nparts", 1) > 1
-            and getattr(x, "size", None) == p.shape[0]
+            and getattr(x, "size", None) == int(np.prod(p.shape))
             and os.environ.get("VEXTPU_FFT_DIST", "1") != "0"
         ):
-            from .fft_dist import split_1d
+            from .fft_dist import split_1d, splittable_2d
 
-            if split_1d(p.shape[0], ctx.size) is not None:
+            ok = (
+                split_1d(p.shape[0], ctx.size) is not None
+                if len(p.shape) == 1 and len(p.dims) == 1
+                else splittable_2d(p.shape[0], p.shape[1], ctx.size)
+                if len(p.shape) == 2 and tuple(sorted(p.dims)) == (0, 1)
+                else False
+            )
+            if ok:
                 # id(mesh) is safe here for the same reason as
                 # scan_by_key's id(key_eq): the cached Plan's shard_map
                 # closure pins the mesh alive, so the id cannot be

@@ -124,3 +124,45 @@ def make_distributed_1d(n: int, mesh, axis: str, sign: float,
 
     return shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis)),
                      out_specs=(P(axis), P(axis)))
+
+
+def splittable_2d(r: int, c: int, d: int) -> bool:
+    """Full 2-D transform decomposes when both extents divide by D and
+    are smooth (row blocks stay rectangular under the flat block shard)."""
+    return (
+        d > 1 and r % d == 0 and c % d == 0
+        and max(_fft.prime_factors(r), default=1) <= _fft._MAX_CODELET
+        and max(_fft.prime_factors(c), default=1) <= _fft._MAX_CODELET
+    )
+
+
+def make_distributed_2d(r: int, c: int, mesh, axis: str, sign: float,
+                        real_dtype) -> Optional[object]:
+    """shard_map 2-D FFT: the transform is separable, so it is two local
+    batched stage sets around two all_to_all transposes — NO twiddle
+    step (unlike the 1-D four-step).  Input/output: flat row-major
+    planar arrays sharded as P(axis) (row blocks)."""
+    d = int(mesh.shape[axis])
+    if not splittable_2d(r, c, d):
+        return None
+    plan_r = _fft._radix_plan(r, _fft._MAX_CODELET)
+    plan_c = _fft._radix_plan(c, _fft._MAX_CODELET)
+
+    def a2a(t):
+        return jax.lax.all_to_all(t, axis, split_axis=1, concat_axis=0,
+                                  tiled=True)
+
+    def local(xr, xi):
+        xr = xr.reshape(r // d, c)
+        xi = xi.reshape(r // d, c)
+        xr, xi = _fft._fft_planar(xr, xi, sign, plan_c)  # rows, local
+        xr, xi = a2a(xr), a2a(xi)                        # (r, c/d)
+        xr, xi = xr.T, xi.T                              # (c/d, r)
+        xr, xi = _fft._fft_planar(xr, xi, sign, plan_r)  # cols, local
+        xr, xi = a2a(xr), a2a(xi)                        # (c, r/d)
+        return (xr.T.reshape(-1), xi.T.reshape(-1))      # (r/d, c) flat
+
+    from jax.experimental.shard_map import shard_map
+
+    return shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis)),
+                     out_specs=(P(axis), P(axis)))
