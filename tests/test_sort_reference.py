@@ -148,3 +148,45 @@ def test_distributed_sort_engages_on_mesh(ctx, rng):
     assert not distributed_eligible([x3]) or ctx.size == 1
     vex.sort(x3)
     np.testing.assert_array_equal(np.asarray(x3), np.sort(h3))
+
+
+def test_sort_key_fn_cache_separation(ctx, rng):
+    """Two sorts with DIFFERENT key_fn callables must not share a cached
+    kernel (the cache key carries id(key_fn), pinned alive by the cached
+    closure) — a collision silently applies the first comparator."""
+    h = rng.standard_normal(2048)
+    x1 = vex.vector(data=h, context=ctx)
+    vex.sort(x1, key_fn=lambda a: a)
+    np.testing.assert_array_equal(np.asarray(x1), np.sort(h))
+    x2 = vex.vector(data=h, context=ctx)
+    vex.sort(x2, key_fn=lambda a: -a)
+    np.testing.assert_array_equal(np.asarray(x2), np.sort(h)[::-1])
+
+
+def test_distributed_algorithms_on_multi_axis_mesh(ctx, rng):
+    """Vectors shard over the FIRST mesh axis only; the distributed
+    sort/scan/FFT must pair and gather over Context.axis_size (the
+    axis's shard count), not Context.size (the total device count)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the 8-device mesh")
+    ctx2 = vex.Context(mesh_shape=(4, 2), axis_names=("x", "y"))
+    assert ctx2.size == 8 and ctx2.axis_size == 4
+    h = rng.standard_normal(4096)
+    v = vex.vector(data=h, context=ctx2)
+    vex.sort(v)
+    np.testing.assert_array_equal(np.asarray(v), np.sort(h))
+    s = vex.inclusive_scan(vex.vector(data=h, context=ctx2),
+                           op=lambda a, b: a + b, op_name="ma_sum")
+    np.testing.assert_allclose(np.asarray(s), np.cumsum(h), rtol=1e-11)
+    hz = (rng.standard_normal(4096)
+          + 1j * rng.standard_normal(4096)).astype(np.complex128)
+    z = vex.vector(data=hz, context=ctx2)
+    f = vex.vector(4096, dtype=np.complex128, context=ctx2)
+    f[:] = vex.fft(z)
+    ref = np.fft.fft(hz)
+    np.testing.assert_allclose(np.asarray(f), ref, rtol=1e-11,
+                               atol=1e-10 * np.abs(ref).max())

@@ -286,6 +286,15 @@ class Context:
         return NamedSharding(self.mesh, PartitionSpec(self.axis))
 
     @property
+    def axis_size(self) -> int:
+        """Shard count along the vector-sharding axis.  On a multi-axis
+        mesh this is mesh.shape[axis] — NOT ``size`` (the total device
+        count): vectors shard over the first axis only and replicate
+        over the rest, so distributed algorithms (sort/scan/FFT) must
+        pair/gather over exactly this many blocks."""
+        return int(self.mesh.shape[self.axis])
+
+    @property
     def replicated(self) -> NamedSharding:
         return NamedSharding(self.mesh, PartitionSpec())
 

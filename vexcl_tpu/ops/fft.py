@@ -369,8 +369,8 @@ class Plan:
             if self._dist_fn is None:
                 raise ValueError(
                     f"shape {shape} does not decompose over "
-                    f"{dist_ctx.size} devices")
-            self._dist_d = dist_ctx.size
+                    f"{dist_ctx.axis_size} shards")
+            self._dist_d = dist_ctx.axis_size
             self._rdt = rdt
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -478,10 +478,11 @@ class FFT:
         ):
             from .fft_dist import split_1d, splittable_2d
 
-            ok = (
-                split_1d(p.shape[0], ctx.size) is not None
+            d = ctx.axis_size  # vectors shard over the first mesh axis
+            ok = d > 1 and (
+                split_1d(p.shape[0], d) is not None
                 if len(p.shape) == 1 and len(p.dims) == 1
-                else splittable_2d(p.shape[0], p.shape[1], ctx.size)
+                else splittable_2d(p.shape[0], p.shape[1], d)
                 if len(p.shape) == 2 and tuple(sorted(p.dims)) == (0, 1)
                 else False
             )

@@ -80,13 +80,24 @@ def _twiddle_chunk(n: int, n1: int, l2: int, dev, sign: float, dtype):
     return c, (s if sign > 0 else -s)
 
 
+def _make_a2a(axis: str):
+    """Distributed-transpose step: split the minor axis into D tiles
+    (tile i -> device i along ``axis``), stack received tiles along the
+    major axis in source order."""
+
+    def a2a(t):
+        return jax.lax.all_to_all(t, axis, split_axis=1, concat_axis=0,
+                                  tiled=True)
+
+    return a2a
+
+
 def make_distributed_1d(n: int, mesh, axis: str, sign: float,
                         real_dtype) -> Optional[object]:
     """shard_map four-step FFT: planar (re, im) global arrays sharded as
     P(axis) -> planar result in natural order, same sharding.  None when
     the geometry does not decompose."""
-    d = int(np.prod([mesh.shape[a] for a in mesh.axis_names])) \
-        if axis is None else int(mesh.shape[axis])
+    d = int(mesh.shape[axis])
     split = split_1d(n, d)
     if split is None:
         return None
@@ -95,13 +106,7 @@ def make_distributed_1d(n: int, mesh, axis: str, sign: float,
     plan1 = _fft._radix_plan(n1, _fft._MAX_CODELET)
     plan2 = _fft._radix_plan(n2, _fft._MAX_CODELET)
     rdt = np.dtype(real_dtype)
-
-    def a2a(t):
-        # split the minor axis into D tiles (tile i -> device i), stack
-        # received tiles along the major axis in source order: a global
-        # transpose step of the distributed matrix
-        return jax.lax.all_to_all(t, axis, split_axis=1, concat_axis=0,
-                                  tiled=True)
+    a2a = _make_a2a(axis)
 
     def local(xr, xi):
         # resident block: rows j1 in [dev*l1, (dev+1)*l1), all j2
@@ -147,10 +152,7 @@ def make_distributed_2d(r: int, c: int, mesh, axis: str, sign: float,
         return None
     plan_r = _fft._radix_plan(r, _fft._MAX_CODELET)
     plan_c = _fft._radix_plan(c, _fft._MAX_CODELET)
-
-    def a2a(t):
-        return jax.lax.all_to_all(t, axis, split_axis=1, concat_axis=0,
-                                  tiled=True)
+    a2a = _make_a2a(axis)
 
     def local(xr, xi):
         xr = xr.reshape(r // d, c)

@@ -111,9 +111,11 @@ def _scan_impl_dist(ctx, op_name, op, exclusive, has_init):
 def _dist_eligible(src: vector) -> bool:
     import os
 
+    d = src.context.axis_size  # vectors shard over the first mesh axis
     return (
         os.environ.get("VEXTPU_SCAN_DIST", "1") != "0"
-        and src.nparts > 1 and not src._pad and src.size > 0
+        and src.nparts > 1 and d > 1 and not src._pad
+        and src.size > 0 and src.size % d == 0
     )
 
 

@@ -172,8 +172,13 @@ def _run(keys, src, dst, op, op_name, key_eq, exclusive, init):
             def local(flags, vals):
                 fn = op or jnp.add
                 f, v = jax.lax.associative_scan(combine, (flags, vals))
-                tf = jax.lax.all_gather(f[-1], axis)
-                tv = jax.lax.all_gather(v[-1], axis)
+                # ONE gather of the packed (flag, value) tail pair: 0/1
+                # is exact in every value dtype, and a second collective
+                # would double the per-call ICI latency
+                tail = jnp.stack([f[-1].astype(vals.dtype), v[-1]])
+                tails = jax.lax.all_gather(tail, axis)      # (D, 2)
+                tf = tails[:, 0].astype(bool)
+                tv = tails[:, 1]
                 _, sv = jax.lax.associative_scan(combine, (tf, tv))
                 r = jax.lax.axis_index(axis)
                 cv = sv[jnp.maximum(r, 1) - 1]       # blocks 0..r-1

@@ -37,7 +37,13 @@ def _keys_tuple(keys) -> Tuple:
 
 
 def _sorter(nkeys: int, nvals: int, descending: bool, has_key_fn: bool, key_fn):
-    cache_key = ("sort", nkeys, nvals, descending, has_key_fn)
+    # id(key_fn) must be part of the key: two sorts with DIFFERENT
+    # comparator transforms would otherwise share one cached closure and
+    # the second would silently use the first's ordering.  The cached
+    # closure pins key_fn alive, so the id cannot be recycled while the
+    # entry exists (same argument as scan_by_key's id(key_eq)).
+    cache_key = ("sort", nkeys, nvals, descending,
+                 id(key_fn) if has_key_fn else None)
 
     def factory():
         def run(*arrays):
@@ -101,7 +107,8 @@ def _dist_sorter(vecs, nkeys: int, nvals: int, descending: bool, key_fn):
 
     def factory():
         return jax.jit(make_distributed_sorter(
-            ctx.mesh, ctx.axis, ctx.size, nkeys, nvals, descending, key_fn))
+            ctx.mesh, ctx.axis, ctx.axis_size, nkeys, nvals, descending,
+            key_fn))
 
     return (
         kernel_cache.get_or_create(cache_key, factory)

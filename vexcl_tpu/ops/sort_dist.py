@@ -104,7 +104,9 @@ def make_distributed_sorter(mesh, axis: str, d: int, nkeys: int,
 
 
 def distributed_eligible(vecs) -> bool:
-    """All vectors sharded over >1 device, equal un-padded sizes."""
+    """All vectors sharded over >1 block, equal un-padded sizes.  The
+    block count is the VECTOR-SHARDING axis size (Context.axis_size) —
+    on a multi-axis mesh vectors shard over the first axis only."""
     import os
 
     if os.environ.get("VEXTPU_SORT_DIST", "1") == "0":
@@ -112,9 +114,9 @@ def distributed_eligible(vecs) -> bool:
     v0 = vecs[0]
     if v0.nparts <= 1:
         return False
-    d = v0.context.size
+    d = v0.context.axis_size
     n = v0.size
-    if n == 0 or n % d != 0:
+    if d <= 1 or n == 0 or n % d != 0:
         return False
     return all(v.nparts == v0.nparts and v.size == n and not v._pad
                for v in vecs)
