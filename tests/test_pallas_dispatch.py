@@ -122,3 +122,44 @@ def test_segscan_flags_guard_declines_sharded(sharded):
 
     _, x, keys = sharded
     assert not use_pallas_segscan_flags((keys,), x)
+
+
+def test_pallas_local_phase_composes_with_shard_map(ctx, rng, monkeypatch):
+    """On a real multi-chip mesh the distributed scan's LOCAL phase runs
+    the Pallas kernels (inside shard_map each shard is single-device, so
+    the kernels' multi-device guards do not apply).  That branch is
+    platform-gated off on the CPU mesh (interpret mode); force it here
+    to pin the composition — pallas_call under jax.shard_map
+    (check_vma=False) — in interpret mode."""
+    import importlib
+
+    import vexcl_tpu as vex
+
+    scan_mod = importlib.import_module("vexcl_tpu.ops.scan")
+    monkeypatch.setattr(
+        scan_mod, "_local_pallas_sum",
+        lambda n, dt, op: op is None and np.dtype(dt) == np.float32)
+    vex.purge_caches()
+    try:
+        n = 8192
+        h = rng.standard_normal(n).astype(np.float32)
+        y = vex.inclusive_scan(vex.vector(data=h, context=ctx))
+        np.testing.assert_allclose(
+            np.asarray(y), np.cumsum(h.astype(np.float64)), atol=1e-3)
+        hk = (np.arange(n) // 700).astype(np.int32)
+        got = vex.inclusive_scan_by_key(vex.vector(data=hk, context=ctx),
+                                        vex.vector(data=h, context=ctx))
+        ref = np.empty(n)
+        for i in range(n):
+            ref[i] = h[i] if (i == 0 or hk[i] != hk[i - 1]) else ref[i - 1] + h[i]
+        np.testing.assert_allclose(np.asarray(got), ref, atol=1e-3)
+        got = vex.inclusive_scan_by_key(vex.vector(data=hk, context=ctx),
+                                        vex.vector(data=h, context=ctx),
+                                        op_name="max")
+        ref = np.empty(n, np.float32)
+        for i in range(n):
+            ref[i] = h[i] if (i == 0 or hk[i] != hk[i - 1]) \
+                else max(ref[i - 1], h[i])
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-6)
+    finally:
+        vex.purge_caches()  # drop kernels closed over the forced branch

@@ -68,6 +68,20 @@ def _exclusive_post(y, fn, exclusive, has_init, init, dtype):
     return y
 
 
+def _local_pallas_sum(n_local: int, dtype, op) -> bool:
+    """Whether the dist scan's LOCAL phase should run the Pallas blocked
+    cumsum: inside shard_map each shard is a single-device block, so the
+    kernel's multi-device guard does not apply — this is how the Pallas
+    fast path reaches a real multi-chip mesh.  Mirrors use_pallas_scan's
+    remaining conditions (plain add, float dtype, amortizable size)."""
+    return (
+        op is None
+        and not config.pallas_interpret()
+        and dtype in (jnp.float32, jnp.bfloat16)
+        and n_local >= (1 << 20)
+    )
+
+
 def _scan_impl_dist(ctx, op_name, op, exclusive, has_init):
     """Mesh-distributed scan: local scan per shard, all_gather of the D
     block tails (D scalars over ICI), left-combine the carry.  The
@@ -79,14 +93,18 @@ def _scan_impl_dist(ctx, op_name, op, exclusive, has_init):
            id(op) if op is not None else None, exclusive, has_init)
 
     def factory():
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
         fn = op or jnp.add
         axis = ctx.axis
 
         def local(x):
-            y = jax.lax.associative_scan(fn, x)
+            if _local_pallas_sum(x.shape[0], x.dtype, op):
+                from .pallas_scan import pallas_cumsum
+
+                y = pallas_cumsum(x)
+            else:
+                y = jax.lax.associative_scan(fn, x)
             tails = jax.lax.all_gather(y[-1], axis)       # (D,)
             s = jax.lax.associative_scan(fn, tails)
             r = jax.lax.axis_index(axis)
@@ -94,8 +112,11 @@ def _scan_impl_dist(ctx, op_name, op, exclusive, has_init):
             yc = fn(jnp.broadcast_to(carry, y.shape), y)  # left-combine
             return jnp.where(r == 0, y, yc)
 
-        sm = shard_map(local, mesh=ctx.mesh, in_specs=P(axis),
-                       out_specs=P(axis))
+        # check_vma=False: pallas_call inside shard_map cannot annotate
+        # its outputs' varying-mesh-axes, so the check must be off for
+        # the Pallas local phase
+        sm = jax.shard_map(local, mesh=ctx.mesh, in_specs=P(axis),
+                           out_specs=P(axis), check_vma=False)
 
         def run(x, init):
             return _exclusive_post(sm(x), fn, exclusive, has_init, init,

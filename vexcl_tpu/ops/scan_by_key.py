@@ -164,14 +164,32 @@ def _run(keys, src, dst, op, op_name, key_eq, exclusive, init):
             # distributed pair scan: local scan, all_gather the D
             # block-tail PAIRS, combine the carry value into positions
             # before the shard's first head (the local pair-scan flag)
-            from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
 
             axis = dist_ctx.axis
 
             def local(flags, vals):
                 fn = op or jnp.add
-                f, v = jax.lax.associative_scan(combine, (flags, vals))
+                from .monoid import monoid_of as _mono_of
+                from .scan import _local_pallas_sum
+
+                mono_l, _ = _mono_of(op, op_name)
+                if (mono_l in ("add", "max", "min")
+                        and _local_pallas_sum(vals.shape[0], vals.dtype,
+                                              None)):
+                    # inside shard_map each shard is single-device: the
+                    # Pallas segscan kernel runs the local phase on a
+                    # real multi-chip mesh (its own guard declines only
+                    # GLOBAL sharded arrays)
+                    from .pallas_segscan import (
+                        pallas_segmented_cumsum_flags)
+
+                    v = pallas_segmented_cumsum_flags(
+                        flags.astype(jnp.int8), vals, mono_l)
+                    # has-seen-a-head inclusive OR for the carry gate
+                    f = jax.lax.associative_scan(jnp.logical_or, flags)
+                else:
+                    f, v = jax.lax.associative_scan(combine, (flags, vals))
                 # ONE gather of the packed (flag, value) tail pair: 0/1
                 # is exact in every value dtype, and a second collective
                 # would double the per-call ICI latency
@@ -185,9 +203,11 @@ def _run(keys, src, dst, op, op_name, key_eq, exclusive, init):
                 vc = jnp.where(f, v, fn(jnp.broadcast_to(cv, v.shape), v))
                 return jnp.where(r == 0, v, vc)
 
-            seg_scan = shard_map(local, mesh=dist_ctx.mesh,
-                                 in_specs=(P(axis), P(axis)),
-                                 out_specs=P(axis))
+            # check_vma=False: the Pallas local phase cannot annotate
+            # varying-mesh-axes on its outputs
+            seg_scan = jax.shard_map(local, mesh=dist_ctx.mesh,
+                                     in_specs=(P(axis), P(axis)),
+                                     out_specs=P(axis), check_vma=False)
         else:
             def seg_scan(flags, vals):
                 _, incl = jax.lax.associative_scan(combine, (flags, vals))
