@@ -125,9 +125,7 @@ def make_distributed_1d(n: int, mesh, axis: str, sign: float,
         xr, xi = a2a(xr), a2a(xi)            # (n1, l2): all k1, local k2
         return xr.T.reshape(-1), xi.T.reshape(-1)
 
-    from jax.experimental.shard_map import shard_map
-
-    return shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis)),
+    return jax.shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis)),
                      out_specs=(P(axis), P(axis)))
 
 
@@ -164,7 +162,5 @@ def make_distributed_2d(r: int, c: int, mesh, axis: str, sign: float,
         xr, xi = a2a(xr), a2a(xi)                        # (c, r/d)
         return (xr.T.reshape(-1), xi.T.reshape(-1))      # (r/d, c) flat
 
-    from jax.experimental.shard_map import shard_map
-
-    return shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis)),
+    return jax.shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis)),
                      out_specs=(P(axis), P(axis)))

@@ -96,11 +96,9 @@ def make_distributed_sorter(mesh, axis: str, d: int, nkeys: int,
             return cols[nk:]                  # original keys + values
         return cols[:nk - 1] + cols[nk:]      # sorted keys + values
 
-    from jax.experimental.shard_map import shard_map
-
     nin = nkeys + nvals
-    return shard_map(local, mesh=mesh, in_specs=(P(axis),) * nin,
-                     out_specs=(P(axis),) * nin)
+    return jax.shard_map(local, mesh=mesh, in_specs=(P(axis),) * nin,
+                         out_specs=(P(axis),) * nin)
 
 
 def distributed_eligible(vecs) -> bool:
