@@ -190,3 +190,35 @@ def test_distributed_algorithms_on_multi_axis_mesh(ctx, rng):
     ref = np.fft.fft(hz)
     np.testing.assert_allclose(np.asarray(f), ref, rtol=1e-11,
                                atol=1e-10 * np.abs(ref).max())
+
+
+def test_distributed_sort_on_odd_device_count(ctx, rng):
+    """Block odd-even transposition sorts for ANY device count (a
+    block-bitonic schedule would need a power of two) — pin it on a
+    5-device sub-mesh."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 5:
+        import pytest
+
+        pytest.skip("needs >=5 devices")
+    mesh5 = Mesh(np.array(jax.devices()[:5]), ("devices",))
+    ctx5 = vex.Context(mesh=mesh5, set_current=False)
+    assert ctx5.axis_size == 5
+    n = 5 * 999
+    h = rng.standard_normal(n)
+    x = vex.vector(data=h, context=ctx5)
+    from vexcl_tpu.ops.sort_dist import distributed_eligible
+
+    assert distributed_eligible([x])
+    vex.sort(x)
+    np.testing.assert_array_equal(np.asarray(x), np.sort(h))
+    hv = np.arange(n).astype(np.int64)
+    k = vex.vector(data=(h * 8).astype(np.int64), context=ctx5)
+    v = vex.vector(data=hv, context=ctx5)
+    vex.sort_by_key(k, v)
+    hk = (h * 8).astype(np.int64)
+    order = np.argsort(hk, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), hk[order])
+    np.testing.assert_array_equal(np.asarray(v), hv[order])
