@@ -614,8 +614,12 @@ def _guarded(extra, fn, timeout_s=900):
 
 
 def main():
-    extra = {"device": str(jax.devices()[0].device_kind),
-             "timing": "two-point slope of on-device chains"}
+    extra = {"timing": "two-point slope of on-device chains"}
+
+    def b_init(extra):
+        # guarded: a tunnel outage at startup must still yield the JSON
+        # line (with FAILED_b_init) rather than hanging before the loop
+        extra["device"] = str(jax.devices()[0].device_kind)
 
     fused_holder = {}
 
@@ -685,9 +689,10 @@ def main():
         # LAST: flips jax_enable_x64 on; earlier benches compile under x32
         extra.update(bench_f64())
 
-    for b in (b_fused, b_saxpy, b_red, b_stencil, b_spmv64, b_spmv256,
-              b_ccsr, b_sort, b_scan, b_scanmax, b_philox, b_threefry,
-              b_sbk, b_scank, b_rbk, b_lorenz, b_fft, b_fft_sweep, b_f64):
+    for b in (b_init, b_fused, b_saxpy, b_red, b_stencil, b_spmv64,
+              b_spmv256, b_ccsr, b_sort, b_scan, b_scanmax, b_philox,
+              b_threefry, b_sbk, b_scank, b_rbk, b_lorenz, b_fft,
+              b_fft_sweep, b_f64):
         # the segscan kernel alone Mosaic-compiles in ~8-11 min
         _guarded(extra, b, timeout_s=1500 if b is b_scank else 900)
 
