@@ -154,9 +154,9 @@ def perf():
         flops = 5.0 * n * logn
         for name, fn in (
             ("recursive", lambda a, b: F._fft_planar(a, b, -1.0, plan)),
-            ("flat", lambda a, b: fft_flat(a, b, -1.0, plan)),
+            ("flat", lambda a, b: F._fft_planar_flat(a, b, -1.0, plan)),
             ("recursive2", lambda a, b: F._fft_planar(a, b, -1.0, plan)),
-            ("flat2", lambda a, b: fft_flat(a, b, -1.0, plan)),
+            ("flat2", lambda a, b: F._fft_planar_flat(a, b, -1.0, plan)),
         ):
             s = slope(fn, (xr, xi))
             print(f"2^{logn} {name:11s} plan={plan} {s*1e3:8.2f} ms "

@@ -271,3 +271,40 @@ def test_distributed_2d_fft(ctx, rng):
 
     xb = vex.vector(data=hx.ravel(), context=ctx)
     assert FFT((r, c), dims=(1,))._route(xb).impl != "dist"
+
+
+def test_flat_stage_form_matches(ctx, rng, monkeypatch):
+    """VEXTPU_FFT_FORM=flat selects the flat-cube CT stage engine
+    (contract cube axes, one final reversal transpose) — identical math
+    to the recursive form, pinned here across plan shapes."""
+    import importlib
+
+    F = importlib.import_module("vexcl_tpu.ops.fft")
+    for n in (4096, 3840, 729):
+        hx = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex128)
+        import jax.numpy as jnp
+
+        xr = jnp.asarray(hx.real)
+        xi = jnp.asarray(hx.imag)
+        plan = F._radix_plan(n, F._MAX_CODELET)
+        yr, yi = F._fft_planar_flat(xr, xi, -1.0, plan)
+        ref = np.fft.fft(hx)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        np.testing.assert_allclose(got, ref, rtol=1e-11,
+                                   atol=1e-10 * np.abs(ref).max())
+    # batched form
+    hb = (rng.standard_normal((4, 1024))
+          + 1j * rng.standard_normal((4, 1024)))
+    import jax.numpy as jnp
+
+    yr, yi = F._fft_planar_flat(jnp.asarray(hb.real), jnp.asarray(hb.imag),
+                                -1.0, F._radix_plan(1024, F._MAX_CODELET))
+    ref = np.fft.fft(hb, axis=-1)
+    np.testing.assert_allclose(np.asarray(yr) + 1j * np.asarray(yi), ref,
+                               rtol=1e-11, atol=1e-10 * np.abs(ref).max())
+    # env knob routes the engine selector
+    monkeypatch.setenv("VEXTPU_FFT_FORM", "flat")
+    assert F._planar_engine() is F._fft_planar_flat
+    monkeypatch.delenv("VEXTPU_FFT_FORM")
+    assert F._planar_engine() is F._fft_planar

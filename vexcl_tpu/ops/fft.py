@@ -247,6 +247,69 @@ def _fft_planar(xr: jnp.ndarray, xi: jnp.ndarray, sign: float,
             jnp.swapaxes(bi, -1, -2).reshape(batch + (n,)))
 
 
+def _fft_planar_flat(xr: jnp.ndarray, xi: jnp.ndarray, sign: float,
+                     plan: Tuple[int, ...]):
+    """Flat-cube form of the mixed-radix CT: view the signal as the
+    (r1, ..., rk) cube, contract successive axes against the stage
+    codelets with `dot_general` (which contracts ANY axis without a
+    materialized transpose op), apply in-trace twiddles between stages,
+    and pay ONE axis-reversal transpose at the end — vs the recursive
+    form's swapaxes pass at every recursion pop.  Same math, same
+    twiddles, identical numerics; an A/B candidate for the
+    transpose-bound large sizes (exp/fft_flat.py)."""
+    n = xr.shape[-1]
+    batch = xr.shape[:-1]
+    rt = str(np.dtype(xr.dtype))
+    k = len(plan)
+    if k == 1:
+        cr, ci = _codelet_planar_np(n, sign, rt)
+        return _cmatmul_last(xr, xi, jnp.asarray(cr), jnp.asarray(ci))
+    cube = batch + tuple(plan)
+    xr = xr.reshape(cube)
+    xi = xi.reshape(cube)
+    alg = _dot_alg(xr.dtype)
+    nb = len(batch)
+    rest = n
+    for i, r in enumerate(plan):
+        rest //= r
+        cr, ci = _codelet_planar_np(r, sign, rt)
+        cr = jnp.asarray(cr)
+        ci = jnp.asarray(ci)
+        wa = jnp.concatenate([cr, ci], axis=0)   # (2r, r) one-pass form
+        wb = jnp.concatenate([-ci, cr], axis=0)
+        dn = (((nb + i,), (1,)), ((), ()))
+        y2 = (jax.lax.dot_general(xr, wa, dn, precision=alg)
+              + jax.lax.dot_general(xi, wb, dn, precision=alg))
+        # dot_general puts the codelet's output axis LAST; restore it
+        y2 = jnp.moveaxis(y2, -1, nb + i)
+        sl_r = [slice(None)] * y2.ndim
+        sl_i = [slice(None)] * y2.ndim
+        sl_r[nb + i] = slice(0, r)
+        sl_i[nb + i] = slice(r, 2 * r)
+        xr, xi = y2[tuple(sl_r)], y2[tuple(sl_i)]
+        if rest > 1:
+            tc, ts = _twiddle_planar(r, rest, sign, xr.dtype)
+            shape = (1,) * (nb + i) + (r,) + tuple(plan[i + 1:])
+            tc = tc.reshape(shape)
+            ts = ts.reshape(shape)
+            xr, xi = xr * tc - xi * ts, xr * ts + xi * tc
+    # output digits come out LSD-first: reverse the plan axes, ravel
+    perm = tuple(range(nb)) + tuple(nb + k - 1 - i for i in range(k))
+    out = batch + (n,)
+    return (jnp.transpose(xr, perm).reshape(out),
+            jnp.transpose(xi, perm).reshape(out))
+
+
+def _planar_engine():
+    """Stage-engine selector: the recursive form is the measured default;
+    ``VEXTPU_FFT_FORM=flat`` switches every CT transform (plain, dist
+    local phases, Bluestein inner transforms) to the flat-cube form."""
+    import os
+
+    return (_fft_planar_flat if os.environ.get("VEXTPU_FFT_FORM") == "flat"
+            else _fft_planar)
+
+
 def _fft_1d(x: jnp.ndarray, sign: float) -> jnp.ndarray:
     """FFT along the last axis (static length), batched over leading axes."""
     n = x.shape[-1]
@@ -258,7 +321,7 @@ def _fft_1d(x: jnp.ndarray, sign: float) -> jnp.ndarray:
         # transform (the reference Bluesteins unsupported factors too)
         return _bluestein(x, sign)
     xr, xi = jnp.real(x), jnp.imag(x)
-    yr, yi = _fft_planar(xr, xi, sign, _radix_plan(n, _MAX_CODELET))
+    yr, yi = _planar_engine()(xr, xi, sign, _radix_plan(n, _MAX_CODELET))
     return jax.lax.complex(yr, yi).astype(cdtype)
 
 
