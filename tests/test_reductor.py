@@ -68,3 +68,13 @@ def test_reductor_dtype(ctx):
     a = vex.vector(data=ha, context=ctx)
     s = vex.Reductor(np.int64, vex.SUM)(a)
     assert s == int(ha.astype(np.int64).sum())
+
+
+def test_reductor_unsized_expression_raises(ctx):
+    # a scalar-only tree has no sized terminal: reducing it must raise
+    # (it used to silently reduce ONE broadcast element)
+    with pytest.raises(vex.ExpressionError):
+        vex.Reductor(vex.SUM)(2.5 * vex.element_index() + 1.0)
+    # ... unless element_index carries an explicit length
+    s = vex.Reductor(vex.SUM)(vex.element_index(0, 100))
+    assert s == pytest.approx(100 * 99 / 2)

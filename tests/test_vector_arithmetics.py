@@ -230,3 +230,22 @@ def test_scalar_cache_signed_zero_and_nan(ctx, rng):
         z[:] = x * float("nan")
     assert np.isnan(np.asarray(z)).all()
     assert len(_scalar_cache) == n0 + 1  # one entry, reused
+
+
+def test_odd_size_leafless_expression_assign(ctx, rng):
+    # a leafless expression (element_index + scalars, no sharded array
+    # leaves) compiles with no committed sharded inputs, so its result can
+    # land on the default device; assigning it to an odd-size SHARDED
+    # vector must still pad + reshard (fuzz regression, vector.py
+    # _pad_and_place)
+    n = 1003
+    z = vex.vector(n, dtype=np.float32, context=ctx)
+    z[:] = 1.0 * vex.element_index(0, n) + 2.0
+    assert np.allclose(np.asarray(z), np.arange(n) + 2.0)
+    # mixed tree: sharded leaf + logical-length index terminal
+    ha = rng.random(n).astype(np.float32)
+    a = vex.vector(data=ha, context=ctx)
+    z[:] = vex.pow(vex.fabs(a) + 0.5, vex.element_index(0, n) * 1e-3)
+    ref = np.power(np.abs(ha) + np.float32(0.5),
+                   np.arange(n, dtype=np.float32) * np.float32(1e-3))
+    assert np.allclose(np.asarray(z), ref, rtol=1e-5)

@@ -60,7 +60,7 @@ from .multivector import MultiExpr, multivector, tie  # noqa: E402
 from .ndarray import extents, indices, multi_array  # noqa: E402
 from .profiler import profiler, stopwatch  # noqa: E402
 from .parallel.partition import reset_partitioning, set_partitioning
-from .utils.util import alignup, nextpow2, precondition
+from .utils.util import ExpressionError, alignup, nextpow2, precondition
 
 __version__ = "0.1.0"
 

@@ -567,7 +567,14 @@ class ConstantTerminal(Expr):
 
 class ElementIndex(Expr):
     """Global element index terminal (element_index.hpp:38-58):
-    emits iota(n) + offset at the expression's output size."""
+    emits iota(n) + offset at the expression's output size.
+
+    Width caveat: the reference's index is OpenCL ``size_t`` (64-bit), so
+    integer index arithmetic wraps mod 2^64; here it is i32 unless
+    ``jax_enable_x64`` (TPUs have no native i64), so pure-integer products
+    like ``element_index()**4`` wrap mod 2^32 (found by
+    exp/fuzz_expressions.py).  Promote to float early (``1.0 *
+    element_index()``) when composing large index polynomials."""
 
     _opname = "idx"
 

@@ -27,6 +27,7 @@ from ..config import config
 from ..expr.compile import _env_from  # shared trace plumbing
 from ..expr.node import Expr, analyze, as_expr, expression_properties
 from ..types import dtype_of
+from ..utils.util import ExpressionError
 
 __all__ = [
     "SUM",
@@ -125,6 +126,15 @@ class Reductor:
             return tuple(self(c) for c in expr.components)
         expr = as_expr(expr)
         n, _ctx = expression_properties(expr)
+        if n is None:
+            # a scalar-only tree would silently reduce ONE broadcast element
+            # (the reference can't size such an expression either:
+            # reductor.hpp:302-340 takes the range from a vector terminal)
+            raise ExpressionError(
+                analyze(expr).sig,
+                ValueError(
+                    "Reductor: expression has no sized terminal — include "
+                    "a vector or give element_index an explicit length"))
         kinds = self.kinds if self._combined else (self.kinds,)
         analysis = analyze(expr)
 

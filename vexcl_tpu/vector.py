@@ -151,6 +151,22 @@ def _pad_to_sharding(pad: int, sharding):
     return jax.jit(lambda a: jnp.pad(a, (0, pad)), out_shardings=sharding)
 
 
+def _pad_and_place(arr: jax.Array, pad: int, sharding) -> jax.Array:
+    """Pad an odd-size device result and place it on the target mesh.
+
+    The fused pad jit requires the input's committed devices to match the
+    output sharding's.  A result can legitimately live elsewhere — e.g. a
+    leafless expression (element_index + scalars only) compiles with no
+    sharded inputs and lands committed on the default device (found by
+    exp/fuzz_expressions.py seed 0 at n=1003) — so pad where it lives,
+    then reshard with an explicit transfer."""
+    tgt = getattr(sharding, "device_set", None)
+    cur = getattr(getattr(arr, "sharding", None), "device_set", None)
+    if cur is not None and tgt is not None and cur != tgt:
+        return jax.device_put(jnp.pad(arr, (0, pad)), sharding)
+    return _pad_to_sharding(pad, sharding)(arr)
+
+
 def _device_fill(n: int, dt) -> jax.Array:
     if _complex_workaround_needed(dt):
         return jax.jit(lambda: jnp.zeros(n, dtype=dt))()
@@ -263,7 +279,7 @@ class vector(_ExprOpsMixin):
                 arr = np.concatenate(
                     [arr, np.zeros(self._pad, dtype=arr.dtype)])
                 return _host_to_device_any(arr, sh)
-            return _pad_to_sharding(self._pad, sh)(arr)
+            return _pad_and_place(arr, self._pad, sh)
         if self._sharded and n % ndev == 0 and n > 0:
             # even block sharding over the mesh (the part[] analog)
             sh = self.context.vector_sharding
@@ -298,8 +314,8 @@ class vector(_ExprOpsMixin):
         self._borrowed = False  # fresh result buffer, exclusively owned
         if self._sharded and n > 0 and n % ndev != 0:
             self._pad = (-n) % ndev
-            self._array = _pad_to_sharding(
-                self._pad, self.context.vector_sharding)(arr)
+            self._array = _pad_and_place(
+                arr, self._pad, self.context.vector_sharding)
         else:
             self._pad = 0
             self._array = arr
