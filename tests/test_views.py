@@ -156,3 +156,16 @@ def test_tensordot_size_hint_negative_axes(ctx, rng):
     got = np.asarray(vex.eval(expr))
     np.testing.assert_allclose(
         got.reshape(n, k), ha.reshape(n, m) @ hb.reshape(m, k), rtol=1e-10)
+
+
+def test_two_int_slicer_view_is_scalar_like(ctx, rng):
+    # a slicer key of all-ints yields a size-1 view with EXTRA dims
+    # relative to the 1-D destination; the evaluator must collapse it
+    # (fuzz regression, expr/compile.py post broadcast)
+    n, m = 8, 16
+    ha = rng.random(n * m).astype(np.float32)
+    x = vex.vector(data=ha, context=ctx)
+    s = vex.slicer((n, m))
+    out = vex.vector(1, dtype=np.float32, context=ctx)
+    out[:] = s[3, 5](x) * 2.0 + 1.0
+    assert np.allclose(out.to_numpy(), ha.reshape(n, m)[3, 5] * 2.0 + 1.0)

@@ -272,7 +272,11 @@ def evaluate(
                 if n is not None and jnp.ndim(val) == 0:
                     val = jnp.full((n,), val, dtype=out_dtype or jnp.result_type(val))
                 elif n is not None and jnp.shape(val) != (n,):
-                    val = jnp.broadcast_to(val, (n,)) if jnp.size(val) == 1 else val.reshape((n,))
+                    # size-1 results may carry MORE dims than the target
+                    # (e.g. a (1, 1) two-int slicer view): collapse to a
+                    # scalar first — broadcast_to cannot drop axes
+                    val = (jnp.broadcast_to(jnp.reshape(val, ()), (n,))
+                           if jnp.size(val) == 1 else val.reshape((n,)))
                 return val
 
             return _build_evaluator((expr,), analysis, n, post=post,
