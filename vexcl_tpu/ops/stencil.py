@@ -66,8 +66,14 @@ class StencilExpr(Expr):
 
         if use_pallas_stencil(n, self.st.width, x.dtype,
                               expr=self.children[1]):
+            # in-place when the input is the DONATED destination buffer
+            # and this is its only read (x[:] = x * s): the kernel's
+            # window pipeline is aliasing-safe (pallas_stencil docstring)
+            # and the same-buffer stream runs ~2x the r+w ceiling
+            donate = id(self.children[1]) in env.inplace
             return stencil_pallas(
-                x, np.asarray(self.st.coeff), self.st.center
+                x, np.asarray(self.st.coeff), self.st.center,
+                donate=donate,
             )
         lpad = self.st.center
         rpad = self.st.width - 1 - self.st.center

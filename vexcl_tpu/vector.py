@@ -163,8 +163,17 @@ def _pad_and_place(arr: jax.Array, pad: int, sharding) -> jax.Array:
     tgt = getattr(sharding, "device_set", None)
     cur = getattr(getattr(arr, "sharding", None), "device_set", None)
     if cur is not None and tgt is not None and cur != tgt:
-        return jax.device_put(jnp.pad(arr, (0, pad)), sharding)
+        # pad where the array lives, INSIDE a jit (an eager jnp.pad of a
+        # complex64 array raises UNIMPLEMENTED on the axon TPU platform,
+        # ADVICE r2), then reshard with an explicit transfer
+        return jax.device_put(_pad_jit(pad)(arr), sharding)
     return _pad_to_sharding(pad, sharding)(arr)
+
+
+@functools.lru_cache(maxsize=None)
+def _pad_jit(pad: int):
+    """Jitted pad with no out_shardings (used before an explicit reshard)."""
+    return jax.jit(lambda a: jnp.pad(a, (0, pad)))
 
 
 def _device_fill(n: int, dt) -> jax.Array:
