@@ -95,39 +95,43 @@ def _commit_scalars(leaves):
     semantics (2*x stays f32 for f32 x) — is unchanged."""
     out = None
     sh = None
+
+    def target():
+        # Pick the widest device set among the array leaves: a
+        # multi-device NamedSharding leaf wins (replicate the
+        # scalar over its mesh); otherwise commit to the single
+        # device only when EVERY array leaf lives there — an
+        # auxiliary single-device array next to a sharded vector
+        # must not pin the scalar (r2: stencil coefficients).
+        single = None
+        ok_single = True
+        for a in leaves:
+            s = getattr(a, "sharding", None)
+            if s is None:
+                continue
+            if isinstance(s, jax.sharding.NamedSharding):
+                if len(s.mesh.devices.flat) > 1:
+                    return _replicated_like(s)
+                d = next(iter(s.device_set))
+            elif isinstance(s, jax.sharding.SingleDeviceSharding):
+                d = next(iter(s.device_set))
+            else:
+                ok_single = False
+                continue
+            if single is None:
+                single = d
+            elif single != d:
+                ok_single = False
+        if not (ok_single and single is not None):
+            return None  # mixed/exotic placement: leave as-is
+        return jax.sharding.SingleDeviceSharding(single)
+
     for i, l in enumerate(leaves):
         if isinstance(l, _SCALAR_TYPES):
             if sh is None:
-                # Pick the widest device set among the array leaves: a
-                # multi-device NamedSharding leaf wins (replicate the
-                # scalar over its mesh); otherwise commit to the single
-                # device only when EVERY array leaf lives there — an
-                # auxiliary single-device array next to a sharded vector
-                # must not pin the scalar (r2: stencil coefficients).
-                single = None
-                ok_single = True
-                for a in leaves:
-                    s = getattr(a, "sharding", None)
-                    if s is None:
-                        continue
-                    if isinstance(s, jax.sharding.NamedSharding):
-                        if len(s.mesh.devices.flat) > 1:
-                            sh = _replicated_like(s)
-                            break
-                        d = next(iter(s.device_set))
-                    elif isinstance(s, jax.sharding.SingleDeviceSharding):
-                        d = next(iter(s.device_set))
-                    else:
-                        ok_single = False
-                        continue
-                    if single is None:
-                        single = d
-                    elif single != d:
-                        ok_single = False
+                sh = target()
                 if sh is None:
-                    if not (ok_single and single is not None):
-                        return leaves  # mixed/exotic placement: leave as-is
-                    sh = jax.sharding.SingleDeviceSharding(single)
+                    return leaves
             # Floats key by bit pattern: 0.0 == -0.0 would collapse the
             # signed zeros into one committed entry (wrong copysign /
             # 1/(x*-0.0) results), and nan != nan would MISS on every
@@ -145,6 +149,24 @@ def _commit_scalars(leaves):
             if out is None:
                 out = list(leaves)
             out[i] = arr
+        elif _replicable_ref(l):
+            # table leaf (image2d data, mba lattice, stencil coeffs):
+            # commit once per (buffer, device set) — otherwise every
+            # sharded-expression call re-broadcasts it (VERDICT r2 #7)
+            if sh is None:
+                sh = target()
+                if sh is None:
+                    return leaves
+            key = (sh, id(l))
+            ent = _replicated_cache.get(key)
+            if ent is None or ent[0]() is not l:
+                if len(_replicated_cache) >= _REPLICATED_CACHE_MAX:
+                    _replicated_cache.clear()
+                ent = (weakref.ref(l), jax.device_put(l, sh))
+                _replicated_cache[key] = ent
+            if out is None:
+                out = list(leaves)
+            out[i] = ent[1]
     return out if out is not None else leaves
 
 

@@ -92,6 +92,11 @@ class image2d:
         self.data = jnp.asarray(host)
         self.shape = host.shape
         self.filter = filter
+        # commit once per device set on first use in a sharded expression
+        # (instead of XLA re-broadcasting the table every call)
+        from ..expr.compile import mark_replicable
+
+        mark_replicable(self.data)
 
     def __call__(self, x: Any, y: Any) -> Image2DSample:
         return Image2DSample(self, x, y)

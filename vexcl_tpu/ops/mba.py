@@ -193,6 +193,11 @@ class mba:
         self.grids = [tuple(g) for g in self.grids]
         self._lattices_dev = [jnp.asarray(l) for l in lattices]
         self.residual = float(np.abs(resid).max(initial=0.0))
+        # lattice tables commit once per device set on first sharded use
+        from ..expr.compile import mark_replicable
+
+        for lat in self._lattices_dev:
+            mark_replicable(lat)
 
     def __call__(self, *coords: Any) -> MBAExpr:
         return MBAExpr(self, coords)

@@ -94,6 +94,9 @@ class stencil:
     def __init__(self, coefficients: Sequence[float], center: int, *, context=None):
         c = np.asarray(coefficients)
         self.coeff = jnp.asarray(c)
+        from ..expr.compile import mark_replicable
+
+        mark_replicable(self.coeff)  # commit once per device set
         self.width = int(len(c))
         self.center = int(center)
         if not (0 <= self.center < self.width):
