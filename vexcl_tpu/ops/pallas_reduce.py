@@ -122,25 +122,13 @@ def pallas_map_reduce(array_leaves, scalar_leaves, emit, kind: str,
     return out[0]
 
 
-def reducible_with_pallas(expr, kinds, n) -> bool:
-    """Static eligibility: single SUM/MIN/MAX over a pure-elementwise
-    expression of f32 vector leaves, large, single-kind, single-device
-    (a sharded input must take the XLA path, whose psum-style reduction
-    XLA partitions correctly)."""
+def _elementwise_f32_tree(expr, n, require_unpadded=False) -> bool:
+    """Structural part of the eligibility: pure-elementwise expression of
+    f32 size-n vector leaves (+ scalars/constants)."""
     from ..expr.node import (
-        BinOp, CastExpr, ConstantTerminal, Expr, FuncCall, ScalarTerminal,
+        BinOp, CastExpr, ConstantTerminal, FuncCall, ScalarTerminal,
         TaggedTerminal, Temporary, UnOp, VectorTerminal, Where,
     )
-    from .dispatch import expr_on_multiple_devices
-
-    if expr_on_multiple_devices(expr):
-        return False
-    if config.pallas_interpret():
-        return False
-    if len(kinds) != 1 or kinds[0].name not in _INITS:
-        return False
-    if n is None or n < 2 * BLOCK:
-        return False
 
     ok_nodes = (BinOp, UnOp, FuncCall, Where, CastExpr, Temporary)
     stack = [expr]
@@ -149,6 +137,8 @@ def reducible_with_pallas(expr, kinds, n) -> bool:
         node = stack.pop()
         if isinstance(node, VectorTerminal):
             if node.vec.dtype != np.float32 or node.vec.size != n:
+                return False
+            if require_unpadded and getattr(node.vec, "_pad", 0):
                 return False
             saw_vector = True
             continue
@@ -162,3 +152,77 @@ def reducible_with_pallas(expr, kinds, n) -> bool:
             continue
         return False
     return saw_vector
+
+
+def reducible_with_pallas(expr, kinds, n) -> bool:
+    """Static eligibility: single SUM/MIN/MAX over a pure-elementwise
+    expression of f32 vector leaves, large, single-kind, single-device
+    (a sharded input takes the shard_map local-phase form instead —
+    reducible_with_pallas_dist)."""
+    from .dispatch import expr_on_multiple_devices
+
+    if expr_on_multiple_devices(expr):
+        return False
+    if config.pallas_interpret():
+        return False
+    if len(kinds) != 1 or kinds[0].name not in _INITS:
+        return False
+    if n is None or n < 2 * BLOCK:
+        return False
+    return _elementwise_f32_tree(expr, n)
+
+
+def _local_pallas_reduce(n_local: int, dtype=np.float32) -> bool:
+    """Whether the dist reduction's LOCAL phase should run the Pallas
+    blocked map-reduce: inside shard_map each shard is a single-device
+    block, so the kernel's multi-device guard does not apply — the same
+    pattern that takes the Pallas scan onto a real mesh
+    (ops/scan.py:_local_pallas_sum).  Monkeypatchable for the CPU-mesh
+    composition test."""
+    return not config.pallas_interpret() and n_local >= 2 * BLOCK
+
+
+def reducible_with_pallas_dist(expr, kinds, n):
+    """Mesh-sharded eligibility: same structural conditions, every vector
+    leaf P(axis)-sharded over ONE common mesh with no storage pad, and
+    the per-shard block large enough for the kernel.  Returns
+    (mesh, axis) when eligible, else None."""
+    import jax
+
+    from ..expr.node import VectorTerminal
+
+    if len(kinds) != 1 or kinds[0].name not in _INITS:
+        return None
+    if n is None:
+        return None
+    if not _elementwise_f32_tree(expr, n, require_unpadded=True):
+        return None
+
+    mesh = None
+    axis = None
+    stack = [expr]
+    while stack:
+        node = stack.pop()
+        if isinstance(node, VectorTerminal):
+            sh = getattr(node.vec.storage, "sharding", None)
+            if not isinstance(sh, jax.sharding.NamedSharding):
+                return None
+            if len(sh.device_set) <= 1:
+                return None
+            spec = tuple(sh.spec)
+            if len(spec) != 1 or spec[0] is None:
+                return None
+            if mesh is None:
+                mesh, axis = sh.mesh, spec[0]
+            elif sh.mesh is not mesh or spec[0] != axis:
+                return None
+        inner = getattr(node, "inner", None)
+        if inner is not None:
+            stack.append(inner)
+        stack.extend(getattr(node, "children", ()))
+    if mesh is None:
+        return None
+    d = mesh.shape[axis]
+    if n % d != 0 or not _local_pallas_reduce(n // d):
+        return None
+    return mesh, axis

@@ -203,6 +203,121 @@ def stencil_pallas(x, coeffs, center: int, post=None, donate: bool = False):
     return y.reshape(-1)
 
 
+def _local_pallas_stencil(n_local: int, width: int, dtype) -> bool:
+    """Whether the dist stencil's LOCAL phase should run the Pallas roll
+    kernel: inside shard_map each shard is a single-device block, so the
+    kernel's multi-device guard does not apply (the scan pattern,
+    ops/scan.py:_local_pallas_sum).  Monkeypatchable for the CPU-mesh
+    composition test."""
+    if config.pallas_interpret():
+        return False
+    if np.dtype(dtype) not in (np.float32,):
+        return False
+    if n_local % LANE != 0 or n_local < (1 << 16):
+        return False
+    rows = n_local // LANE
+    if _block_rows(rows, width) == 0:
+        return False
+    if width > HALO_ROWS * LANE:
+        return False
+    return True
+
+
+def stencil_pallas_dist(x, coeffs, center: int, mesh, axis: str):
+    """Mesh-sharded stencil: the Pallas roll kernel runs as the shard_map
+    LOCAL phase; ppermute halos (parallel/halo.py) correct the O(width)
+    boundary outputs afterwards.
+
+    The kernel edge-replicates at ITS block ends (stencil.hpp:138-154
+    semantics applied locally), which is wrong only for the first
+    ``center`` and last ``width-1-center`` outputs of each interior
+    shard — exactly the elements the reference's exchange_halos moves
+    through the host (stencil.hpp:90-165).  Those are recomputed from
+    the neighbor halos in plain XLA (a few hundred elements per shard)
+    and spliced in with two dynamic_update_slices — so the full-block
+    stream still runs at the single-device kernel's rate."""
+    import jax
+
+    from ..parallel.halo import exchange_halos
+    from jax.sharding import PartitionSpec as P
+
+    width = len(coeffs)
+    lpad = int(center)
+    rpad = width - 1 - lpad
+    cf = [float(c) for c in coeffs]
+
+    def local(x_blk):
+        nb = x_blk.shape[0]
+        y = stencil_pallas(x_blk, coeffs, center)
+        left, right = exchange_halos(x_blk, axis, lpad, rpad)
+        # ext = [left | x_blk | right]; y[i] = sum_k cf[k] * ext[i + k]
+        if lpad:
+            xl = jnp.concatenate([left, x_blk[: width - 1]])
+            corr = None
+            for k in range(width):
+                seg = cf[k] * jax.lax.dynamic_slice_in_dim(xl, k, lpad)
+                corr = seg if corr is None else corr + seg
+            y = jax.lax.dynamic_update_slice(y, corr.astype(y.dtype), (0,))
+        if rpad:
+            xr = jnp.concatenate([x_blk[nb - rpad - lpad:], right])
+            corr = None
+            for k in range(width):
+                seg = cf[k] * jax.lax.dynamic_slice_in_dim(xr, k, rpad)
+                corr = seg if corr is None else corr + seg
+            y = jax.lax.dynamic_update_slice(
+                y, corr.astype(y.dtype), (nb - rpad,))
+        return y
+
+    # check_vma=False: pallas_call inside shard_map cannot annotate its
+    # outputs' varying mesh axes (same as the distributed scan)
+    return jax.shard_map(local, mesh=mesh, in_specs=P(axis),
+                         out_specs=P(axis), check_vma=False)(x)
+
+
+def stencil_dist_mesh(expr, n: int, width: int, dtype):
+    """(mesh, axis) when the sharded Pallas-local-phase stencil applies
+    to this input expression, else None: every vector/array terminal
+    P(axis)-sharded over one common mesh, no storage pad, local block
+    passing the kernel guard."""
+    import jax
+
+    from ..expr.node import ArrayTerminal, VectorTerminal
+
+    mesh = None
+    axis = None
+    stack = [expr]
+    while stack:
+        node = stack.pop()
+        buf = None
+        if isinstance(node, VectorTerminal):
+            if getattr(node.vec, "_pad", 0):
+                return None
+            buf = node.vec.storage
+        elif isinstance(node, ArrayTerminal):
+            buf = node.array
+        if buf is not None:
+            sh = getattr(buf, "sharding", None)
+            if (isinstance(sh, jax.sharding.NamedSharding)
+                    and len(sh.device_set) > 1):
+                spec = tuple(sh.spec)
+                if len(spec) != 1 or spec[0] is None:
+                    return None
+                if mesh is None:
+                    mesh, axis = sh.mesh, spec[0]
+                elif sh.mesh is not mesh or spec[0] != axis:
+                    return None
+        inner = getattr(node, "inner", None)
+        if inner is not None:
+            stack.append(inner)
+        stack.extend(getattr(node, "children", ()))
+    if mesh is None:
+        return None
+    d = mesh.shape[axis]
+    if n % d != 0 or not _local_pallas_stencil(n // d, width, dtype):
+        return None
+    return mesh, axis
+
+
 def use_pallas_stencil(n: int, width: int, dtype, expr=None) -> bool:
     """Default ON: the roll-based kernel beats the XLA pad+slice path
     (300 vs 174 GB/s effective at 2^26 f32) whenever it applies.

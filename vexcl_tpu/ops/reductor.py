@@ -144,7 +144,61 @@ class Reductor:
 
         # Pallas fast path: single SUM/MIN/MAX over a large elementwise f32
         # expression — one-pass blocked map-reduce (reductor.hpp analog)
-        from .pallas_reduce import pallas_map_reduce, reducible_with_pallas
+        from .pallas_reduce import (
+            pallas_map_reduce, reducible_with_pallas,
+            reducible_with_pallas_dist)
+
+        # mesh-sharded inputs: run the SAME kernel as the shard_map LOCAL
+        # phase (each shard is single-device inside shard_map) + a psum /
+        # pmax / pmin of the per-shard scalars over ICI — the reference's
+        # per-device partials + cross-device combine (reductor.hpp:412-438)
+        # with the host combine replaced by a collective
+        dist = (reducible_with_pallas_dist(expr, kinds, n)
+                if self.dtype in (None, np.dtype(np.float32)) else None)
+        if dist is not None:
+            import jax.numpy as _jnp  # noqa: F401
+            from jax.sharding import PartitionSpec as P
+
+            mesh, axis = dist
+            is_arr = [getattr(p, "ndim", 0) == 1 for p in analysis.leaves]
+            kind = kinds[0].name
+            key = ("pallas_reduce_dist", analysis.sig, kind, n,
+                   id(mesh), axis)
+
+            def factory():
+                comb = {"SUM": jax.lax.psum, "MIN": jax.lax.pmin,
+                        "MAX": jax.lax.pmax}[kind]
+
+                def local(*leaves):
+                    arrays = [l for l, f in zip(leaves, is_arr) if f]
+                    scalars = [l for l, f in zip(leaves, is_arr) if not f]
+
+                    def emit(blocks, scalar_vals):
+                        bi = iter(blocks)
+                        si = iter(scalar_vals)
+                        full = [next(bi) if f else next(si) for f in is_arr]
+                        env = _env_from(analysis, (expr,), full, None)
+                        return expr.emit_cached(env)
+
+                    part = pallas_map_reduce(arrays, scalars, emit, kind)
+                    return comb(part, axis)
+
+                specs = tuple(P(axis) if f else P() for f in is_arr)
+                # check_vma=False: pallas_call inside shard_map cannot
+                # annotate varying mesh axes (same as ops/scan.py)
+                sm = jax.shard_map(local, mesh=mesh, in_specs=specs,
+                                   out_specs=P(), check_vma=False)
+
+                # under jit every leaf (incl. Python scalars) is already
+                # a tracer, so shard_map sees rank-0 P() operands
+                return jax.jit(lambda *leaves: sm(*leaves))
+
+            jfn = (
+                kernel_cache.get_or_create(key, factory)
+                if config.cache_kernels
+                else factory()
+            )
+            return float(jfn(*analysis.leaves))
 
         if (
             self.dtype in (None, np.dtype(np.float32))

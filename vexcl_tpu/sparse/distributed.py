@@ -101,6 +101,8 @@ class DistSpMVExpr(Expr):
 
         if mat.mode == "dia_halo":
             from ..parallel.halo import with_halo
+            from .pallas_dia import (
+                _local_pallas_dia, dia_matvec_pallas, dia_matvec_pallas_roll)
 
             (vals,) = tuple(c.emit_cached(env) for c in self.children[:1])
             offsets = mat.offsets
@@ -112,6 +114,18 @@ class DistSpMVExpr(Expr):
                 # so edge replication at the domain ends is harmless
                 xw = with_halo(x_blk, axis, lhalo, rhalo)
                 nb = x_blk.shape[0]
+                # Pallas LOCAL phase on real hardware (VERDICT r2 #1):
+                # each shard is single-device inside shard_map, and the
+                # kernels accept the halo'd x directly (prepadded=True —
+                # xw starts with exactly lhalo = max(0, -min(off)) real
+                # neighbor values, the layout the kernels' left pad had)
+                form = _local_pallas_dia(nb, offsets, vals_blk, x_blk.dtype)
+                if form == "roll":
+                    return dia_matvec_pallas_roll(
+                        nb, nb, offsets, vals_blk, xw, prepadded=True)
+                if form == "window":
+                    return dia_matvec_pallas(
+                        nb, nb, offsets, vals_blk, xw, prepadded=True)
                 acc = None
                 for k, off in enumerate(offsets):
                     base = lhalo + off  # xw = [lhalo | block | rhalo]
@@ -119,11 +133,14 @@ class DistSpMVExpr(Expr):
                     acc = seg if acc is None else acc + seg
                 return acc
 
+            # check_vma=False: pallas_call inside shard_map cannot
+            # annotate varying mesh axes (same as the distributed scan)
             y = jax.shard_map(
                 shard_fn,
                 mesh=mesh,
                 in_specs=(P(None, axis), P(axis)),
                 out_specs=P(axis),
+                check_vma=False,
             )(vals, xp)
             return y[: mat.n]
 

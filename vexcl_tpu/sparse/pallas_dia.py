@@ -87,7 +87,7 @@ def _kernel(xp_hbm, vals_ref, o_ref, xwin0, xwin1, sem, *, offsets, s0,
             acc = seg if acc is None else acc + seg
         o_ref[...] = acc
 
-    even = jax.lax.rem(i, 2) == 0
+    even = jax.lax.rem(i, jnp.int32(2)) == 0
 
     @pl.when(even)
     def _():
@@ -117,8 +117,12 @@ def _window_block(offsets, vals_dtype, n) -> int:
     return block
 
 
-def dia_matvec_pallas(n: int, m: int, offsets, vals, x):
-    """y = A x for DIA planes `vals` (d, n); 1-D f32/bf16 only."""
+def dia_matvec_pallas(n: int, m: int, offsets, vals, x, prepadded=False):
+    """y = A x for DIA planes `vals` (d, n); 1-D f32/bf16 only.
+
+    ``prepadded=True``: x already carries the max(0, -min(offsets)) left
+    elements (REAL neighbor-halo values in the distributed local phase,
+    sparse/distributed.py) — only right alignment slack is added."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -130,8 +134,12 @@ def dia_matvec_pallas(n: int, m: int, offsets, vals, x):
     nblocks = -(-n // BLOCK)
     npad = nblocks * BLOCK
     # pad x so every window read is in range (+ DMA alignment slack)
-    rpad = (npad + s0 + _align(span)) - (lpad + m)
-    xp = jnp.pad(x, (lpad, max(0, rpad)))
+    if prepadded:
+        need = npad + s0 + _align(span)
+        xp = jnp.pad(x, (0, max(0, need - x.shape[0])))
+    else:
+        rpad = (npad + s0 + _align(span)) - (lpad + m)
+        xp = jnp.pad(x, (lpad, max(0, rpad)))
     vals_p = (
         jnp.pad(vals, ((0, 0), (0, npad - n))) if npad != n else vals
     )
@@ -269,8 +277,11 @@ def _roll_kernel(xp_hbm, vals_ref, o_ref, xwin0, xwin1, sem, *, offsets,
         run(xwin1, 1, xwin0, 0)
 
 
-def dia_matvec_pallas_roll(n, m, offsets, vals, x):
-    """y = A x via the roll kernel (f32, min(offset) <= 0)."""
+def dia_matvec_pallas_roll(n, m, offsets, vals, x, prepadded=False):
+    """y = A x via the roll kernel (f32, min(offset) <= 0).
+
+    ``prepadded``: see dia_matvec_pallas — x already carries the left
+    halo values (distributed local phase)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -281,8 +292,12 @@ def dia_matvec_pallas_roll(n, m, offsets, vals, x):
     nblocks = -(-n // BLOCK)
     npad = nblocks * BLOCK
     win = _roll_window(BLOCK, span)
-    rpad = (npad + s0 + (win - BLOCK)) - (lpad + m)
-    xp = jnp.pad(x, (lpad, max(0, rpad)))
+    if prepadded:
+        need = npad + s0 + (win - BLOCK)
+        xp = jnp.pad(x, (0, max(0, need - x.shape[0])))
+    else:
+        rpad = (npad + s0 + (win - BLOCK)) - (lpad + m)
+        xp = jnp.pad(x, (lpad, max(0, rpad)))
     vals_p = (
         jnp.pad(vals, ((0, 0), (0, npad - n))) if npad != n else vals
     )
@@ -310,6 +325,23 @@ def dia_matvec_pallas_roll(n, m, offsets, vals, x):
         interpret=config.pallas_interpret(),
     )(xp, vals_p)
     return out[:n]
+
+
+def _local_pallas_dia(nb: int, offsets, vals_blk, x_dtype):
+    """Kernel choice for the DISTRIBUTED DIA SpMV's local phase (inside
+    shard_map each shard is single-device, so the kernels apply —
+    ops/scan.py:_local_pallas_sum pattern).  Returns "roll" | "window" |
+    None.  vals_blk is the (d, n/D) local plane tracer; shapes/dtypes
+    are static.  Monkeypatchable for the CPU-mesh composition test."""
+    ok_dt = x_dtype == vals_blk.dtype or (
+        x_dtype == jnp.float32 and vals_blk.dtype == jnp.bfloat16)
+    if not ok_dt:
+        return None
+    if use_pallas_dia_roll(nb, nb, offsets, vals_blk):
+        return "roll"
+    if use_pallas_dia(offsets, vals_blk):
+        return "window"
+    return None
 
 
 def use_pallas_dia_roll(n, m, offsets, vals) -> bool:

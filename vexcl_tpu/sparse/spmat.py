@@ -245,14 +245,26 @@ class SpMatCCSR:
     with columns as offsets relative to the row index.
     """
 
+    #: auto cache_expansion memory budget (MiB) for the expanded planes
+    #: (env VEXTPU_CCSR_CACHE_MB); 256 MiB admits the 256^3 Poisson
+    #: contract workload (7 planes x 16.7M bf16 = 234 MiB) on a 16 GiB
+    #: v5e while keeping the compressed format's saving for anything
+    #: bigger.
+    _AUTO_CACHE_MB = 256
+
     def __init__(self, n: int, m: Optional[int], idx, row, col, val, *,
-                 context=None, cache_expansion: bool = False):
-        """``cache_expansion=True`` precomputes the per-row coefficient
+                 context=None, cache_expansion: Optional[bool] = None):
+        """``cache_expansion`` precomputes the per-row coefficient
         planes once at construction (device memory ~ d*n values) so every
         apply runs the DIA kernel directly — the compressed format's
         memory saving traded back for DIA-speed SpMV, a point on the
         memory/speed curve the reference cannot offer (it re-reads the
-        compressed table per apply, ccsr.hpp:54-280)."""
+        compressed table per apply, ccsr.hpp:54-280).
+
+        Default ``None`` = AUTO (r3): expand whenever the planes fit the
+        ``VEXTPU_CCSR_CACHE_MB`` budget (the fast form needs no user
+        flag, matching ccsr.hpp which has no such toggle); ``False``
+        opts out, ``True`` forces expansion regardless of the budget."""
         self.context = context or current_context()
         self.n = int(n)
         self.m = int(m) if m is not None else int(n)
