@@ -344,33 +344,46 @@ def bench_scan_by_key(n=1 << 24, seg=64):
 
 def bench_reduce_by_key(n=1 << 24, seg=64):
     """reduce_by_key of 16M f32 by i32 runs (reduce_by_key.hpp:435-580
-    analog).  TPU path (ops/reduce_by_key.py compact pipeline): Pallas
-    segscan + Pallas block compaction + assembly gather sized by the run
-    count — replacing r1's full-N sort compaction (0.31 Gelem/s; XLA
-    scatter: 0.14).  The chain assembles at static M = n/seg, which is
-    what the library reaches after its single count sync."""
+    analog).  r3 TPU path (ops/reduce_by_key.py fused pipeline): ONE
+    Pallas kernel does the segmented scan + per-row compaction
+    (ops/pallas_rbk.py), then a rows x kpad_row sized sort assembles —
+    replacing the r2 three-dispatch pipeline whose full-block bit-serial
+    compaction alone cost 2.36 of 3.68 ms (exp/rbk_stage_probe.py; r1
+    full-N sort compaction: 0.31 Gelem/s, XLA scatter: 0.14).  The
+    chain assembles at the static kpad_row the library reaches after
+    its single count sync (seg=64 -> cmax_row 3 -> bucket 4)."""
     keys0 = jnp.asarray((np.arange(n) // seg).astype(np.int32))
     v0 = jnp.asarray(np.random.rand(n).astype(np.float32))
 
-    from vexcl_tpu.ops.pallas_compact import (
-        BLOCK_R, LANE, pallas_compact, use_pallas_compact)
-    from vexcl_tpu.ops.pallas_segscan import (
-        pallas_segmented_cumsum, use_pallas_segscan)
+    from vexcl_tpu.ops.pallas_rbk import (
+        pallas_segscan_rowcompact, use_pallas_rbk)
+    from vexcl_tpu.ops.pallas_segscan import use_pallas_segscan
 
+    fused = use_pallas_rbk((keys0,), v0, n)
     pallas = use_pallas_segscan(keys0, v0, None, None)
-    tails0 = jnp.concatenate(
-        [(keys0[1:] != keys0[:-1]).astype(jnp.int8),
-         jnp.ones((1,), jnp.int8)])
-    compact = pallas and use_pallas_compact(tails0)
-    block = BLOCK_R * LANE
-    kpad = max(512, -(-(block // seg) // 512) * 512)  # library's bucket
+    kpad_r = 4  # library bucket for cmax_row=3 at seg=64
 
     def step(v, keys):
         kd = keys + (v[0] * 0).astype(keys.dtype)
         eq = kd[:-1] == kd[1:]
+        tails = jnp.concatenate([(~eq).astype(jnp.int8),
+                                 jnp.ones((1,), jnp.int8)])
+        if fused:
+            pos, incl_c, keys_c = pallas_segscan_rowcompact(tails, v, kd)
+            rows = pos.shape[0]
+            valid = pos[:, :kpad_r] >= 0.0
+            flat = jnp.arange(rows * kpad_r, dtype=jnp.int32)
+            sortkey = jnp.where(valid.reshape(-1), flat,
+                                jnp.int32(2 ** 31 - 1))
+            _, out, _k = jax.lax.sort(
+                (sortkey, incl_c[:, :kpad_r].reshape(-1),
+                 keys_c[:, :kpad_r].reshape(-1)), num_keys=1)
+            M = min(n, rows * kpad_r)
+            return (v + jnp.pad(out[:M], (0, n - M)) * 1e-7) % 1.0
         heads = jnp.concatenate([jnp.ones((1,), bool), ~eq])
-        tails = jnp.concatenate([~eq, jnp.ones((1,), bool)])
         if pallas:
+            from vexcl_tpu.ops.pallas_segscan import pallas_segmented_cumsum
+
             incl = pallas_segmented_cumsum(kd, v)
         else:
             def combine(a, b):
@@ -378,26 +391,14 @@ def bench_reduce_by_key(n=1 << 24, seg=64):
                 fb, vb = b
                 return fa | fb, jnp.where(fb, vb, va + vb)
 
-            _, incl = jax.lax.associative_scan(combine, (heads, v))
-        if compact:
-            pos, counts, incl_c, keys_c = pallas_compact(
-                tails.astype(jnp.int8), incl, kd)
-            nb = pos.shape[0]
-            valid = pos[:, :kpad] >= 0.0
-            flat = jnp.arange(nb * kpad, dtype=jnp.int32)
-            sortkey = jnp.where(valid.reshape(-1), flat,
-                                jnp.int32(2 ** 31 - 1))
-            _, out, _k = jax.lax.sort(
-                (sortkey, incl_c[:, :kpad].reshape(-1),
-                 keys_c[:, :kpad].reshape(-1)), num_keys=1)
-            M = min(n, nb * kpad)
-            return (v + jnp.pad(out[:M], (0, n - M)) * 1e-7) % 1.0
+            _, incl = jax.lax.associative_scan(
+                combine, (heads, v))
         seg_id = jnp.cumsum(heads) - 1
-        sk = jnp.where(tails, seg_id, jnp.int32(2 ** 30))
+        sk = jnp.where(tails > 0, seg_id, jnp.int32(2 ** 30))
         _, out = jax.lax.sort((sk, incl), num_keys=1)
         return out * (1.0 / seg)  # compacted sums feed the next link
 
-    lo, hi = (8, 48) if compact else ((4, 16) if pallas else (2, 8))
+    lo, hi = (8, 48) if fused else ((4, 16) if pallas else (2, 8))
     t = slope_seconds(step, v0, lo=lo, hi=hi, extra=(keys0,))
     return n / t / 1e9, t
 

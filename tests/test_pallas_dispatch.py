@@ -262,3 +262,60 @@ def test_dia_dist_local_phase_composes(ctx, form, monkeypatch):
         np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
     finally:
         vex.purge_caches()
+
+
+def test_rbk_fused_kernel_composes(ctx1, rng, monkeypatch):
+    """r3 fused reduce_by_key stage 1 (segscan + row compaction in one
+    Pallas kernel): force the guard on the CPU (interpret mode) and pin
+    agreement with the host oracle, incl. tuple keys and max/min."""
+    import vexcl_tpu as vex
+    from vexcl_tpu.config import config
+
+    monkeypatch.setattr(config, "force_interpret", True)  # explicit
+    import vexcl_tpu.ops.pallas_rbk as prbk
+
+    monkeypatch.setattr(prbk, "use_pallas_rbk", lambda ks, v, n: True)
+    import vexcl_tpu.ops.reduce_by_key as rbk_mod  # noqa: F401
+
+    vex.purge_caches()
+    try:
+        n = 1 << 14
+        lens = rng.integers(1, 40, size=n)
+        keys_h = np.repeat(np.arange(len(lens)), lens)[:n].astype(np.int32)
+        vals_h = rng.standard_normal(n).astype(np.float32)
+        k = vex.vector(data=keys_h, dtype=np.int32, context=ctx1)
+        v = vex.vector(data=vals_h, context=ctx1)
+        ok, ov, m = vex.reduce_by_key(k, v)
+        # oracle
+        bnd = np.nonzero(np.diff(keys_h))[0] + 1
+        starts = np.concatenate([[0], bnd])
+        ref_v = np.add.reduceat(vals_h.astype(np.float64), starts)
+        ref_k = keys_h[starts]
+        assert m == len(starts)
+        np.testing.assert_array_equal(np.asarray(ok), ref_k)
+        np.testing.assert_allclose(np.asarray(ov), ref_v, rtol=1e-4,
+                                   atol=1e-5)
+
+        # max monoid
+        ok2, ov2, m2 = vex.reduce_by_key(k, v, op_name="max")
+        ref_m = np.maximum.reduceat(vals_h, starts)
+        assert m2 == m
+        np.testing.assert_allclose(np.asarray(ov2), ref_m, rtol=1e-6)
+
+        # tuple keys
+        k2_h = (keys_h // 3).astype(np.int64)
+        k2 = vex.vector(data=k2_h, dtype=np.int64, context=ctx1)
+        (ka, kb), ov3, m3 = vex.reduce_by_key((k, k2), v)
+        assert m3 == m  # k already distinct per run
+        np.testing.assert_array_equal(np.asarray(ka), ref_k)
+        np.testing.assert_array_equal(np.asarray(kb), k2_h[starts])
+        np.testing.assert_allclose(np.asarray(ov3), ref_v, rtol=1e-4,
+                                   atol=1e-5)
+
+        # all-distinct degenerate (skips assembly)
+        kd = vex.vector(data=np.arange(n, dtype=np.int32), context=ctx1)
+        okd, ovd, md = vex.reduce_by_key(kd, v)
+        assert md == n
+        np.testing.assert_allclose(np.asarray(ovd), vals_h, rtol=1e-6)
+    finally:
+        vex.purge_caches()

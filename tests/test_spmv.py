@@ -346,3 +346,32 @@ def test_ccsr_cache_expansion(ctx, rng):
     ya[:] = A * x
     yb[:] = 2.0 * (B * x) - (B * x)  # cached path, inside an expression
     np.testing.assert_allclose(np.asarray(yb), np.asarray(ya), rtol=1e-12)
+
+
+def test_ccsr_auto_cache_expansion(ctx, monkeypatch):
+    """r3: cache_expansion defaults to AUTO — expanded when the planes
+    fit VEXTPU_CCSR_CACHE_MB, compressed (memory-bound fallback) when
+    they don't; both bit-agree with the explicit forms."""
+    from vexcl_tpu.utils.poisson import poisson_7pt, poisson_7pt_ccsr
+
+    nd = 8
+    idx, row, col, val = poisson_7pt_ccsr(nd, dtype=np.float32)
+    n = nd ** 3
+    hx = np.random.default_rng(9).random(n).astype(np.float32)
+
+    A_auto = vex.SpMatCCSR(n, n, idx, row, col, val, context=ctx)
+    assert A_auto._cached_coeffs is not None  # 7*512*2 B << budget
+
+    monkeypatch.setenv("VEXTPU_CCSR_CACHE_MB", "0")
+    A_small = vex.SpMatCCSR(n, n, idx, row, col, val, context=ctx)
+    assert A_small._cached_coeffs is None     # budget exceeded: fallback
+
+    x = vex.vector(data=hx, context=ctx)
+    ya = vex.vector(n, dtype=np.float32, context=ctx)
+    yb = vex.vector(n, dtype=np.float32, context=ctx)
+    ya[:] = A_auto * x
+    yb[:] = A_small * x
+    ptr, ccol, cval = poisson_7pt(nd)
+    ref = csr_matvec(ptr, ccol, cval, hx.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(ya), ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(yb), ref, rtol=1e-5)

@@ -25,6 +25,95 @@ from .scan_by_key import _key_arrays
 __all__ = ["reduce_by_key"]
 
 
+def _rbk_stage1_fused(nkeys: int, mono: str = "add"):
+    """(vals, keys...) -> (pos, stats, incl_c, keys_c...) via the r3
+    FUSED kernel (ops/pallas_rbk.py): segmented scan + per-row
+    compaction in one Pallas pass — the r2 three-dispatch pipeline's
+    block compaction alone cost 2.36 ms of 3.68 at 16M
+    (exp/rbk_stage_probe.py).  Tails derive from one fused XLA compare;
+    heads derive in-kernel."""
+    from .pallas_rbk import pallas_segscan_rowcompact
+
+    def run(vals_in, *keys_in):
+        neq = keys_in[0][1:] != keys_in[0][:-1]
+        for k in keys_in[1:]:
+            neq = neq | (k[1:] != k[:-1])
+        tails = jnp.concatenate([neq.astype(jnp.int8),
+                                 jnp.ones((1,), jnp.int8)])
+        pos, incl_c, *keys_c = pallas_segscan_rowcompact(
+            tails, vals_in, *keys_in, mono=mono)
+        valid = pos >= 0.0
+        rowcounts = jnp.sum(valid.astype(jnp.int32), axis=1)
+        stats = jnp.stack([jnp.sum(rowcounts), jnp.max(rowcounts)])
+        return (pos, stats, incl_c) + tuple(keys_c)
+
+    return jax.jit(run)
+
+
+def _rbk_stage2_fused(kpad: int, nkeys: int):
+    """Row-granular sized assembly: each row's compacted region
+    truncates to kpad <= 128 slots; row-major (row, slot) order is
+    global order, so one flat-index-keyed sort of rows*kpad elements
+    pulls the runs together."""
+
+    def run(pos, incl_c, *keys_c):
+        valid = pos[:, :kpad] >= 0.0
+        rows = pos.shape[0]
+        flat = jnp.arange(rows * kpad, dtype=jnp.int32)
+        sortkey = jnp.where(valid.reshape(-1), flat,
+                            jnp.int32(np.iinfo(np.int32).max))
+        outs = jax.lax.sort(
+            (sortkey, incl_c[:, :kpad].reshape(-1))
+            + tuple(k[:, :kpad].reshape(-1) for k in keys_c),
+            num_keys=1)
+        return outs[1:]
+
+    return jax.jit(run)
+
+
+def _reduce_by_key_fused(karrs, vals, okeys, ovals, multi, mono="add"):
+    """r3 fused fast path (see _rbk_stage1_fused)."""
+    nk = len(karrs)
+    jfn1 = (kernel_cache.get_or_create(("rbk_fused1", nk, mono),
+                                       lambda: _rbk_stage1_fused(nk, mono))
+            if config.cache_kernels else _rbk_stage1_fused(nk, mono))
+    pos, stats, incl_c, *keys_c = jfn1(vals.array, *karrs)
+    st = np.asarray(stats)  # the one host sync (reference resizes too)
+    m, cmax = int(st[0]), int(st[1])
+    ctx = vals.context
+    if m == vals.size:
+        # degenerate all-distinct keys: identity reduction, skip assembly
+        out_val_arr = vals.array.copy()
+        out_key_arrs = [k.copy() for k in karrs]
+    else:
+        kpad = min(128, max(2, -(-cmax // 2) * 2))  # bucket of 2
+        jfn2 = (kernel_cache.get_or_create(("rbk_fused2", kpad, nk),
+                                           lambda: _rbk_stage2_fused(kpad, nk))
+                if config.cache_kernels else _rbk_stage2_fused(kpad, nk))
+        vals_full, *keys_full = jfn2(pos, incl_c, *keys_c)
+        out_val_arr = vals_full[:m]
+        out_key_arrs = [k[:m] for k in keys_full]
+    return _emit_outputs(out_val_arr, out_key_arrs, okeys, ovals, multi,
+                         ctx, m)
+
+
+def _emit_outputs(out_val_arr, out_key_arrs, okeys, ovals, multi, ctx, m):
+    if ovals is None:
+        ovals = vector(data=out_val_arr, context=ctx)
+    else:
+        ovals._set_array(out_val_arr.astype(ovals.dtype))
+    if okeys is None:
+        okeys_out = [vector(data=k, context=ctx) for k in out_key_arrs]
+    else:
+        okeys_list = list(okeys) if isinstance(okeys, (tuple, list)) else [okeys]
+        for dst, arr in zip(okeys_list, out_key_arrs):
+            dst._set_array(arr.astype(dst.dtype))
+        okeys_out = okeys_list
+    if not multi:
+        return okeys_out[0], ovals, m
+    return tuple(okeys_out), ovals, m
+
+
 def _rbk_stage1(nkeys: int, mono: str = "add"):
     """(keys..., vals) -> block-compacted (sums, keys...) + counts:
     segmented scan + payload-transporting block compaction, one fused
@@ -162,8 +251,18 @@ def reduce_by_key(
     compact_ok = (np.dtype(vals.dtype).itemsize in (4, 8)
                   and all(np.dtype(k.dtype).itemsize in (4, 8) for k in ks))
 
-    if seg_pallas and compact_ok and all(use_pallas_compact(k) for k in ks):
-        return _reduce_by_key_compact(ks, vals, okeys, ovals, multi, mono)
+    if seg_pallas and compact_ok:
+        # r3 fused kernel (segscan + row compaction in ONE pass,
+        # ops/pallas_rbk.py) for n <= 2^24 (f32-exact positions); the
+        # r2 three-dispatch pipeline covers larger n
+        from .pallas_rbk import use_pallas_rbk
+
+        if use_pallas_rbk(ks, vals.array, vals.size):
+            return _reduce_by_key_fused(ks, vals, okeys, ovals, multi,
+                                        mono)
+        if all(use_pallas_compact(k) for k in ks):
+            return _reduce_by_key_compact(ks, vals, okeys, ovals, multi,
+                                          mono)
 
     # generic path: the inline segscan below is add-only single-key
     seg_pallas = seg_pallas and len(ks) == 1 and mono == "add"

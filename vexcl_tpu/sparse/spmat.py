@@ -322,6 +322,22 @@ class SpMatCCSR:
             self.offset_union = None
             self._union_table_dev = None
         self._cached_coeffs = None
+        if cache_expansion is None and self.offset_union is not None:
+            # AUTO (r3): expand when the planes fit the memory budget —
+            # d*n values, counted at bf16 width when the table is
+            # bf16-exact (the common finite-difference case)
+            import os
+
+            budget = int(os.environ.get(
+                "VEXTPU_CCSR_CACHE_MB", str(self._AUTO_CACHE_MB)))
+            tbl = np.asarray(self._union_table_dev)
+            itemsize = 2 if (
+                tbl.dtype == np.float32
+                and np.array_equal(
+                    tbl, tbl.astype(jnp.bfloat16).astype(np.float32))
+            ) else tbl.dtype.itemsize
+            d = len(self.offset_union)
+            cache_expansion = d * self.n * itemsize <= budget * (1 << 20)
         if cache_expansion and self.offset_union is not None:
             coeffs = jax.jit(self._expand_coeffs)(
                 self._union_table_dev, self._leaves[0])
