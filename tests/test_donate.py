@@ -366,3 +366,34 @@ def test_stencil_inplace_flag_reaches_kernel(ctx, rng, monkeypatch, donate_on):
     z = vex.vector(data=rng.random(512), context=c1)
     z[:] = z * s + 0.5 * z             # z read twice: no in-place
     assert recorded[-1] is False
+
+
+def test_inplace_scan_donates_and_is_correct(ctx1, rng, donate_on):
+    """inclusive_scan(x, x) donates x's buffer (dst IS src) on the XLA
+    path too; result correct and repeatable (fresh buffer installed)."""
+    h = rng.random(4096).astype(np.float64)
+    x = vex.vector(data=h.copy(), context=ctx1)
+    vex.inclusive_scan(x, x)
+    np.testing.assert_allclose(np.asarray(x), np.cumsum(h), rtol=1e-12)
+    vex.inclusive_scan(x, x)  # warm path, donated again
+    np.testing.assert_allclose(np.asarray(x), np.cumsum(np.cumsum(h)),
+                               rtol=1e-12)
+    # exclusive in-place with init
+    y = vex.vector(data=h.copy(), context=ctx1)
+    vex.exclusive_scan(y, y, init=2.0)
+    ref = 2.0 + np.concatenate([[0], np.cumsum(h)[:-1]])
+    ref[0] = 2.0
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-12)
+
+
+def test_inplace_scan_borrowed_not_donated(ctx1, rng, donate_on):
+    """dst is src but the storage is a caller-held jax.Array: the scan
+    must NOT delete the caller's buffer."""
+    import jax
+
+    h = rng.random(2048)
+    arr = jax.device_put(h, ctx1.devices[0])
+    x = vex.vector(data=arr, context=ctx1)
+    vex.inclusive_scan(x, x)
+    np.testing.assert_allclose(np.asarray(x), np.cumsum(h), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(arr), h)  # caller intact

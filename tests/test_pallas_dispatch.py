@@ -271,11 +271,27 @@ def test_rbk_fused_kernel_composes(ctx1, rng, monkeypatch):
     import vexcl_tpu as vex
     from vexcl_tpu.config import config
 
+    import importlib
+
     monkeypatch.setattr(config, "force_interpret", True)  # explicit
     import vexcl_tpu.ops.pallas_rbk as prbk
+    import vexcl_tpu.ops.pallas_segscan as pss
 
+    # the attribute vexcl_tpu.ops.reduce_by_key is shadowed by the
+    # re-exported FUNCTION; resolve the module through importlib
+    rbk_mod = importlib.import_module("vexcl_tpu.ops.reduce_by_key")
+
+    # the dispatch gate is seg_pallas (use_pallas_segscan) AND
+    # use_pallas_rbk — patch BOTH (r3 review: patching only the latter
+    # left the whole fused pipeline unexercised)
     monkeypatch.setattr(prbk, "use_pallas_rbk", lambda ks, v, n: True)
-    import vexcl_tpu.ops.reduce_by_key as rbk_mod  # noqa: F401
+    monkeypatch.setattr(pss, "use_pallas_segscan",
+                        lambda k, x, op, eq: True)
+    calls = []
+    real_fused = rbk_mod._reduce_by_key_fused
+    monkeypatch.setattr(
+        rbk_mod, "_reduce_by_key_fused",
+        lambda *a, **kw: calls.append(1) or real_fused(*a, **kw))
 
     vex.purge_caches()
     try:
@@ -317,5 +333,51 @@ def test_rbk_fused_kernel_composes(ctx1, rng, monkeypatch):
         okd, ovd, md = vex.reduce_by_key(kd, v)
         assert md == n
         np.testing.assert_allclose(np.asarray(ovd), vals_h, rtol=1e-6)
+        # the fused pipeline must actually have run (r3 review)
+        assert len(calls) >= 4
+    finally:
+        vex.purge_caches()
+
+
+def test_stencil_mixed_placement_same_signature(ctx, ctx1, rng, monkeypatch):
+    """r3 review regression: the evaluator cache keys on leaf PLACEMENT,
+    so a sharded stencil call followed by a single-device call of the
+    same structural signature (and vice versa) must each get their own
+    dispatch instead of re-tracing against the first call's stale
+    leaves (previously: 'incompatible devices' crash / silent
+    single-core pallas on sharded inputs)."""
+    import vexcl_tpu as vex
+    import vexcl_tpu.ops.pallas_stencil as ps
+
+    monkeypatch.setattr(ps, "_local_pallas_stencil",
+                        lambda nb, w, dt: np.dtype(dt) == np.float32
+                        and nb % 128 == 0 and ps._block_rows(nb // 128, w))
+    vex.purge_caches()
+    try:
+        n = 8 * 1024
+        h = rng.standard_normal(n).astype(np.float32)
+        s = vex.stencil([0.25, 0.5, 0.25], center=1)
+        ref = np.pad(h, 1, mode="edge")
+        ref = 0.25 * ref[:-2] + 0.5 * ref[1:-1] + 0.25 * ref[2:]
+
+        # sharded first (dist Pallas path), then single-device (XLA or
+        # local pallas path) with the SAME signature/size
+        x8 = vex.vector(data=h, context=ctx)
+        y8 = vex.vector(n, dtype=np.float32, context=ctx)
+        y8[:] = x8 * s
+        np.testing.assert_allclose(np.asarray(y8), ref, rtol=2e-6,
+                                   atol=1e-6)
+
+        x1 = vex.vector(data=h, context=ctx1)
+        y1 = vex.vector(n, dtype=np.float32, context=ctx1)
+        y1[:] = x1 * s
+        np.testing.assert_allclose(np.asarray(y1), ref, rtol=2e-6,
+                                   atol=1e-6)
+
+        # and back to sharded (must not reuse the single-device closure)
+        y8b = vex.vector(n, dtype=np.float32, context=ctx)
+        y8b[:] = x8 * s
+        np.testing.assert_allclose(np.asarray(y8b), ref, rtol=2e-6,
+                                   atol=1e-6)
     finally:
         vex.purge_caches()

@@ -73,6 +73,10 @@ def purge_caches() -> None:
         from .expr import compile as _compile
 
         _compile._scalar_cache.clear()
+        _compile._replicated_cache.clear()
+        # prune dead table registrations (weakrefs to collected arrays)
+        for k in [k for k, r in _compile._replicable.items() if r() is None]:
+            del _compile._replicable[k]
     except Exception:
         pass
     try:

@@ -74,6 +74,16 @@ def mark_replicable(arr) -> None:
     """Register a read-only table array for per-device-set commit (the
     r2 scalar-commit design extended to array leaves, VERDICT r2 #7)."""
     try:
+        if len(_replicable) >= 256:
+            # prune dead registrations (and their committed copies) so a
+            # loop constructing image2d/mba objects cannot accumulate
+            # device buffers (r3 review finding)
+            dead = [k for k, r in _replicable.items() if r() is None]
+            for k in dead:
+                del _replicable[k]
+            for key in [key for key in _replicated_cache
+                        if key[1] in dead]:
+                del _replicated_cache[key]
         _replicable[id(arr)] = weakref.ref(arr)
     except TypeError:
         pass  # numpy arrays pass through device_put per call anyway
@@ -263,6 +273,32 @@ def _build_evaluator(
     return jfn
 
 
+def _placement_sig(leaves) -> tuple:
+    """Leaf-placement fingerprint for the evaluator cache key.
+
+    Terminals whose emit() dispatches on CONCRETE leaf shardings (the
+    Pallas stencil's dist/local guards, multi-device declines) bake that
+    decision into the cached closure — and the closure captures the
+    FIRST expression instance seen for a signature, so a later call with
+    the same structure but different placement would re-trace against
+    STALE leaves (r3 review finding: sharded-then-single-device stencil
+    calls crashed).  Keying the cache on placement gives each
+    combination its own evaluator whose captured instance matches."""
+    out = []
+    for l in leaves:
+        sh = getattr(l, "sharding", None)
+        if sh is None:
+            out.append(None)
+        elif isinstance(sh, jax.sharding.NamedSharding):
+            out.append((id(sh.mesh), tuple(str(s) for s in sh.spec)))
+        else:
+            try:
+                out.append(("1dev", id(next(iter(sh.device_set)))))
+            except Exception:
+                out.append("other")
+    return tuple(out)
+
+
 def _normalize_shape(val, n):
     """Collapse a computed value to the assignment's (n,) shape: scalars
     broadcast; size-1 results may carry MORE dims than the target (e.g. a
@@ -366,7 +402,8 @@ def evaluate(
         # in place by Pallas terminals (input_output_aliases)
         ip_slots = frozenset(
             s for s in dslots if _slot_single_use((expr,), analysis, s))
-        cache_key = (analysis.sig, "=", n, out_dtype, dslots)
+        cache_key = (analysis.sig, "=", n, out_dtype, dslots,
+                     _placement_sig(analysis.leaves))
 
         def factory():
             def post(val):
@@ -389,7 +426,8 @@ def evaluate(
     analysis = analyze(expr)
     _check_sizes(analysis, n)
     donate_old = old_donatable and _olds_donation_safe((old,), analysis.leaves)
-    cache_key = (analysis.sig, op, n, out_dtype, donate_old)
+    cache_key = (analysis.sig, op, n, out_dtype, donate_old,
+                 _placement_sig(analysis.leaves))
 
     def factory():
         def run(old_val, *leaves):
@@ -481,6 +519,7 @@ def evaluate_multi(
         tuple(out_dtypes),
         donate_olds,
         dslots,
+        _placement_sig(analysis.leaves),
     )
 
     def factory():

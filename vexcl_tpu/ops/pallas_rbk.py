@@ -258,7 +258,11 @@ def pallas_segscan_rowcompact(tails, vals, *keys, mono="add"):
 def use_pallas_rbk(keys, vals, n) -> bool:
     """Fused-kernel eligibility: integer keys (flags derive exactly at
     native width in the XLA pre-pass), f32/bf16 values, large,
-    single-device, and n <= 2^24 (pos exactness in f32)."""
+    single-device, n <= 2^24 (pos exactness in f32), and at most TWO
+    transported key planes — each extra plane adds a double-buffered
+    IO pair plus pack temporaries, and a Pallas VMEM overrun crashes
+    the remote worker (CLAUDE.md); wider tuple keys take the r2
+    pipeline whose compact kernel runs at BLOCK_R=256."""
     from .dispatch import array_on_multiple_devices
 
     if array_on_multiple_devices(vals) or any(
@@ -269,5 +273,8 @@ def use_pallas_rbk(keys, vals, n) -> bool:
     if vals.dtype not in (jnp.float32, jnp.bfloat16):
         return False
     if not (1 << 20) <= vals.shape[0] <= (1 << 24):
+        return False
+    kp = sum(2 if np.dtype(k.dtype).itemsize == 8 else 1 for k in keys)
+    if kp > 2:
         return False
     return True

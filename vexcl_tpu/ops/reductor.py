@@ -233,12 +233,18 @@ class Reductor:
             )
             return float(jfn(*analysis.leaves))
 
+        from ..expr.compile import _placement_sig
+
         key = (
             "reduce",
             analysis.sig,
             tuple(k.name for k in kinds),
             n,
             str(self.dtype),
+            # placement-dependent terminals (e.g. a stencil inside the
+            # reduced expression) bake dispatch into the closure — key
+            # on leaf placement like expr/compile.evaluate (r3 review)
+            _placement_sig(analysis.leaves),
         )
 
         def factory():
