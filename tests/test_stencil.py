@@ -162,3 +162,21 @@ def test_pallas_stencil_kernel_interpret(rng):
     np.testing.assert_allclose(
         got, 2.0 * host_stencil(hx, s, 1) + 1.0, rtol=2e-5, atol=2e-6
     )
+
+
+def test_equal_named_stencil_operators_compile_separately(ctx, rng):
+    """Same keying hazard as user functions: two StencilOperators with
+    equal (name, width, center) but different bodies must not share a
+    compiled evaluator (reference keys on generated source)."""
+    hx = rng.random(N)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(N, dtype=np.float64, context=ctx)
+
+    op1 = vex.StencilOperator(3, 1, lambda X: X[0] + X[1], name="dup")
+    op2 = vex.StencilOperator(3, 1, lambda X: X[0] - X[-1], name="dup")
+
+    xp = np.pad(hx, (1, 1), mode="edge")
+    y[:] = op1(x)
+    np.testing.assert_allclose(np.asarray(y), hx + xp[2:], rtol=1e-10)
+    y[:] = op2(x)
+    np.testing.assert_allclose(np.asarray(y), hx - xp[:-2], rtol=1e-10)

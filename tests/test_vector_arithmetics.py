@@ -249,3 +249,48 @@ def test_odd_size_leafless_expression_assign(ctx, rng):
     ref = np.power(np.abs(ha) + np.float32(0.5),
                    np.arange(n, dtype=np.float32) * np.float32(1e-3))
     assert np.allclose(np.asarray(z), ref, rtol=1e-5)
+
+
+def test_user_functions_same_signature(ctx, rng):
+    """tests/vector_arithmetics.cpp user_defined_functions_same_signature:
+    two user functions with identical signatures must not share kernels."""
+    ha, a = make(ctx, rng)
+    x = vex.vector(N, dtype=np.float64, context=ctx)
+
+    times2 = vex.Function("times2", lambda v: v * 2)
+    times4 = vex.Function("times4", lambda v: v * 4)
+    x[:] = times2(a)
+    check_sample(x, lambda i: ha[i] * 2)
+    x[:] = times4(a)
+    check_sample(x, lambda i: ha[i] * 4)
+
+    Sum = vex.Reductor(vex.SUM)
+    assert Sum(times2(a)) == pytest.approx(2 * ha.sum())
+    assert Sum(times4(a)) == pytest.approx(4 * ha.sum())
+
+
+def test_equal_named_functions_compile_separately(ctx, rng):
+    """Kernel-cache keying hazard: the reference keys compiled kernels on
+    the generated SOURCE (opencl/compiler.hpp:127-149), so two functions
+    both named "f" with different bodies can never collide.  The traced
+    analog must key on the callable's identity, not its display name."""
+    ha, a = make(ctx, rng)
+    x = vex.vector(N, dtype=np.float64, context=ctx)
+
+    f1 = vex.Function("f", lambda v: v + 1.0)
+    f2 = vex.Function("f", lambda v: v - 1.0)
+    x[:] = f1(a)
+    check_sample(x, lambda i: ha[i] + 1.0)
+    x[:] = f2(a)  # same name, same expression structure, different body
+    check_sample(x, lambda i: ha[i] - 1.0)
+
+    # redefinition pattern: drop and rebuild under the same name
+    del f1, f2
+    f3 = vex.Function("f", lambda v: v * 10.0)
+    x[:] = f3(a)
+    check_sample(x, lambda i: ha[i] * 10.0)
+
+    # purge drops the token registry together with the evaluators
+    vex.purge_caches()
+    x[:] = f3(a)
+    check_sample(x, lambda i: ha[i] * 10.0)

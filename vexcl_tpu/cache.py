@@ -69,6 +69,7 @@ def purge_caches() -> None:
         caches = list(_registry)
     for c in caches:
         c.purge()
+    _purge_fn_tokens()
     try:
         from .expr import compile as _compile
 
@@ -95,3 +96,37 @@ def purge_caches() -> None:
 
 # The main expression-evaluator cache (kernel_cache analog, cache.hpp:165).
 kernel_cache = ObjectCache("kernels")
+
+
+# --- stable per-callable tokens for structural signatures -------------------
+#
+# The reference keys kernels by the sha1 of the GENERATED SOURCE, so two
+# user functions sharing a name can never collide (each splices its own
+# body into the kernel, opencl/compiler.hpp:127-149).  Here the body is a
+# Python callable that never appears in the structural signature, so the
+# signature must carry the callable's identity: without it, two functions
+# named "f" with different bodies would silently share one compiled
+# evaluator.  Tokens hold a STRONG reference so a collected function's id
+# can never be recycled onto a live token; purge_caches drops the registry
+# together with the evaluators compiled from it.
+
+_fn_token_lock = threading.Lock()
+_fn_tokens: Dict[int, Any] = {}  # id(fn) -> (token, fn strong ref)
+_fn_next = [0]
+
+
+def fn_token(fn: Any) -> int:
+    """Per-process stable token identifying a callable for signature use."""
+    key = id(fn)
+    with _fn_token_lock:
+        hit = _fn_tokens.get(key)
+        if hit is not None:
+            return hit[0]
+        _fn_next[0] += 1
+        _fn_tokens[key] = (_fn_next[0], fn)
+        return _fn_next[0]
+
+
+def _purge_fn_tokens() -> None:
+    with _fn_token_lock:
+        _fn_tokens.clear()

@@ -423,7 +423,12 @@ class FuncCall(Expr):
         self.children = tuple(as_expr(a) for a in args)
 
     def extra_sig(self) -> str:
-        return self.name
+        # Name alone cannot key the kernel cache: two functions named "f"
+        # with different bodies must compile separately (the reference keys
+        # on generated source, so it gets this for free).
+        from ..cache import fn_token
+
+        return f"{self.name}#{fn_token(self.impl)}"
 
     def emit(self, env: EmitEnv):
         return self.impl(*[c.emit_cached(env) for c in self.children])

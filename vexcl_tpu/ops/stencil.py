@@ -131,7 +131,13 @@ class StencilOpExpr(Expr):
         self.children = (as_expr(x),)
 
     def extra_sig(self) -> str:
-        return f"{self.op.name}:{self.op.width}:{self.op.center}"
+        # op.body is a user callable; its identity must be part of the key
+        # (same hazard as FuncCall: equal-named operators with different
+        # bodies would share one compiled evaluator).
+        from ..cache import fn_token
+
+        return (f"{self.op.name}#{fn_token(self.op.body)}"
+                f":{self.op.width}:{self.op.center}")
 
     def emit(self, env: EmitEnv):
         x = self.children[0].emit_cached(env)
