@@ -71,3 +71,61 @@ def test_tie_swap_idiom(ctx, rng):
     vex.tie(x, y)[:] = (y + 0.0, x + 0.0)
     np.testing.assert_allclose(np.asarray(x), hb)
     np.testing.assert_allclose(np.asarray(y), ha)
+
+
+def test_multivector_temporary(ctx, rng):
+    """temporary.cpp multivector_temporary: make_temp lifts componentwise
+    over multivector expressions."""
+    hx = rng.random((M, N))
+    x = vex.multivector(data=hx, context=ctx)
+    y = vex.multivector(N, M, dtype=np.float64, context=ctx)
+    t = vex.make_temp(1, x * 2)
+    y[:] = t + t
+    for i in range(M):
+        np.testing.assert_allclose(np.asarray(y(i)), hx[i] * 4)
+    # mixed with builtins
+    t2 = vex.make_temp(2, vex.sin(x))
+    y[:] = t2 * t2 + 1
+    for i in range(M):
+        np.testing.assert_allclose(np.asarray(y(i)), np.sin(hx[i]) ** 2 + 1)
+
+
+def test_multivector_copy(ctx, rng):
+    """multivector_create.cpp copy_constructor: deep copy."""
+    hx = rng.random((M, N))
+    x = vex.multivector(data=hx, context=ctx)
+    y = x.copy()
+    y += 1.0
+    for i in range(M):
+        np.testing.assert_allclose(np.asarray(x(i)), hx[i])
+        np.testing.assert_allclose(np.asarray(y(i)), hx[i] + 1)
+
+
+def test_enqueue_multiexpression(ctx, ctx1, rng):
+    """events.cpp enqueue_multiexpression: redirect a fused tie /
+    multivector assignment to another context."""
+    n = 256
+    ha = rng.random(n)
+    a = vex.vector(data=ha, context=ctx)
+    x = vex.vector(n, dtype=np.float64, context=ctx)
+    y = vex.vector(n, dtype=np.float64, context=ctx)
+
+    vex.enqueue(ctx1)(vex.tie(x, y))[:] = (a * 2, a * 3)
+    np.testing.assert_allclose(np.asarray(x), ha * 2)
+    np.testing.assert_allclose(np.asarray(y), ha * 3)
+    # components migrated to the target context
+    assert x.context is ctx1 and y.context is ctx1
+
+    # compound through the proxy
+    p = vex.enqueue(ctx1)(vex.tie(x, y))
+    p += (a, a)
+    np.testing.assert_allclose(np.asarray(x), ha * 3)
+    np.testing.assert_allclose(np.asarray(y), ha * 4)
+
+    # multivector form
+    hm = rng.random((M, n))
+    m = vex.multivector(data=hm, context=ctx)
+    m2 = vex.multivector(n, M, dtype=np.float64, context=ctx)
+    vex.enqueue(ctx1)(m2)[:] = m * 2 + 1
+    for i in range(M):
+        np.testing.assert_allclose(np.asarray(m2(i)), hm[i] * 2 + 1)

@@ -111,6 +111,17 @@ class _EnqueueTarget:
     def __call__(self, vec):
         outer = self
 
+        # tied / multivector targets: the reference's
+        # enqueue_multiexpression case (tests/events.cpp) — one fused
+        # kernel for all components, executed on the target context
+        comps = None
+        if hasattr(vec, "vectors"):  # vex.tie(...) result
+            comps = list(vec.vectors)
+        elif hasattr(vec, "_comps"):  # multivector
+            comps = list(vec._comps)
+        if comps is not None:
+            return _RedirectedMulti(self.context, comps)
+
         class _Redirected:
             """Assignment proxy running the kernel on the target context.
 
@@ -176,6 +187,66 @@ class _EnqueueTarget:
                 _self.assign(value, "/="); return _self
 
         return _Redirected()
+
+
+class _RedirectedMulti:
+    """enqueue()(tie(x, y)) / enqueue()(mv): fused multi-assignment on the
+    target context (enqueue.hpp:38-136 + assign_multiexpression)."""
+
+    def __init__(self, context: Context, comps):
+        self._context = context
+        self._comps = comps
+
+    def assign(self, value, op: str = "=") -> None:
+        from .expr.compile import ASSIGN_OPS, evaluate_multi
+        from .expr.node import as_expr
+        from .multivector import MultiExpr, multivector
+
+        vecs = self._comps
+        if isinstance(value, multivector):
+            value = value._as_multi()
+        if isinstance(value, MultiExpr):
+            exprs = list(value.components)
+        elif isinstance(value, (tuple, list)):
+            exprs = [as_expr(v) for v in value]
+        else:
+            exprs = [as_expr(value)] * len(vecs)
+        if len(exprs) != len(vecs):
+            raise ValueError("enqueue(): component count mismatch")
+        tgt = self._context
+        place = _target_placer(tgt)
+        need_old = ASSIGN_OPS[op] is not None
+        outs = evaluate_multi(
+            exprs,
+            ns=[v.size for v in vecs],
+            ops=[op] * len(vecs),
+            olds=[v.array if need_old else None for v in vecs],
+            out_dtypes=[v.dtype for v in vecs],
+            olds_donatable=[not v._borrowed for v in vecs],
+            leaf_transform=place,
+        )
+        for v, arr in zip(vecs, outs):
+            if set(tgt.devices) != set(v.context.devices):
+                v.context = tgt
+                v._sharded = tgt.size > 1
+            v._set_array(arr)
+
+    def __setitem__(self, key, value) -> None:
+        if not (isinstance(key, slice) and key == slice(None)):
+            raise TypeError("enqueue()(tie(...))[:] = exprs")
+        self.assign(value)
+
+    def __iadd__(self, value):
+        self.assign(value, "+="); return self
+
+    def __isub__(self, value):
+        self.assign(value, "-="); return self
+
+    def __imul__(self, value):
+        self.assign(value, "*="); return self
+
+    def __itruediv__(self, value):
+        self.assign(value, "/="); return self
 
 
 def enqueue(context: Context) -> _EnqueueTarget:

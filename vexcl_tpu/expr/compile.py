@@ -474,6 +474,7 @@ def evaluate_multi(
     out_dtypes: Sequence[Any],
     donate_buffers: Optional[Sequence[Any]] = None,
     olds_donatable: Optional[Sequence[bool]] = None,
+    leaf_transform: Optional[Callable] = None,
 ) -> Tuple:
     """Fused evaluation of N expressions in ONE compiled kernel.
 
@@ -486,6 +487,11 @@ def evaluate_multi(
     values whose buffer the caller does not exclusively own (borrowed
     storage, ``vector._borrowed``) — donation of the olds tuple is
     all-or-nothing, so any False disables it.
+
+    ``leaf_transform`` maps each concrete leaf (and old) before the kernel
+    runs — vex.enqueue()'s redirect for tied/multivector assignments
+    (enqueue_multiexpression, tests/events.cpp); disables buffer donation
+    exactly like the single-expression path.
     """
     from .node import as_expr
 
@@ -506,7 +512,8 @@ def evaluate_multi(
     # olds tuple); skipped whenever any old is in play so a buffer can
     # never be donated through both routes at once.
     dslots: Tuple[int, ...] = ()
-    if config.donate and donate_buffers and not olds_real:
+    if (config.donate and donate_buffers and not olds_real
+            and leaf_transform is None):
         bufs = [b for b in donate_buffers if b is not None]
         if len({id(b) for b in bufs}) == len(bufs):
             dslots = tuple(
@@ -546,7 +553,11 @@ def evaluate_multi(
         if config.cache_kernels
         else factory()
     )
-    return jfn(tuple(olds_real), *_commit_scalars(analysis.leaves))
+    leaves = analysis.leaves
+    if leaf_transform is not None:
+        olds_real = [leaf_transform(o) for o in olds_real]
+        leaves = [leaf_transform(l) for l in leaves]
+    return jfn(tuple(olds_real), *_commit_scalars(leaves))
 
 
 def eval_expr(expr: Expr):

@@ -704,7 +704,20 @@ def tag(tag_id: Any, x: Any = None):
     return TaggedTerminal(tag_id, as_expr(x))
 
 
-def make_temp(tag_id: Any, expr: Any) -> Temporary:
+def make_temp(tag_id: Any, expr: Any):
+    """vex::make_temp<Tag>(expr) (temporary.hpp:49-108).  Lifts
+    componentwise over multivector expressions (temporary.cpp
+    multivector_temporary): each component gets its own (tag, i) slot so
+    components never alias each other's cached value inside the one fused
+    kernel."""
+    if hasattr(expr, "components") or hasattr(expr, "_as_multi"):
+        from ..multivector import MultiExpr
+
+        comps = (expr.components if hasattr(expr, "components")
+                 else [expr(i)._as_terminal() for i in range(expr.nparts)])
+        return MultiExpr(
+            [Temporary((tag_id, i), as_expr(c)) for i, c in enumerate(comps)]
+        )
     return Temporary(tag_id, as_expr(expr))
 
 

@@ -253,6 +253,13 @@ class multivector:
     def __itruediv__(self, o):
         return self.assign(o, "/=")
 
+    def copy(self) -> "multivector":
+        """Deep copy (multivector_create.cpp copy_constructor): components
+        are copied, so mutating the copy leaves the original untouched."""
+        return multivector(
+            components=[c.copy() for c in self._comps], context=self.context
+        )
+
     def to_numpy(self) -> np.ndarray:
         return np.stack([c.to_numpy() for c in self._comps])
 
