@@ -151,3 +151,33 @@ def test_kernel_as_function(ctx):
                    m.R.array)
     m.step(3)
     np.testing.assert_allclose(np.asarray(xs), np.asarray(m.x), rtol=1e-10)
+
+
+def test_lazy_evaluation_rk2(ctx, rng):
+    """generator.cpp lazy_evaluation: an RK2 step written over tagged
+    lazy expressions compiles ONE kernel and reuses it for every call."""
+    from vexcl_tpu.cache import kernel_cache
+
+    n, dt = 1024, 0.01
+    hx = rng.random(n)
+    X = vex.vector(data=hx, context=ctx)
+
+    def rk2(x, h):
+        Xt = vex.tag(1, x)
+        DT = vex.tag(2, h)
+        k1 = DT * vex.sin(Xt)
+        x1 = Xt + 0.5 * k1
+        k2 = DT * vex.sin(x1)
+        x[:] = Xt + k2
+
+    n0 = len(kernel_cache)
+    for _ in range(100):
+        rk2(X, dt)
+    assert len(kernel_cache) - n0 == 1  # warm path: cache find only
+
+    s = hx.copy()
+    for _ in range(100):
+        k1 = dt * np.sin(s)
+        k2 = dt * np.sin(s + 0.5 * k1)
+        s = s + k2
+    np.testing.assert_allclose(np.asarray(X), s, rtol=1e-8)

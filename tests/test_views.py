@@ -113,6 +113,32 @@ def test_tensordot_matmul(ctx, rng):
     )
 
 
+def test_tensordot_mat_vec_and_vec_mat(ctx, rng):
+    """tensordot.cpp mat_vec / vec_mat: rank-mixed contractions, with
+    both plain-view and expression operands."""
+    n, m = 32, 24
+    hA = rng.random(n * m)
+    hv = rng.random(m)
+    A = vex.vector(data=hA, context=ctx)
+    v = vex.vector(data=hv, context=ctx)
+    slcA = vex.slicer((n, m))
+    slcv = vex.slicer((m,))
+
+    y = vex.vector(n, dtype=np.float64, context=ctx)
+    y[:] = vex.tensordot(slcA[:, :](A), slcv[:](v), vex.axes_pairs(1, 0))
+    np.testing.assert_allclose(np.asarray(y), hA.reshape(n, m) @ hv,
+                               rtol=1e-10)
+
+    x = vex.vector(n, dtype=np.float64, context=ctx)
+    x[:] = vex.tensordot(slcv[:](v), slcA[:, :](A), vex.axes_pairs(0, 1))
+    np.testing.assert_allclose(np.asarray(x), hv @ hA.reshape(n, m).T,
+                               rtol=1e-10)
+    # expression operand (beyond the reference: lazy operand trees)
+    x[:] = vex.tensordot(2 * slcv[:](v), slcA[:, :](A), vex.axes_pairs(0, 1))
+    np.testing.assert_allclose(np.asarray(x), 2 * hv @ hA.reshape(n, m).T,
+                               rtol=1e-10)
+
+
 def test_view_in_expression(ctx, rng):
     hx = rng.random(N * N)
     x = vex.vector(data=hx, context=ctx)
