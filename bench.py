@@ -472,8 +472,12 @@ def bench_lorenz(n=1 << 22):
     # the OVERHEAD RATIO is the headline: measure both chains
     # interleaved per rep so device-state drift cancels inside each
     # ratio sample (separate slope_seconds calls measured minutes apart
-    # swung the ratio 0.99-1.19)
-    lo, hi = 64, 512
+    # swung the ratio 0.99-1.19).  Chain lengths must put the
+    # differential well above the +-20 ms RTT noise: one RK4 step on the
+    # 4.2M ensemble is ~65 us, so hi-lo = 2048 steps gives a ~130 ms
+    # signal (the r2 hi-lo = 448 gave ~29 ms — noise-scale, and the
+    # ratio swung 0.97..1.26 across rounds because of it)
+    lo, hi = 256, 2304
     runs = {}
     for tag, step in (("gen", gen_step), ("raw", raw_step)):
         for inner in (lo, hi):
@@ -491,7 +495,7 @@ def bench_lorenz(n=1 << 22):
         return (th - tl) / (hi - lo)
 
     ratios, gens = [], []
-    for _ in range(3):
+    for _ in range(5):
         tg = one_slope("gen")
         tr = one_slope("raw")
         if tg > 0 and tr > 0:
