@@ -59,7 +59,9 @@ def to_torch(vec: vector):
     """Device->host->torch (torch is CPU-only in this environment)."""
     import torch
 
-    return torch.from_numpy(np.asarray(vec.to_numpy()))
+    # np.array(...) copy: jax arrays export read-only host buffers, and
+    # torch tensors must be writable
+    return torch.from_numpy(np.array(vec.to_numpy()))
 
 
 def from_torch(t, *, context=None) -> vector:
