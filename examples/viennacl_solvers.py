@@ -1,7 +1,7 @@
 """Iterative-solver interop (examples/viennacl/viennacl_solvers.cpp
-analog): run CG on vexcl_tpu containers — both the on-device CG
-(interop.cg, the ViennaCL-solvers-on-vex-types analog) and scipy's CG
-through the LinearOperator shim."""
+analog): run CG and BiCGStab on vexcl_tpu containers — the on-device
+solvers (interop.cg / interop.bicgstab, the ViennaCL-solvers-on-vex-types
+analog) and scipy's CG through the LinearOperator shim."""
 
 import sys
 
@@ -10,7 +10,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import numpy as np
 
 import vexcl_tpu as vex
-from vexcl_tpu.interop import as_linear_operator, cg
+from vexcl_tpu.interop import as_linear_operator, bicgstab, cg
 
 
 def poisson1d(n):
@@ -41,6 +41,15 @@ def main():
     xs, info = sla.cg(as_linear_operator(A), np.ones(n), rtol=1e-10)
     print(f"scipy CG through LinearOperator: info={info}, "
           f"match={np.allclose(np.asarray(x), xs, atol=1e-5)}")
+
+    # non-symmetric system -> BiCGStab (the second reference solver)
+    ptr, col, val = poisson1d(n)
+    val = np.asarray(val, np.float64)
+    val[::3] *= 1.3  # break symmetry
+    B = vex.SpMat(n, n, ptr, col, val, fmt="csr", context=ctx)
+    xb, itb = bicgstab(B, b, tol=1e-12, maxiter=4 * n)
+    rb = np.ones(n) - np.asarray(vex.eval(B * xb))
+    print(f"device BiCGStab: {itb} iters, |r| = {np.linalg.norm(rb):.2e}")
 
 
 if __name__ == "__main__":

@@ -143,6 +143,39 @@ def test_interop_scipy_cg(ctx):
     np.testing.assert_allclose(np.asarray(x), xs, atol=1e-5)
 
 
+def test_interop_bicgstab_nonsymmetric(ctx):
+    """BiCGStab on a NON-symmetric system (the second ViennaCL solver the
+    reference runs on vex containers, examples/viennacl_solvers.cpp)."""
+    n = 128
+    # upwind convection-diffusion: tridiagonal, non-symmetric
+    ptr, col, val = [0], [], []
+    for i in range(n):
+        for j, v in ((i - 1, -1.4), (i, 3.0), (i + 1, -0.6)):
+            if 0 <= j < n:
+                col.append(j)
+                val.append(v)
+        ptr.append(len(col))
+    A = vex.SpMat(n, n, np.asarray(ptr), np.asarray(col, np.int32),
+                  np.asarray(val), fmt="csr", context=ctx)
+    hb = np.ones(n)
+    b = vex.vector(data=hb, context=ctx)
+
+    from vexcl_tpu.interop import bicgstab
+
+    x, iters = bicgstab(A, b, tol=1e-12, maxiter=10 * n)
+    resid = hb - np.asarray(vex.eval(A * x))
+    assert np.linalg.norm(resid) < 1e-6
+    assert 0 < iters < 10 * n
+
+    # oracle: dense solve
+    Ad = np.zeros((n, n))
+    for i in range(n):
+        for k in range(ptr[i], ptr[i + 1]):
+            Ad[i, col[k]] = val[k]
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(Ad, hb),
+                               atol=1e-6)
+
+
 def test_nonuniform_size_vector(ctx):
     """Sizes not divisible by the device count still work (replicated)."""
     v = vex.vector(1001, dtype=np.float64, context=ctx)

@@ -35,6 +35,7 @@ __all__ = [
     "to_torch",
     "as_linear_operator",
     "cg",
+    "bicgstab",
 ]
 
 
@@ -131,6 +132,65 @@ def cg(
 
         x, r, p, rs, it = jax.lax.while_loop(
             cond, body, (x_arr, r, p, rs, jnp.int32(0))
+        )
+        return x, it
+
+    x_arr, iters = solve(bb, x_init, *leaves)
+    return vector(data=x_arr, context=b.context), int(iters)
+
+
+def bicgstab(
+    A,
+    b: vector,
+    x0: Optional[vector] = None,
+    tol: float = 1e-8,
+    maxiter: Optional[int] = None,
+) -> Tuple[vector, int]:
+    """BiCGStab fully on device (the second solver the reference runs on
+    vex containers through ViennaCL, examples/viennacl/viennacl_solvers.cpp
+    + external/viennacl.hpp:34-90): one jitted `lax.while_loop`, SpMV and
+    reductions fused by XLA.  Works for non-symmetric systems where
+    :func:`cg` does not apply."""
+    n = b.size
+    maxiter = maxiter if maxiter is not None else 10 * n
+    dev = A.device if hasattr(A, "device") else A
+    leaves = dev.leaves()
+
+    bb = b.array
+    x_init = x0.array if x0 is not None else jnp.zeros_like(bb)
+    eps = jnp.finfo(bb.dtype).tiny if jnp.issubdtype(
+        bb.dtype, jnp.floating) else 1e-300
+
+    @jax.jit
+    def solve(b_arr, x_arr, *lv):
+        def mv(x):
+            return dev.apply_leaves(lv, x).astype(bb.dtype)
+
+        r = b_arr - mv(x_arr)
+        rhat = r  # shadow residual, fixed
+        rho = alpha = omega = jnp.ones((), bb.dtype)
+        v = p = jnp.zeros_like(r)
+
+        def cond(state):
+            x, r, rho, alpha, omega, v, p, it = state
+            return (jnp.vdot(r, r) > tol * tol) & (it < maxiter)
+
+        def body(state):
+            x, r, rho, alpha, omega, v, p, it = state
+            rho_new = jnp.vdot(rhat, r)
+            beta = (rho_new / (rho + eps)) * (alpha / (omega + eps))
+            p = r + beta * (p - omega * v)
+            v = mv(p)
+            alpha = rho_new / (jnp.vdot(rhat, v) + eps)
+            s = r - alpha * v
+            t = mv(s)
+            omega = jnp.vdot(t, s) / (jnp.vdot(t, t) + eps)
+            x = x + alpha * p + omega * s
+            r = s - omega * t
+            return (x, r, rho_new, alpha, omega, v, p, it + 1)
+
+        x, r, rho, alpha, omega, v, p, it = jax.lax.while_loop(
+            cond, body, (x_arr, r, rho, alpha, omega, v, p, jnp.int32(0))
         )
         return x, it
 
