@@ -181,3 +181,33 @@ def test_lazy_evaluation_rk2(ctx, rng):
         k2 = dt * np.sin(s + 0.5 * k1)
         s = s + k2
     np.testing.assert_allclose(np.asarray(X), s, rtol=1e-8)
+
+
+def test_generator_kernel_composes_with_grad_and_vmap(ctx, rng):
+    """Beyond the reference: a recorded kernel's pure-function form is a
+    first-class JAX function, so jax.grad / jax.vmap compose through it
+    (the reference's generated kernel is an opaque OpenCL string,
+    generator.hpp:547-720 — no autodiff possible)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = generator.symbolic(np.float64)
+    a = generator.symbolic(np.float64)
+    y = generator.symbolic(np.float64)
+    y[:] = vex.sin(x) * a + x * x
+    fn = generator.build_kernel("g", [y], [x, a]).as_function()
+
+    hx = rng.random(16)
+
+    def loss(xv, av):
+        (out,) = fn(xv, av)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(jnp.asarray(hx), 2.0)
+    f = np.sin(hx) * 2.0 + hx * hx
+    expect = 2 * f * (np.cos(hx) * 2.0 + 2 * hx)
+    np.testing.assert_allclose(np.asarray(g), expect, rtol=1e-10)
+
+    batched = jax.vmap(lambda xv: fn(xv, 2.0)[0])(
+        jnp.asarray(rng.random((4, 16))))
+    assert batched.shape == (4, 16)
