@@ -367,7 +367,11 @@ def bench_reduce_by_key(n=1 << 24, seg=64):
     compaction alone cost 2.36 of 3.68 ms (exp/rbk_stage_probe.py; r1
     full-N sort compaction: 0.31 Gelem/s, XLA scatter: 0.14).  The
     chain assembles at the static kpad_row the library reaches after
-    its single count sync (seg=64 -> cmax_row 3 -> bucket 4)."""
+    its single count sync — measured from a stage-1 probe outside the
+    timed chain, exactly mirroring the library's bucket formula
+    (seg=64 puts tails at lanes 63/127 of every row -> cmax_row 2 ->
+    bucket 2; the r3 bench hardcoded 4 and sorted twice the elements,
+    understating the shipped path — code-review r3 finding)."""
     keys0 = jnp.asarray((np.arange(n) // seg).astype(np.int32))
     v0 = jnp.asarray(np.random.rand(n).astype(np.float32))
 
@@ -377,7 +381,15 @@ def bench_reduce_by_key(n=1 << 24, seg=64):
 
     fused = use_pallas_rbk((keys0,), v0, n)
     pallas = use_pallas_segscan(keys0, v0, None, None)
-    kpad_r = 4  # library bucket for cmax_row=3 at seg=64
+    kpad_r = 2
+    if fused:
+        eq0 = keys0[:-1] == keys0[1:]
+        tails0 = jnp.concatenate([(~eq0).astype(jnp.int8),
+                                  jnp.ones((1,), jnp.int8)])
+        pos0, _, _ = pallas_segscan_rowcompact(tails0, v0, keys0)
+        cmax = int(jnp.max(jnp.sum((pos0 >= 0.0).astype(jnp.int32),
+                                   axis=1)))
+        kpad_r = min(128, max(2, -(-cmax // 2) * 2))  # reduce_by_key.py bucket
 
     def step(v, keys):
         kd = keys + (v[0] * 0).astype(keys.dtype)

@@ -381,3 +381,95 @@ def test_stencil_mixed_placement_same_signature(ctx, ctx1, rng, monkeypatch):
                                    atol=1e-6)
     finally:
         vex.purge_caches()
+
+
+def test_enqueue_redirected_stencil_placement(ctx, ctx1, rng, monkeypatch):
+    """r3 code-review regression: an enqueue() redirect moves the traced
+    leaves to the TARGET context, but the stencil's Pallas dist/local
+    dispatch decided from the captured expression's own (source)
+    shardings — a sharded source redirected to a single-device context
+    emitted shard_map on the source mesh inside a single-device jit
+    ('incompatible devices' crash).  Redirected assignments must take
+    the placement-neutral XLA form (env.placement_known=False) and key
+    the evaluator cache on the POST-transform placement."""
+    import vexcl_tpu.ops.pallas_stencil as ps
+
+    monkeypatch.setattr(ps, "_local_pallas_stencil",
+                        lambda nb, w, dt: np.dtype(dt) == np.float32
+                        and nb % 128 == 0 and ps._block_rows(nb // 128, w))
+    vex.purge_caches()
+    try:
+        n = 8 * 1024
+        h = rng.standard_normal(n).astype(np.float32)
+        s = vex.stencil([0.25, 0.5, 0.25], center=1)
+        ref = np.pad(h, 1, mode="edge")
+        ref = 0.25 * ref[:-2] + 0.5 * ref[1:-1] + 0.25 * ref[2:]
+
+        # sharded source -> single-device target (the crash direction)
+        x8 = vex.vector(data=h, context=ctx)
+        y = vex.vector(n, dtype=np.float32, context=ctx)
+        vex.enqueue(ctx1)(y)[:] = x8 * s
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-6,
+                                   atol=1e-6)
+        assert y.context is ctx1
+
+        # single-device source -> sharded target (the silent-partial
+        # direction: the single-core pallas kernel must not engage)
+        x1 = vex.vector(data=h, context=ctx1)
+        y2 = vex.vector(n, dtype=np.float32, context=ctx1)
+        vex.enqueue(ctx)(y2)[:] = x1 * s
+        np.testing.assert_allclose(np.asarray(y2), ref, rtol=2e-6,
+                                   atol=1e-6)
+        assert y2.context is ctx
+
+        # non-redirected sharded call afterwards still takes the dist
+        # path (its cache entry must not have been poisoned)
+        y3 = vex.vector(n, dtype=np.float32, context=ctx)
+        y3[:] = x8 * s
+        np.testing.assert_allclose(np.asarray(y3), ref, rtol=2e-6,
+                                   atol=1e-6)
+    finally:
+        vex.purge_caches()
+
+
+def test_rbk_fused_accepts_bf16(ctx1, rng, monkeypatch):
+    """r3 code-review regression: the r2-era 32/64-bit gate kept bf16
+    VALUES off the fused rbk kernel (which upcasts them in-kernel) and
+    dropped them to the generic full-N-sort path.  bf16 must route to
+    the fused pipeline and emit bf16 results."""
+    import importlib
+
+    from vexcl_tpu.config import config
+
+    monkeypatch.setattr(config, "force_interpret", True)
+    import vexcl_tpu.ops.pallas_rbk as prbk
+    import vexcl_tpu.ops.pallas_segscan as pss
+
+    rbk_mod = importlib.import_module("vexcl_tpu.ops.reduce_by_key")
+    monkeypatch.setattr(prbk, "use_pallas_rbk", lambda ks, v, n: True)
+    monkeypatch.setattr(pss, "use_pallas_segscan",
+                        lambda k, x, op, eq: True)
+    calls = []
+    real_fused = rbk_mod._reduce_by_key_fused
+    monkeypatch.setattr(
+        rbk_mod, "_reduce_by_key_fused",
+        lambda *a, **kw: calls.append(1) or real_fused(*a, **kw))
+
+    vex.purge_caches()
+    try:
+        n = 1 << 13
+        keys_h = (np.arange(n) // 7).astype(np.int32)
+        vals_h = rng.standard_normal(n).astype(jnp.bfloat16)
+        k = vex.vector(data=keys_h, dtype=np.int32, context=ctx1)
+        v = vex.vector(data=vals_h, dtype=jnp.bfloat16, context=ctx1)
+        ok, ov, m = vex.reduce_by_key(k, v)
+        assert calls, "bf16 values did not reach the fused rbk path"
+        assert ov.dtype == jnp.bfloat16
+        starts = np.arange(0, n, 7)
+        ref_v = np.add.reduceat(vals_h.astype(np.float32), starts)
+        assert m == len(starts)
+        np.testing.assert_array_equal(np.asarray(ok), keys_h[starts])
+        np.testing.assert_allclose(
+            np.asarray(ov).astype(np.float32), ref_v, rtol=0.05, atol=0.05)
+    finally:
+        vex.purge_caches()

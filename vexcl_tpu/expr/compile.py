@@ -181,10 +181,12 @@ def _commit_scalars(leaves):
 
 
 def _env_from(analysis: Analysis, exprs: Sequence[Expr], leaves, n,
-              inplace_slots: frozenset = frozenset()):
+              inplace_slots: frozenset = frozenset(),
+              placement_known: bool = True):
     values = {}
     seen = set()
     env = EmitEnv(values, n)
+    env.placement_known = placement_known
     for e in exprs:
         stack = [e]
         while stack:
@@ -238,6 +240,7 @@ def _build_evaluator(
     dtypes: Optional[Tuple] = None,
     donate: Tuple[int, ...] = (),
     inplace_slots: frozenset = frozenset(),
+    placement_known: bool = True,
 ) -> Callable:
     """Build the traced function for this structural signature.
 
@@ -247,7 +250,8 @@ def _build_evaluator(
     """
 
     def run(*leaves):
-        env = _env_from(analysis, exprs, leaves, n, inplace_slots)
+        env = _env_from(analysis, exprs, leaves, n, inplace_slots,
+                        placement_known)
         outs = [e.emit_cached(env) for e in exprs]
         if dtypes is not None:
             outs = [
@@ -402,8 +406,14 @@ def evaluate(
         # in place by Pallas terminals (input_output_aliases)
         ip_slots = frozenset(
             s for s in dslots if _slot_single_use((expr,), analysis, s))
+        # placement keys on the leaves the kernel will actually SEE:
+        # leaf_transform (enqueue redirects) moves them to another
+        # context, so transform BEFORE keying (code-review r3 finding:
+        # redirected calls were keyed on the source placement)
+        leaves = analysis.leaves if leaf_transform is None else [
+            leaf_transform(l) for l in analysis.leaves]
         cache_key = (analysis.sig, "=", n, out_dtype, dslots,
-                     _placement_sig(analysis.leaves))
+                     leaf_transform is None, _placement_sig(leaves))
 
         def factory():
             def post(val):
@@ -411,27 +421,31 @@ def evaluate(
 
             return _build_evaluator((expr,), analysis, n, post=post,
                                     dtypes=(out_dtype,), donate=dslots,
-                                    inplace_slots=ip_slots)
+                                    inplace_slots=ip_slots,
+                                    placement_known=leaf_transform is None)
 
         jfn = (
             kernel_cache.get_or_create(cache_key, factory)
             if config.cache_kernels
             else factory()
         )
-        leaves = analysis.leaves if leaf_transform is None else [
-            leaf_transform(l) for l in analysis.leaves]
         return jfn(*_commit_scalars(leaves))
 
     # compound: old value becomes leaf 0
     analysis = analyze(expr)
     _check_sizes(analysis, n)
     donate_old = old_donatable and _olds_donation_safe((old,), analysis.leaves)
+    leaves = analysis.leaves
+    if leaf_transform is not None:
+        old = leaf_transform(old)
+        leaves = [leaf_transform(l) for l in leaves]
     cache_key = (analysis.sig, op, n, out_dtype, donate_old,
-                 _placement_sig(analysis.leaves))
+                 leaf_transform is None, _placement_sig(leaves))
 
     def factory():
         def run(old_val, *leaves):
-            env = _env_from(analysis, (expr,), leaves, n)
+            env = _env_from(analysis, (expr,), leaves, n,
+                            placement_known=leaf_transform is None)
             val = _normalize_shape(expr.emit_cached(env), n)
             res = combine(old_val, val)
             return res.astype(out_dtype) if out_dtype is not None else res
@@ -444,10 +458,6 @@ def evaluate(
         if config.cache_kernels
         else factory()
     )
-    leaves = analysis.leaves
-    if leaf_transform is not None:
-        old = leaf_transform(old)
-        leaves = [leaf_transform(l) for l in leaves]
     return jfn(old, *_commit_scalars(leaves))
 
 
@@ -519,6 +529,10 @@ def evaluate_multi(
             dslots = tuple(
                 s + 1 for b in bufs for s in _donate_slots(b, analysis.leaves)
             )
+    leaves = analysis.leaves
+    if leaf_transform is not None:
+        olds_real = [leaf_transform(o) for o in olds_real]
+        leaves = [leaf_transform(l) for l in leaves]
     cache_key = (
         analysis.sig,
         tuple(ops),
@@ -526,12 +540,14 @@ def evaluate_multi(
         tuple(out_dtypes),
         donate_olds,
         dslots,
-        _placement_sig(analysis.leaves),
+        leaf_transform is None,
+        _placement_sig(leaves),
     )
 
     def factory():
         def run(olds_in, *leaves):
-            env = _env_from(analysis, exprs, leaves, None)
+            env = _env_from(analysis, exprs, leaves, None,
+                            placement_known=leaf_transform is None)
             outs = []
             oi = 0
             for i, e in enumerate(exprs):
@@ -553,10 +569,6 @@ def evaluate_multi(
         if config.cache_kernels
         else factory()
     )
-    leaves = analysis.leaves
-    if leaf_transform is not None:
-        olds_real = [leaf_transform(o) for o in olds_real]
-        leaves = [leaf_transform(l) for l in leaves]
     return jfn(tuple(olds_real), *_commit_scalars(leaves))
 
 

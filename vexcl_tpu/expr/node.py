@@ -82,6 +82,15 @@ class EmitEnv:
         #: _slot_single_use; the reference's inherent in-place write,
         #: vector.hpp:679-801).
         self.inplace: set = set()
+        #: False when the traced leaves were leaf_transform-ed (vex
+        #: .enqueue redirects, events.py) and so may live on a DIFFERENT
+        #: device set than the captured expression's containers: emit()
+        #: dispatches that inspect concrete container shardings (the
+        #: Pallas stencil's dist/local guards) must then fall back to the
+        #: placement-neutral XLA form, which follows the traced leaves
+        #: (code-review r3 finding: the dist stencil shard_map crashed
+        #: under an enqueue redirect to a different context).
+        self.placement_known: bool = True
 
 
 class Analysis:

@@ -91,7 +91,9 @@ def _reduce_by_key_fused(karrs, vals, okeys, ovals, multi, mono="add"):
                                            lambda: _rbk_stage2_fused(kpad, nk))
                 if config.cache_kernels else _rbk_stage2_fused(kpad, nk))
         vals_full, *keys_full = jfn2(pos, incl_c, *keys_c)
-        out_val_arr = vals_full[:m]
+        # the kernel accumulates in f32 (bf16 inputs upcast in-kernel);
+        # emitted values match the input dtype like the generic path
+        out_val_arr = vals_full[:m].astype(vals.dtype)
         out_key_arrs = [k[:m] for k in keys_full]
     return _emit_outputs(out_val_arr, out_key_arrs, okeys, ovals, multi,
                          ctx, m)
@@ -197,20 +199,8 @@ def _reduce_by_key_compact(karrs, vals, okeys, ovals, multi, mono="add"):
         vals_full, *keys_full = jfn2(pos, incl_c, *keys_c)
         out_val_arr = vals_full[:m]
         out_key_arrs = [k[:m] for k in keys_full]
-    if ovals is None:
-        ovals = vector(data=out_val_arr, context=ctx)
-    else:
-        ovals._set_array(out_val_arr.astype(ovals.dtype))
-    if okeys is None:
-        okeys_out = [vector(data=k, context=ctx) for k in out_key_arrs]
-    else:
-        okeys_list = list(okeys) if isinstance(okeys, (tuple, list)) else [okeys]
-        for dst, arr in zip(okeys_list, out_key_arrs):
-            dst._set_array(arr.astype(dst.dtype))
-        okeys_out = okeys_list
-    if not multi:
-        return okeys_out[0], ovals, m
-    return tuple(okeys_out), ovals, m
+    return _emit_outputs(out_val_arr, out_key_arrs, okeys, ovals, multi,
+                         ctx, m)
 
 
 def reduce_by_key(
@@ -244,14 +234,18 @@ def reduce_by_key(
     seg_pallas = (mono is not None and key_eq is None and all_int_keys
                   and use_pallas_segscan(ks[0], vals.array, None, None))
 
-    # compact-path payloads (values + keys) ride pallas_compact, which
-    # transports 32/64-bit planes only; bf16 values or i8/i16 keys pass
-    # the segscan guard but must take the generic path (code-review r2
-    # finding: the mismatch crashed instead of falling back)
-    compact_ok = (np.dtype(vals.dtype).itemsize in (4, 8)
-                  and all(np.dtype(k.dtype).itemsize in (4, 8) for k in ks))
+    # both Pallas compaction kernels transport keys as 32/64-bit f32
+    # bit-pattern planes; i8/i16 keys pass the segscan guard but must
+    # take the generic path (code-review r2 finding: the mismatch
+    # crashed instead of falling back)
+    keys_32_64 = all(np.dtype(k.dtype).itemsize in (4, 8) for k in ks)
+    # the r2 pallas_compact additionally transports the VALUES as planes,
+    # so it needs 32/64-bit values too; the fused kernel upcasts bf16
+    # values in-kernel (code-review r3 finding: the r2-era gate wrongly
+    # kept bf16 off the fused path)
+    vals_32_64 = np.dtype(vals.dtype).itemsize in (4, 8)
 
-    if seg_pallas and compact_ok:
+    if seg_pallas and keys_32_64:
         # r3 fused kernel (segscan + row compaction in ONE pass,
         # ops/pallas_rbk.py) for n <= 2^24 (f32-exact positions); the
         # r2 three-dispatch pipeline covers larger n
@@ -260,7 +254,7 @@ def reduce_by_key(
         if use_pallas_rbk(ks, vals.array, vals.size):
             return _reduce_by_key_fused(ks, vals, okeys, ovals, multi,
                                         mono)
-        if all(use_pallas_compact(k) for k in ks):
+        if vals_32_64 and all(use_pallas_compact(k) for k in ks):
             return _reduce_by_key_compact(ks, vals, okeys, ovals, multi,
                                           mono)
 
@@ -335,19 +329,5 @@ def reduce_by_key(
     ctx = vals.context
     out_val_arr = vals_full[:m]
     out_key_arrs = [k[:m] for k in keys_full]
-
-    if ovals is None:
-        ovals = vector(data=out_val_arr, context=ctx)
-    else:
-        ovals._set_array(out_val_arr.astype(ovals.dtype))
-    if okeys is None:
-        okeys_out = [vector(data=k, context=ctx) for k in out_key_arrs]
-    else:
-        okeys_list = list(okeys) if isinstance(okeys, (tuple, list)) else [okeys]
-        for dst, arr in zip(okeys_list, out_key_arrs):
-            dst._set_array(arr.astype(dst.dtype))
-        okeys_out = okeys_list
-
-    if not multi:
-        return okeys_out[0], ovals, m
-    return tuple(okeys_out), ovals, m
+    return _emit_outputs(out_val_arr, out_key_arrs, okeys, ovals, multi,
+                         ctx, m)

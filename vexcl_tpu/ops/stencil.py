@@ -66,17 +66,25 @@ class StencilExpr(Expr):
             stencil_dist_mesh, stencil_pallas, stencil_pallas_dist,
             use_pallas_stencil)
 
-        # mesh-sharded input: the Pallas kernel runs as the shard_map
-        # LOCAL phase with ppermute-halo boundary fix-up (VERDICT r2 #1 —
-        # the multi-device path must not be slower per chip than the
-        # single-device kernel); matches exchange_halos
-        # (stencil.hpp:90-165) without the host staging
-        dist = stencil_dist_mesh(self.children[1], n, self.st.width, x.dtype)
-        if dist is not None:
-            return stencil_pallas_dist(
-                x, np.asarray(self.st.coeff), self.st.center, *dist)
-        if use_pallas_stencil(n, self.st.width, x.dtype,
-                              expr=self.children[1]):
+        # Both Pallas dispatches below decide from the CAPTURED
+        # expression's concrete container shardings; under an enqueue
+        # leaf_transform redirect (events.py) the traced leaves live on a
+        # DIFFERENT context, so only the placement-neutral XLA form below
+        # is correct (it follows the traced leaves; code-review r3
+        # finding — the dist shard_map crashed on redirected calls).
+        if env.placement_known:
+            # mesh-sharded input: the Pallas kernel runs as the shard_map
+            # LOCAL phase with ppermute-halo boundary fix-up (VERDICT r2
+            # #1 — the multi-device path must not be slower per chip than
+            # the single-device kernel); matches exchange_halos
+            # (stencil.hpp:90-165) without the host staging
+            dist = stencil_dist_mesh(self.children[1], n, self.st.width,
+                                     x.dtype)
+            if dist is not None:
+                return stencil_pallas_dist(
+                    x, np.asarray(self.st.coeff), self.st.center, *dist)
+        if env.placement_known and use_pallas_stencil(
+                n, self.st.width, x.dtype, expr=self.children[1]):
             # in-place when the input is the DONATED destination buffer
             # and this is its only read (x[:] = x * s): the kernel's
             # window pipeline is aliasing-safe (pallas_stencil docstring)

@@ -330,7 +330,10 @@ class SpMatCCSR:
 
             budget = int(os.environ.get(
                 "VEXTPU_CCSR_CACHE_MB", str(self._AUTO_CACHE_MB)))
-            tbl = np.asarray(self._union_table_dev)
+            # host-side table (built above): fetching _union_table_dev
+            # back would cost a blocking device->host round trip per
+            # construction (code-review r3 finding)
+            tbl = table
             itemsize = 2 if (
                 tbl.dtype == np.float32
                 and np.array_equal(
