@@ -447,6 +447,44 @@ def bench_rng_threefry(n=1 << 24):
     return n / t / 1e9, t
 
 
+def bench_mba(n=1 << 24, nsamp=4096):
+    """2-D MBA scattered-interpolation evaluation at 16M query points
+    (examples/mba_benchmark.cpp analog, 6-level fit).  r3 TPU design:
+    the level hierarchy is flattened host-side into ONE control lattice
+    (append_refined, mba.hpp:417-444) and the device fetches all 16
+    taps of a query with ONE widened patch-row gather — TPU gathers are
+    index-bound, so one 16-wide row gather beats 16 scalar gathers ~50x
+    (probe: 369 vs 7.3 Mpts/s); the unflattened scalar-gather form
+    measured 1.4 Mpts/s."""
+    import vexcl_tpu as vex
+    from vexcl_tpu.ops.mba import mba_device_eval
+
+    rng_l = np.random.default_rng(7)
+    sx, sy = rng_l.random(nsamp), rng_l.random(nsamp)
+    sv = np.sin(7 * sx) * np.cos(5 * sy)
+    surf = vex.mba(lo=(-0.01, -0.01), hi=(1.01, 1.01), coords=(sx, sy),
+                   values=sv, grid=(8, 8), levels=6)
+    patch = (surf._patch_dev.astype(jnp.float32)
+             if surf._patch_dev is not None else None)
+    q0 = jnp.asarray(rng_l.random(n, dtype=np.float32))
+    qy0 = jnp.asarray(rng_l.random(n, dtype=np.float32))
+
+    def step(q, qy, *tabs):
+        if patch is not None:
+            out = mba_device_eval(surf.lo, surf.hi, surf.grids, None,
+                                  [q, qy], patch=tabs[0])
+        else:
+            out = mba_device_eval(surf.lo, surf.hi, surf.grids,
+                                  list(tabs), [q, qy])
+        # cheap bounded remap keeps queries in-domain without settling
+        return (q * 0.993 + 0.003 + out * 1e-3) % 1.0
+
+    tabs = ((patch,) if patch is not None
+            else tuple(l.astype(jnp.float32) for l in surf._lattices_dev))
+    t = slope_seconds(step, q0, lo=8, hi=40, extra=(qy0,) + tabs)
+    return n / t / 1e6, t
+
+
 def bench_lorenz(n=1 << 22):
     """Lorenz-ensemble RK4 — the reference's flagship SISC workload
     (examples/symbolic.cpp; the published claim is expression-template
@@ -724,6 +762,9 @@ def main():
     def b_rbk(extra):
         extra["reduce_by_key_Gelem_s"] = round(bench_reduce_by_key()[0], 2)
 
+    def b_mba(extra):
+        extra["mba_Mpts_s"] = round(bench_mba()[0], 1)
+
     def b_lorenz(extra):
         g, ratio = bench_lorenz()
         extra["lorenz_rk4_Gsteps_s"] = round(g, 2)
@@ -743,7 +784,7 @@ def main():
 
     for b in (b_init, b_fused, b_saxpy, b_red, b_stencil, b_spmv64,
               b_spmv256, b_ccsr, b_sort, b_scan, b_scanmax, b_philox,
-              b_threefry, b_sbk, b_scank, b_rbk, b_lorenz, b_fft,
+              b_threefry, b_sbk, b_scank, b_rbk, b_mba, b_lorenz, b_fft,
               b_fft_sweep, b_f64):
         # the segscan kernel alone Mosaic-compiles in ~8-11 min
         _guarded(extra, b, timeout_s=1500 if b is b_scank else 900)

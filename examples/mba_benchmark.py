@@ -38,8 +38,9 @@ def main():
         coords=(sx, sy), values=sv, grid=(8, 8), levels=7,
     )
     t_fit = time.perf_counter() - t0
-    print(f"fit: {len(surf.grids)} levels (finest {surf.grids[-1]}), "
-          f"residual {surf.residual:.2e}, {t_fit * 1e3:.1f} ms (host)")
+    print(f"fit: {len(surf.fit_grids)} levels flattened onto "
+          f"{surf.grids[0]}, residual {surf.residual:.2e}, "
+          f"{t_fit * 1e3:.1f} ms (host)")
 
     # device evaluation at N query points inside an expression
     qx = vex.vector(data=rng.random(n))

@@ -109,6 +109,45 @@ def test_mba_2d(ctx, rng):
     np.testing.assert_allclose(np.asarray(z), 1 + qx * qy, atol=2e-2)
 
 
+def test_mba_refinement_exact(rng):
+    """The flattening refinement (append_refined analog, mba.hpp:417) is
+    EXACT: a lattice refined onto the doubled grid evaluates identically,
+    so the single flattened lattice equals the summed hierarchy."""
+    from vexcl_tpu.ops.mba import _eval_level_host, _refine_np
+
+    lo, hi = (-0.01, -0.01), (1.01, 1.01)
+    g = (8, 6)
+    lat = rng.standard_normal((g[0] + 3, g[1] + 3))
+    pts = (rng.random(2000), rng.random(2000))
+    a = _eval_level_host(lo, hi, g, lat, pts)
+    b = _eval_level_host(lo, hi, tuple(2 * x for x in g),
+                         _refine_np(lat, g), pts)
+    np.testing.assert_allclose(b, a, rtol=0, atol=1e-12)
+
+
+def test_mba_patch_path_matches_lattice(rng):
+    """The widened patch-row gather + separable weight contraction (the
+    TPU fast path) agrees with the scalar-tap lattice form in 1/2/3-D
+    (different summation order -> tiny fp difference only)."""
+    import jax.numpy as jnp
+
+    from vexcl_tpu.ops.mba import mba_device_eval
+
+    for d, grid in ((1, (8,)), (2, (8, 6)), (3, (4, 4, 4))):
+        sc = [rng.random(1500) for _ in range(d)]
+        sv = sum(np.sin(3 * c) for c in sc)
+        surf = vex.mba(lo=(-0.01,) * d, hi=(1.01,) * d, coords=sc,
+                       values=sv, grid=grid, levels=3)
+        assert surf._patch_dev is not None
+        q = [jnp.asarray(rng.random(4000)) for _ in range(d)]
+        a = mba_device_eval(surf.lo, surf.hi, surf.grids,
+                            surf._lattices_dev, q)
+        b = mba_device_eval(surf.lo, surf.hi, surf.grids, None, q,
+                            patch=surf._patch_dev)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=1e-12)
+
+
 def test_profiler(ctx):
     prof = vex.profiler("test")
     prof.tic_cpu("outer")

@@ -458,7 +458,11 @@ def test_table_leaves_commit_replicated_once(ctx, rng):
     q = vex.vector(data=rng.random(n), context=ctx)
     r = vex.vector(n, dtype=np.float64, context=ctx)
     r[:] = interp(q[:])
-    sh3, arr3 = committed_for(interp._lattices_dev[0])
+    # the table leaf the expression actually ships: the widened patch
+    # table when the budget admits it, else the raw lattice (r3)
+    tab = (interp._patch_dev if interp._patch_dev is not None
+           else interp._lattices_dev[0])
+    sh3, arr3 = committed_for(tab)
     assert arr3 is not None and len(sh3.device_set) == ctx.size
 
 
