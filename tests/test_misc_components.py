@@ -100,6 +100,42 @@ def test_image2d_nearest_linear(ctx):
     )
 
 
+def test_image2d_bilinear_patch_matches_fallback(ctx, rng, monkeypatch):
+    """r3: bilinear sampling rides ONE patch-row gather; it must agree
+    with the 4-scalar-gather fallback everywhere, including clamped
+    out-of-range coordinates (clamp-to-edge semantics)."""
+    img_data = rng.random((13, 9))
+    xs = np.concatenate([rng.random(64) * 8, [-1.5, -0.2, 8.0, 9.7]])
+    ys = np.concatenate([rng.random(64) * 12, [12.9, -0.4, 0.0, 13.5]])
+    n = len(xs)
+
+    img = vex.image2d(img_data, filter="linear")
+    assert img._patch_dev is not None
+    X = vex.vector(data=xs, context=ctx)
+    Y = vex.vector(data=ys, context=ctx)
+    out = vex.vector(n, dtype=np.float64, context=ctx)
+    out[:] = img(X, Y)
+
+    monkeypatch.setenv("VEXTPU_IMG_PATCH_MB", "0")
+    img_fb = vex.image2d(img_data, filter="linear")
+    assert img_fb._patch_dev is None
+    out_fb = vex.vector(n, dtype=np.float64, context=ctx)
+    out_fb[:] = img_fb(X, Y)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_fb),
+                               rtol=0, atol=1e-12)
+
+    # host oracle with clamp-to-edge
+    xc = np.clip(xs, 0, 8); yc = np.clip(ys, 0, 12)
+    x0 = np.floor(xc).astype(int); y0 = np.floor(yc).astype(int)
+    tx = xc - x0; ty = yc - y0
+    x1 = np.minimum(x0 + 1, 8); y1 = np.minimum(y0 + 1, 12)
+    ref = (img_data[y0, x0] * (1 - tx) * (1 - ty)
+           + img_data[y0, x1] * tx * (1 - ty)
+           + img_data[y1, x0] * (1 - tx) * ty
+           + img_data[y1, x1] * tx * ty)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-12)
+
+
 def test_interop_numpy_torch(ctx, rng):
     from vexcl_tpu import interop
 

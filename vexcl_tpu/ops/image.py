@@ -33,13 +33,17 @@ class Image2DSample(Expr):
 
     def __init__(self, img: "image2d", x: Any, y: Any):
         self.img = img
-        self.children = (ArrayTerminal(img.data), as_expr(x), as_expr(y))
+        self._patched = (img.filter == "linear"
+                         and img._patch_dev is not None)
+        tab = img._patch_dev if self._patched else img.data
+        self.children = (ArrayTerminal(tab), as_expr(x), as_expr(y))
 
     def extra_sig(self) -> str:
-        return f"{self.img.filter}:{self.img.shape}"
+        p = ":p" if self._patched else ""
+        return f"{self.img.filter}:{self.img.shape}{p}"
 
     def emit(self, env: EmitEnv):
-        data = self.children[0].emit_cached(env)
+        tab = self.children[0].emit_cached(env)
         x = self.children[1].emit_cached(env)
         y = self.children[2].emit_cached(env)
         h, w = self.img.shape
@@ -47,19 +51,35 @@ class Image2DSample(Expr):
         def clamp_gather(iy, ix):
             iy = jnp.clip(iy, 0, h - 1)
             ix = jnp.clip(ix, 0, w - 1)
-            return data[iy, ix]
+            return tab[iy, ix]
 
         if self.img.filter == "nearest":
             return clamp_gather(
                 jnp.round(y).astype(jnp.int32), jnp.round(x).astype(jnp.int32)
             )
-        # bilinear
+        # bilinear.  Coordinates clamp to the domain FIRST — clamp-to-edge
+        # yields the same value either way (out-of-range lerps collapse to
+        # the edge texel) and it lets the patch fast path index safely.
+        x = jnp.clip(x, 0, w - 1)
+        y = jnp.clip(y, 0, h - 1)
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
-        tx = (x - x0).astype(data.dtype)
-        ty = (y - y0).astype(data.dtype)
+        tx = (x - x0).astype(tab.dtype)
+        ty = (y - y0).astype(tab.dtype)
         ix0 = x0.astype(jnp.int32)
         iy0 = y0.astype(jnp.int32)
+        if self._patched:
+            # ONE row gather fetches all 4 texels (TPU gathers are
+            # index-bound — the MBA patch-table finding, ~50x the 4
+            # scalar gathers; docs/tpu_kernel_notes.md), then the lerp
+            # contracts separably (column slices defeat reduce fusion)
+            rows = jnp.take(tab, iy0 * w + ix0, axis=0)
+            nq = rows.shape[0]
+            rows = rows.reshape(nq, 2, 2)            # (dy, dx)
+            wx = jnp.stack([1 - tx, tx], axis=1)
+            wy = jnp.stack([1 - ty, ty], axis=1)
+            return jnp.sum(jnp.sum(rows * wx[:, None, :], axis=2) * wy,
+                           axis=1)
         v00 = clamp_gather(iy0, ix0)
         v01 = clamp_gather(iy0, ix0 + 1)
         v10 = clamp_gather(iy0 + 1, ix0)
@@ -92,11 +112,35 @@ class image2d:
         self.data = jnp.asarray(host)
         self.shape = host.shape
         self.filter = filter
+
+        # Bilinear patch table: row (y*w + x) holds the 2x2 texel
+        # neighborhood (edge-clamped), so sampling is ONE row gather
+        # instead of 4 scalar gathers (index-bound TPU gathers — the
+        # MBA finding, docs/tpu_kernel_notes.md).  4x the image memory,
+        # budget-gated like the MBA patch (VEXTPU_IMG_PATCH_MB).
+        import os
+
+        self._patch_dev = None
+        if filter == "linear":
+            budget = int(os.environ.get("VEXTPU_IMG_PATCH_MB", "64"))
+            if host.size * 4 * host.itemsize <= budget * (1 << 20):
+                h, w = host.shape
+                yc = np.minimum(np.arange(h) + 1, h - 1)
+                xc = np.minimum(np.arange(w) + 1, w - 1)
+                patch = np.stack(
+                    [host,
+                     host[:, xc],
+                     host[yc, :],
+                     host[yc][:, xc]], axis=-1).reshape(h * w, 4)
+                self._patch_dev = jnp.asarray(patch)
+
         # commit once per device set on first use in a sharded expression
         # (instead of XLA re-broadcasting the table every call)
         from ..expr.compile import mark_replicable
 
         mark_replicable(self.data)
+        if self._patch_dev is not None:
+            mark_replicable(self._patch_dev)
 
     def __call__(self, x: Any, y: Any) -> Image2DSample:
         return Image2DSample(self, x, y)
