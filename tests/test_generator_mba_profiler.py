@@ -148,6 +148,32 @@ def test_mba_patch_path_matches_lattice(rng):
                                    rtol=0, atol=1e-12)
 
 
+def test_mba_distinct_domains_not_shared(ctx, rng):
+    """r3 code-review regression: lo/hi are baked into the compiled
+    evaluator, so two interpolants with equal ndim/grids but different
+    domains must not share a kernel."""
+    pts = rng.random(2000)
+    a = vex.mba([-0.01], [1.01], [pts], np.sin(pts), grid=[8], levels=6)
+    pts10 = pts * 10
+    b = vex.mba([-0.1], [10.1], [pts10], np.sin(pts10 / 10), grid=[8],
+                levels=6)
+    q = rng.random(200)
+    Q = vex.vector(data=q, context=ctx)
+    Q10 = vex.vector(data=q * 10, context=ctx)
+    za = vex.vector(200, dtype=np.float64, context=ctx)
+    zb = vex.vector(200, dtype=np.float64, context=ctx)
+    za[:] = a(Q)
+    zb[:] = b(Q10)   # same structure, different domain
+    np.testing.assert_allclose(np.asarray(za), np.sin(q), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(zb), np.sin(q), atol=5e-3)
+
+
+def test_mba_levels_zero_raises():
+    with pytest.raises(ValueError, match="levels"):
+        vex.mba([0.0], [1.0], [np.array([0.5])], np.array([1.0]),
+                grid=[4], levels=0)
+
+
 def test_profiler(ctx):
     prof = vex.profiler("test")
     prof.tic_cpu("outer")

@@ -473,3 +473,102 @@ def test_rbk_fused_accepts_bf16(ctx1, rng, monkeypatch):
             np.asarray(ov).astype(np.float32), ref_v, rtol=0.05, atol=0.05)
     finally:
         vex.purge_caches()
+
+
+def test_stencil_distinct_coeffs_not_shared(ctx, rng, monkeypatch):
+    """r3 code-review regression: the Pallas stencil kernels bake the
+    coefficient values as compile-time constants, so two stencils with
+    the same width/center but different taps must not share a cached
+    kernel."""
+    import vexcl_tpu.ops.pallas_stencil as ps
+
+    monkeypatch.setattr(ps, "_local_pallas_stencil",
+                        lambda nb, w, dt: np.dtype(dt) == np.float32
+                        and nb % 128 == 0 and ps._block_rows(nb // 128, w))
+    vex.purge_caches()
+    try:
+        n = 8 * 1024
+        h = rng.standard_normal(n).astype(np.float32)
+        x = vex.vector(data=h, context=ctx)
+        y = vex.vector(n, dtype=np.float32, context=ctx)
+        for coeffs in ([0.25, 0.5, 0.25], [1.0, -2.0, 1.0]):
+            s = vex.stencil(coeffs, center=1)
+            y[:] = x * s
+            ref = np.pad(h, 1, mode="edge")
+            ref = sum(c * ref[k : k + n] for k, c in enumerate(coeffs))
+            np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-6,
+                                       atol=1e-5)
+    finally:
+        vex.purge_caches()
+
+
+def test_enqueue_same_context_keeps_fast_path(ctx, rng, monkeypatch):
+    """r3 code-review regression: a same-context enqueue() redirect is a
+    placement no-op and must NOT drop the Pallas dist fast path (the
+    duplicate-queue overlap is the reference's primary enqueue use)."""
+    import vexcl_tpu.ops.pallas_stencil as ps
+
+    monkeypatch.setattr(ps, "_local_pallas_stencil",
+                        lambda nb, w, dt: np.dtype(dt) == np.float32
+                        and nb % 128 == 0 and ps._block_rows(nb // 128, w))
+    calls = []
+    real = ps.stencil_pallas_dist
+    monkeypatch.setattr(ps, "stencil_pallas_dist",
+                        lambda *a, **kw: calls.append(1) or real(*a, **kw))
+    vex.purge_caches()
+    try:
+        n = 8 * 1024
+        h = rng.standard_normal(n).astype(np.float32)
+        s = vex.stencil([0.25, 0.5, 0.25], center=1)
+        x = vex.vector(data=h, context=ctx)
+        y = vex.vector(n, dtype=np.float32, context=ctx)
+        vex.enqueue(ctx)(y)[:] = x * s
+        assert calls, "same-context enqueue lost the Pallas dist path"
+        ref = np.pad(h, 1, mode="edge")
+        ref = 0.25 * ref[:-2] + 0.5 * ref[1:-1] + 0.25 * ref[2:]
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-6,
+                                   atol=1e-6)
+    finally:
+        vex.purge_caches()
+
+
+def test_enqueue_redirected_dist_spmv_clear_error(ctx, ctx1, rng):
+    """r3 code-review regression: redirecting a distributed SpMV must
+    fail with guidance, not an XLA 'incompatible devices' crash (the
+    exchange topology IS the construction mesh)."""
+    from vexcl_tpu import sparse
+
+    n = 1024
+    ptr, col, val = [0], [], []
+    for i in range(n):
+        for j, v in ((i - 1, -1.0), (i, 2.0), (i + 1, -1.0)):
+            if 0 <= j < n:
+                col.append(j)
+                val.append(v)
+        ptr.append(len(col))
+    A = sparse.distributed(n, n, np.asarray(ptr), np.asarray(col, np.int32),
+                           np.asarray(val), context=ctx)
+    x = vex.vector(data=rng.random(n), context=ctx)
+    y = vex.vector(n, dtype=np.float64, context=ctx)
+    y[:] = A * x  # on its own mesh: fine
+    with pytest.raises((ValueError, RuntimeError), match="distributed SpMV"):
+        vex.enqueue(ctx1)(y)[:] = A * x
+
+
+def test_enqueue_redirected_sharded_fft(ctx, ctx1, rng):
+    """r3 code-review regression: a sharded vector's FFT auto-routes to
+    the mesh-distributed plan at construction; an enqueue() redirect
+    must fall back to the geometry-identical whole-array plan instead of
+    crashing on the source mesh's shard_map."""
+    n = 1 << 12
+    h = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex128)
+    x = vex.vector(data=h, context=ctx)
+    f = vex.FFT(n)
+    expr = f(x)
+    assert expr.plan._dist_fn is not None  # dist plan engaged
+    y = vex.vector(n, dtype=np.complex128, context=ctx)
+    vex.enqueue(ctx1)(y)[:] = expr
+    np.testing.assert_allclose(np.asarray(y), np.fft.fft(h), rtol=1e-9,
+                               atol=1e-8)
+    assert y.context is ctx1

@@ -91,15 +91,36 @@ def _target_placer(ctx: Context):
     def place(leaf):
         if not hasattr(leaf, "shape"):
             return leaf  # python scalar — weak-typed, follows the arrays
+        aux = False
         if ctx.size > 1:
             if (
                 getattr(leaf, "ndim", 0) == 1
                 and leaf.shape[0] > 0
                 and leaf.shape[0] % ctx.size == 0
             ):
-                return _put(leaf, ctx.vector_sharding)
-            return _put(leaf, ctx.replicated)
-        return _put(leaf, jax.sharding.SingleDeviceSharding(ctx.devices[0]))
+                sh = ctx.vector_sharding
+            else:
+                sh = ctx.replicated
+                aux = True
+        else:
+            sh = jax.sharding.SingleDeviceSharding(ctx.devices[0])
+        # Identity cases return the SAME object so the evaluator detects
+        # a no-op redirect and keeps placement_known=True — preserving
+        # the Pallas dist/local fast paths for same-context enqueue
+        # (code-review r3 finding): exact placement match always; for
+        # AUXILIARY (table/coefficient) leaves, also any placement whose
+        # devices lie within the target set (GSPMD broadcasts them and
+        # _commit_scalars replicates registered tables anyway).  Vector
+        # -sized leaves need the exact match: redirecting a single-device
+        # vector onto a larger mesh must really reshard it.
+        cur = getattr(leaf, "sharding", None)
+        if cur is not None:
+            try:
+                if cur == sh or (aux and cur.device_set <= sh.device_set):
+                    return leaf
+            except Exception:
+                pass
+        return _put(leaf, sh)
 
     return place
 

@@ -409,11 +409,16 @@ def evaluate(
         # placement keys on the leaves the kernel will actually SEE:
         # leaf_transform (enqueue redirects) moves them to another
         # context, so transform BEFORE keying (code-review r3 finding:
-        # redirected calls were keyed on the source placement)
+        # redirected calls were keyed on the source placement).  A
+        # transform that returns every leaf unchanged (same-context
+        # enqueue) keeps placement_known=True so emit()-level Pallas
+        # dispatches that read the captured containers stay valid.
         leaves = analysis.leaves if leaf_transform is None else [
             leaf_transform(l) for l in analysis.leaves]
+        pk = leaf_transform is None or all(
+            t is l for t, l in zip(leaves, analysis.leaves))
         cache_key = (analysis.sig, "=", n, out_dtype, dslots,
-                     leaf_transform is None, _placement_sig(leaves))
+                     pk, _placement_sig(leaves))
 
         def factory():
             def post(val):
@@ -422,7 +427,7 @@ def evaluate(
             return _build_evaluator((expr,), analysis, n, post=post,
                                     dtypes=(out_dtype,), donate=dslots,
                                     inplace_slots=ip_slots,
-                                    placement_known=leaf_transform is None)
+                                    placement_known=pk)
 
         jfn = (
             kernel_cache.get_or_create(cache_key, factory)
@@ -436,16 +441,20 @@ def evaluate(
     _check_sizes(analysis, n)
     donate_old = old_donatable and _olds_donation_safe((old,), analysis.leaves)
     leaves = analysis.leaves
+    pk = True
     if leaf_transform is not None:
-        old = leaf_transform(old)
+        old_t = leaf_transform(old)
         leaves = [leaf_transform(l) for l in leaves]
+        pk = old_t is old and all(
+            t is l for t, l in zip(leaves, analysis.leaves))
+        old = old_t
     cache_key = (analysis.sig, op, n, out_dtype, donate_old,
-                 leaf_transform is None, _placement_sig(leaves))
+                 pk, _placement_sig(leaves))
 
     def factory():
         def run(old_val, *leaves):
             env = _env_from(analysis, (expr,), leaves, n,
-                            placement_known=leaf_transform is None)
+                            placement_known=pk)
             val = _normalize_shape(expr.emit_cached(env), n)
             res = combine(old_val, val)
             return res.astype(out_dtype) if out_dtype is not None else res
@@ -530,9 +539,13 @@ def evaluate_multi(
                 s + 1 for b in bufs for s in _donate_slots(b, analysis.leaves)
             )
     leaves = analysis.leaves
+    pk = True
     if leaf_transform is not None:
-        olds_real = [leaf_transform(o) for o in olds_real]
+        olds_t = [leaf_transform(o) for o in olds_real]
         leaves = [leaf_transform(l) for l in leaves]
+        pk = all(t is o for t, o in zip(olds_t, olds_real)) and all(
+            t is l for t, l in zip(leaves, analysis.leaves))
+        olds_real = olds_t
     cache_key = (
         analysis.sig,
         tuple(ops),
@@ -540,14 +553,14 @@ def evaluate_multi(
         tuple(out_dtypes),
         donate_olds,
         dslots,
-        leaf_transform is None,
+        pk,
         _placement_sig(leaves),
     )
 
     def factory():
         def run(olds_in, *leaves):
             env = _env_from(analysis, exprs, leaves, None,
-                            placement_known=leaf_transform is None)
+                            placement_known=pk)
             outs = []
             oi = 0
             for i, e in enumerate(exprs):

@@ -467,8 +467,11 @@ class Plan:
 class FFTExpr(Expr):
     _opname = "fft"
 
-    def __init__(self, plan: Plan, x: Any):
+    def __init__(self, plan: Plan, x: Any, base: Optional[Plan] = None):
         self.plan = plan
+        #: placement-neutral plan (same geometry, no shard_map): used
+        #: when an enqueue() redirect makes the dist plan's mesh wrong
+        self.base_plan = base if base is not None else plan
         self.children = (as_expr(x),)
 
     def extra_sig(self) -> str:
@@ -484,7 +487,15 @@ class FFTExpr(Expr):
                 f":{int(p._route_ct)}{int(p._auto_ct)}{dist}")
 
     def emit(self, env: EmitEnv):
-        return self.plan(self.children[0].emit_cached(env))
+        plan = self.plan
+        if plan._dist_fn is not None and not env.placement_known:
+            # enqueue() redirected this assignment: the dist plan's
+            # shard_map is pinned to the SOURCE mesh and would crash
+            # inside the redirected jit (code-review r3 finding); the
+            # geometry-identical whole-array plan follows the traced
+            # leaves anywhere
+            plan = self.base_plan
+        return plan(self.children[0].emit_cached(env))
 
     def size_hint(self) -> Optional[int]:
         return int(np.prod(self.plan.shape))
@@ -522,7 +533,7 @@ class FFT:
         )
 
     def __call__(self, x) -> FFTExpr:
-        return FFTExpr(self._route(x), x)
+        return FFTExpr(self._route(x), x, base=self.plan)
 
     def _route(self, x) -> Plan:
         """Swap in the mesh-distributed four-step plan for a 1-D

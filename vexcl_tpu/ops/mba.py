@@ -209,9 +209,13 @@ class MBAExpr(Expr):
         self.children = tabs + tuple(as_expr(c) for c in coords)
 
     def extra_sig(self) -> str:
+        # lo/hi are baked into the traced evaluator (domain mapping), so
+        # they must key the kernel cache: two interpolants sharing
+        # ndim/grids but fitted over different domains previously reused
+        # one closure and returned wrong values (code-review r3 finding)
         ip = self.interp
         p = ":p" if ip._patch_dev is not None else ""
-        return f"{ip.ndim}:{ip.grids}{p}"
+        return f"{ip.ndim}:{ip.grids}:{ip.lo}:{ip.hi}{p}"
 
     def emit(self, env: EmitEnv):
         ip = self.interp
@@ -259,6 +263,8 @@ class mba:
         grid = tuple(int(g) for g in np.atleast_1d(grid))
         if len(grid) == 1 and self.ndim > 1:
             grid = grid * self.ndim
+        if int(levels) < 1:
+            raise ValueError("mba needs levels >= 1")
 
         # Fit the residual hierarchy, FLATTENING as we go: each coarser
         # lattice refines exactly onto the next (dyadic) grid and is

@@ -56,7 +56,12 @@ class StencilExpr(Expr):
         self.children = (ArrayTerminal(st.coeff), as_expr(x))
 
     def extra_sig(self) -> str:
-        return f"{self.st.width}:{self.st.center}"
+        # the Pallas branches below bake the coefficient VALUES into the
+        # compiled kernel (np constants), so the signature must carry
+        # them: two stencils sharing width/center but different taps
+        # previously reused one kernel (code-review r3 finding).  The
+        # XLA fallback reads the coeff leaf and would not need this.
+        return f"{self.st.width}:{self.st.center}:{self.st.digest}"
 
     def emit(self, env: EmitEnv):
         coeff = self.children[0].emit_cached(env)
@@ -111,8 +116,14 @@ class stencil:
     """vex::stencil<T>(queue, coefficients, center) (stencil.hpp:168)."""
 
     def __init__(self, coefficients: Sequence[float], center: int, *, context=None):
+        import hashlib
+
         c = np.asarray(coefficients)
         self.coeff = jnp.asarray(c)
+        #: value digest for the kernel-cache signature (the Pallas
+        #: kernels bake the taps as compile-time constants)
+        self.digest = hashlib.sha1(
+            c.tobytes() + str(c.dtype).encode()).hexdigest()[:12]
         from ..expr.compile import mark_replicable
 
         mark_replicable(self.coeff)  # commit once per device set

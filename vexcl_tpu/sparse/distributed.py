@@ -63,6 +63,20 @@ class DistSpMVExpr(Expr):
 
     def emit(self, env: EmitEnv):
         mat = self.mat
+        if not env.placement_known:
+            # enqueue() redirected this assignment to another context,
+            # but the matrix planes are sharded over THEIR construction
+            # mesh — a shard_map over that mesh inside the redirected jit
+            # would crash with 'incompatible devices' (code-review r3).
+            # Unlike the stencil there is no placement-neutral form (the
+            # exchange topology IS the mesh), so fail with guidance.
+            raise ValueError(
+                "vex.enqueue() cannot redirect a distributed SpMV to a "
+                "different context: the matrix is sharded over its "
+                "construction mesh. Evaluate on the matrix's context and "
+                "copy the result, or rebuild the matrix on the target "
+                "context."
+            )
         mesh = mat.context.mesh
         axis = mat.axis
         npad = mat.npad
