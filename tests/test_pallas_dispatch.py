@@ -572,3 +572,55 @@ def test_enqueue_redirected_sharded_fft(ctx, ctx1, rng):
     np.testing.assert_allclose(np.asarray(y), np.fft.fft(h), rtol=1e-9,
                                atol=1e-8)
     assert y.context is ctx1
+
+
+def test_enqueue_mixed_context_odd_size(ctx, ctx1, rng):
+    """r3 code-review regression: the placer's identity rule must use
+    device-set EQUALITY — an odd-size (padded, 'aux'-shaped) destination
+    on the mesh combined with a source on another context must still
+    commit everything to one device set (previously: 'incompatible
+    devices' / silent non-redirect)."""
+    n = 1001  # odd: not divisible by the mesh, takes the aux branch
+    ha, hb = rng.random(n), rng.random(n)
+    y = vex.vector(data=ha, context=ctx)
+    x = vex.vector(data=hb, context=ctx1)
+    vex.enqueue(ctx)(y)
+    p = vex.enqueue(ctx)(y)
+    p += x[:]
+    np.testing.assert_allclose(np.asarray(y), ha + hb)
+
+    # all-aux variant: everything on ctx1, redirect to ctx must really
+    # move the computation (and the vector) there
+    y2 = vex.vector(data=ha, context=ctx1)
+    x2 = vex.vector(data=hb, context=ctx1)
+    vex.enqueue(ctx)(y2)[:] = x2 + 1.0
+    np.testing.assert_allclose(np.asarray(y2), hb + 1.0)
+    assert y2.context is ctx
+    assert set(y2.array.sharding.device_set) == set(ctx.devices)
+
+
+def test_enqueue_same_context_dist_spmv_with_numpy_operand(ctx, rng):
+    """r3 code-review regression: a SAME-context enqueue of a
+    distributed SpMV mixed with a host numpy operand must evaluate (host
+    leaves carry no placement and must not demote placement_known)."""
+    from vexcl_tpu import sparse
+
+    n = 1024
+    ptr, col, val = [0], [], []
+    for i in range(n):
+        for j, v in ((i - 1, -1.0), (i, 2.0), (i + 1, -1.0)):
+            if 0 <= j < n:
+                col.append(j)
+                val.append(v)
+        ptr.append(len(col))
+    A = sparse.distributed(n, n, np.asarray(ptr), np.asarray(col, np.int32),
+                           np.asarray(val), context=ctx)
+    hx = rng.random(n)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(n, dtype=np.float64, context=ctx)
+    vex.enqueue(ctx)(y)[:] = A * x + np.float64(1.0)
+    dense = np.zeros((n, n))
+    for i in range(n):
+        for k in range(ptr[i], ptr[i + 1]):
+            dense[i, col[k]] = val[k]
+    np.testing.assert_allclose(np.asarray(y), dense @ hx + 1.0, rtol=1e-10)

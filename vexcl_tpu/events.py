@@ -91,7 +91,14 @@ def _target_placer(ctx: Context):
     def place(leaf):
         if not hasattr(leaf, "shape"):
             return leaf  # python scalar — weak-typed, follows the arrays
-        aux = False
+        from .expr.compile import _replicable_ref
+
+        if _replicable_ref(leaf):
+            # registered table (stencil coeffs, mba patch, image data):
+            # _commit_scalars replicates it once per device set at call
+            # time — re-placing it here would both duplicate that work
+            # and demote placement_known (code-review r3)
+            return leaf
         if ctx.size > 1:
             if (
                 getattr(leaf, "ndim", 0) == 1
@@ -101,28 +108,59 @@ def _target_placer(ctx: Context):
                 sh = ctx.vector_sharding
             else:
                 sh = ctx.replicated
-                aux = True
         else:
             sh = jax.sharding.SingleDeviceSharding(ctx.devices[0])
-        # Identity cases return the SAME object so the evaluator detects
-        # a no-op redirect and keeps placement_known=True — preserving
-        # the Pallas dist/local fast paths for same-context enqueue
-        # (code-review r3 finding): exact placement match always; for
-        # AUXILIARY (table/coefficient) leaves, also any placement whose
-        # devices lie within the target set (GSPMD broadcasts them and
-        # _commit_scalars replicates registered tables anyway).  Vector
-        # -sized leaves need the exact match: redirecting a single-device
-        # vector onto a larger mesh must really reshard it.
+        # Identity: a leaf whose devices already EQUAL the target set is
+        # returned unchanged (its layout — sharded/replicated/padded —
+        # is GSPMD-visible and needs no move; re-placing a multi-GB
+        # matrix plane replicated every call is pure waste).  The
+        # evaluator detects an all-unchanged redirect and keeps
+        # placement_known=True, preserving the Pallas dist/local fast
+        # paths for same-context enqueue (code-review r3).  EQUALITY,
+        # not subset: a single-device leaf redirected onto a larger mesh
+        # (or vice versa) must really move, or one jit would see mixed
+        # committed device sets ('incompatible devices').
         cur = getattr(leaf, "sharding", None)
         if cur is not None:
             try:
-                if cur == sh or (aux and cur.device_set <= sh.device_set):
+                if cur == sh or set(cur.device_set) == set(sh.device_set):
                     return leaf
             except Exception:
                 pass
         return _put(leaf, sh)
 
     return place
+
+
+def _check_redirect(value, tgt: Context) -> None:
+    """Fail fast BEFORE any leaf moves: a distributed-matrix expression
+    cannot redirect to a different device set (its exchange topology is
+    the construction mesh).  Detecting it at emit time would first pay a
+    full-matrix transfer through the leaf transform (code-review r3)."""
+    from .expr.node import as_expr
+    from .sparse.distributed import DistSpMVExpr
+
+    stack = [as_expr(value)]
+    seen = set()
+    while stack:
+        node = stack.pop()
+        if id(node) in seen:
+            continue
+        seen.add(id(node))
+        if isinstance(node, DistSpMVExpr) and (
+            set(tgt.devices) != set(node.mat.context.devices)
+        ):
+            raise ValueError(
+                "vex.enqueue() cannot redirect a distributed SpMV to a "
+                "different context: the matrix is sharded over its "
+                "construction mesh. Evaluate on the matrix's context and "
+                "copy the result, or rebuild the matrix on the target "
+                "context."
+            )
+        inner = getattr(node, "inner", None)
+        if inner is not None:
+            stack.append(inner)
+        stack.extend(getattr(node, "children", ()))
 
 
 class _EnqueueTarget:
@@ -166,6 +204,7 @@ class _EnqueueTarget:
                 if isinstance(value, type(vec)):
                     value = value[:]
                 tgt = outer.context
+                _check_redirect(value, tgt)
                 same = set(tgt.devices) == set(vec.context.devices)
                 # always re-commit inputs to the target (no-op when they
                 # already live there): mixed-context expressions — e.g. a
@@ -235,6 +274,8 @@ class _RedirectedMulti:
         if len(exprs) != len(vecs):
             raise ValueError("enqueue(): component count mismatch")
         tgt = self._context
+        for e in exprs:
+            _check_redirect(e, tgt)
         place = _target_placer(tgt)
         need_old = ASSIGN_OPS[op] is not None
         outs = evaluate_multi(

@@ -303,6 +303,34 @@ def _placement_sig(leaves) -> tuple:
     return tuple(out)
 
 
+def _apply_leaf_transform(leaf_transform, leaves, olds=()):
+    """Apply an enqueue() leaf_transform to leaves (+ old values).
+
+    Returns (leaves_t, olds_t, placement_known): placement_known is True
+    iff every DEVICE-ARRAY leaf/old came back as the SAME object — host
+    leaves (numpy arrays, scalars) carry no committed placement, always
+    follow the target, and must not demote placement_known (a
+    same-context enqueue with a numpy operand previously lost the
+    container-based dispatch decisions — code-review r3 finding)."""
+    if leaf_transform is None:
+        return list(leaves), list(olds), True
+
+    def known(ts, ls):
+        # host leaves and registered replicable tables carry no
+        # placement decision — they follow the target via _put /
+        # _commit_scalars respectively
+        return all(
+            t is l
+            for t, l in zip(ts, ls)
+            if getattr(l, "sharding", None) is not None
+            and not _replicable_ref(l)
+        )
+
+    lt = [leaf_transform(l) for l in leaves]
+    ot = [leaf_transform(o) for o in olds]
+    return lt, ot, known(lt, leaves) and known(ot, olds)
+
+
 def _normalize_shape(val, n):
     """Collapse a computed value to the assignment's (n,) shape: scalars
     broadcast; size-1 results may carry MORE dims than the target (e.g. a
@@ -410,13 +438,12 @@ def evaluate(
         # leaf_transform (enqueue redirects) moves them to another
         # context, so transform BEFORE keying (code-review r3 finding:
         # redirected calls were keyed on the source placement).  A
-        # transform that returns every leaf unchanged (same-context
-        # enqueue) keeps placement_known=True so emit()-level Pallas
-        # dispatches that read the captured containers stay valid.
-        leaves = analysis.leaves if leaf_transform is None else [
-            leaf_transform(l) for l in analysis.leaves]
-        pk = leaf_transform is None or all(
-            t is l for t, l in zip(leaves, analysis.leaves))
+        # transform that leaves every device-array leaf unchanged
+        # (same-context enqueue) keeps placement_known=True so
+        # emit()-level Pallas dispatches reading the captured containers
+        # stay valid.
+        leaves, _, pk = _apply_leaf_transform(leaf_transform,
+                                              analysis.leaves)
         cache_key = (analysis.sig, "=", n, out_dtype, dslots,
                      pk, _placement_sig(leaves))
 
@@ -440,14 +467,9 @@ def evaluate(
     analysis = analyze(expr)
     _check_sizes(analysis, n)
     donate_old = old_donatable and _olds_donation_safe((old,), analysis.leaves)
-    leaves = analysis.leaves
-    pk = True
-    if leaf_transform is not None:
-        old_t = leaf_transform(old)
-        leaves = [leaf_transform(l) for l in leaves]
-        pk = old_t is old and all(
-            t is l for t, l in zip(leaves, analysis.leaves))
-        old = old_t
+    leaves, olds_t, pk = _apply_leaf_transform(leaf_transform,
+                                               analysis.leaves, (old,))
+    old = olds_t[0]
     cache_key = (analysis.sig, op, n, out_dtype, donate_old,
                  pk, _placement_sig(leaves))
 
@@ -538,14 +560,8 @@ def evaluate_multi(
             dslots = tuple(
                 s + 1 for b in bufs for s in _donate_slots(b, analysis.leaves)
             )
-    leaves = analysis.leaves
-    pk = True
-    if leaf_transform is not None:
-        olds_t = [leaf_transform(o) for o in olds_real]
-        leaves = [leaf_transform(l) for l in leaves]
-        pk = all(t is o for t, o in zip(olds_t, olds_real)) and all(
-            t is l for t, l in zip(leaves, analysis.leaves))
-        olds_real = olds_t
+    leaves, olds_real, pk = _apply_leaf_transform(leaf_transform,
+                                                  analysis.leaves, olds_real)
     cache_key = (
         analysis.sig,
         tuple(ops),
