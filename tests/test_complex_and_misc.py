@@ -1,6 +1,8 @@
 """Complex vectors, multivector reductions, eval, purge_caches, context
 filters — parity odds and ends."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -84,3 +86,50 @@ def test_type_names():
     assert vex.type_name("uint") == "uint"
     assert vex.dtype_of("float") == np.float32
     assert vex.promote(np.float32, np.int32) == np.float32
+
+
+def test_exclusive_filter_two_processes(tmp_path, monkeypatch):
+    """Cross-process Filter.Exclusive (opencl/filter.hpp:214-330): with a
+    shared VEXTPU_LOCK_DIR, a device locked by this process must be
+    filtered out in a second process, and must come back after
+    release_exclusive_locks()."""
+    import subprocess
+    import sys
+
+    import jax
+
+    from vexcl_tpu.context import release_exclusive_locks
+
+    monkeypatch.setenv("VEXTPU_LOCK_DIR", str(tmp_path))
+    ndev = len(jax.devices())
+
+    # This process takes the exclusive lock on device 0.
+    mine = vex.Filter.Exclusive(vex.Filter.Position(0)).select(jax.devices())
+    assert len(mine) == 1
+
+    child_src = (
+        "import os\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "flags = os.environ.get('XLA_FLAGS', '')\n"
+        "if 'xla_force_host_platform_device_count' not in flags:\n"
+        "    os.environ['XLA_FLAGS'] = (flags +"
+        " ' --xla_force_host_platform_device_count=8').strip()\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import vexcl_tpu as vex\n"
+        "sel = vex.Filter.Exclusive(vex.Filter.All).select(jax.devices())\n"
+        "print('GOT', len(sel))\n"
+    )
+    env = dict(os.environ, VEXTPU_LOCK_DIR=str(tmp_path))
+
+    out = subprocess.run([sys.executable, "-c", child_src], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    # Device 0 is held here; the child gets everything else.
+    assert f"GOT {ndev - 1}" in out.stdout, out.stdout
+
+    release_exclusive_locks()
+    out = subprocess.run([sys.executable, "-c", child_src], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert f"GOT {ndev}" in out.stdout, out.stdout

@@ -110,17 +110,20 @@ def test_image2d_bilinear_patch_matches_fallback(ctx, rng, monkeypatch):
     n = len(xs)
 
     img = vex.image2d(img_data, filter="linear")
-    assert img._patch_dev is not None
+    # lazy patch (ADVICE r3): built on the first linear sample, not at
+    # construction
+    assert img._patch_dev is None
     X = vex.vector(data=xs, context=ctx)
     Y = vex.vector(data=ys, context=ctx)
     out = vex.vector(n, dtype=np.float64, context=ctx)
     out[:] = img(X, Y)
+    assert img._patch_dev is not None
 
     monkeypatch.setenv("VEXTPU_IMG_PATCH_MB", "0")
     img_fb = vex.image2d(img_data, filter="linear")
-    assert img_fb._patch_dev is None
     out_fb = vex.vector(n, dtype=np.float64, context=ctx)
     out_fb[:] = img_fb(X, Y)
+    assert img_fb._patch_dev is None
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_fb),
                                rtol=0, atol=1e-12)
 
@@ -442,6 +445,23 @@ def test_enqueue_redirect_complex_leaves(ctx, ctx1, rng):
     w = vex.vector(n, dtype=np.complex128, context=ctx)
     vex.enqueue(ctx1)(w)[:] = z * (2 + 0j)
     np.testing.assert_allclose(np.asarray(w), hz * 2, rtol=1e-12)
+
+
+def test_enqueue_redirect_table_only_leaves(ctx1, rng):
+    """ADVICE r3: an expression whose only DEVICE-array leaves are
+    registered replicable tables (an image2d sample driven by host numpy
+    coordinates) must still execute on the enqueue target — previously
+    _commit_scalars inferred the device set from the untouched table's
+    SOURCE sharding and the kernel ran on the source context."""
+    ctx2 = vex.Context(vex.Filter.Position(1), set_current=False)
+    img_data = rng.random((8, 8))
+    img = vex.image2d(img_data, filter="nearest")
+    xs = np.full(32, 3.0)
+    ys = np.full(32, 2.0)
+    out = vex.vector(32, dtype=np.float64, context=ctx1)
+    vex.enqueue(ctx2)(out)[:] = img(xs, ys)
+    assert set(out.storage.sharding.device_set) == {ctx2.devices[0]}
+    np.testing.assert_allclose(np.asarray(out), img_data[2, 3])
 
 
 def test_table_leaves_commit_replicated_once(ctx, rng):

@@ -87,6 +87,14 @@ def purge_caches() -> None:
     except Exception:
         pass
     try:
+        from .context import release_exclusive_locks
+
+        release_exclusive_locks()  # Exclusive filter locks die with the
+        # caches — the reference frees them when contexts are destroyed
+        # (filter.hpp:214-330)
+    except Exception:
+        pass
+    try:
         import jax
 
         jax.clear_caches()

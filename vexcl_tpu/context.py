@@ -158,6 +158,82 @@ class _Env(DeviceFilter):
         return out
 
 
+class _Exclusive(DeviceFilter):
+    """Cross-process exclusive device ownership via lock files
+    (opencl/filter.hpp:214-330, VEXCL_LOCK_DIR analog).
+
+    A device passes only if this process can take (or already holds) an
+    exclusive ``flock`` on ``$VEXTPU_LOCK_DIR/vextpu_device_<key>.lock``
+    — so two cooperating processes sharing a lock dir never select the
+    same device.  Locks are held for the process lifetime and released
+    on exit or via :func:`release_exclusive_locks` (the reference frees
+    them when the owning Context is destroyed; ours ties them to
+    purge/exit, the closest analog of its global lock registry).
+
+    The kernel releases ``flock`` automatically when the holder dies, so
+    stale lock FILES are harmless (the reference's boost file_lock has
+    the same property).
+    """
+
+    def __init__(self, inner: DeviceFilter) -> None:
+        self.inner = inner
+
+    @staticmethod
+    def _lock_dir() -> str:
+        import tempfile
+
+        d = os.environ.get("VEXTPU_LOCK_DIR") or tempfile.gettempdir()
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    @staticmethod
+    def _dev_key(dev) -> str:
+        return f"{_dev_platform(dev) or 'dev'}_{getattr(dev, 'id', 0)}"
+
+    def select(self, devices: Sequence) -> List:
+        import fcntl
+
+        out = []
+        lock_dir = self._lock_dir()
+        for dev in self.inner.select(devices):
+            key = self._dev_key(dev)
+            if key in _exclusive_locks:  # already ours (re-filtering)
+                out.append(dev)
+                continue
+            path = os.path.join(lock_dir, f"vextpu_device_{key}.lock")
+            try:
+                fd = os.open(path, os.O_RDWR | os.O_CREAT, 0o666)
+            except OSError:
+                continue  # unwritable lock dir: treat as taken
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                os.close(fd)
+                continue  # held by another process
+            _exclusive_locks[key] = (fd, path)
+            out.append(dev)
+        return out
+
+
+_exclusive_locks: dict = {}
+
+
+def release_exclusive_locks() -> None:
+    """Release every Filter.Exclusive device lock this process holds
+    (reference: locks die with their Context; filter.hpp:214-330)."""
+    for key, (fd, _path) in list(_exclusive_locks.items()):
+        try:
+            os.close(fd)  # closing drops the flock
+        except OSError:
+            pass
+        del _exclusive_locks[key]
+
+
+import atexit
+
+atexit.register(release_exclusive_locks)
+
+
 class _FilterNamespace:
     """vex::Filter::* namespace object."""
 
@@ -206,12 +282,7 @@ class _FilterNamespace:
     Count = staticmethod(_Count)
     Position = staticmethod(_Position)
 
-    @staticmethod
-    def Exclusive(f: DeviceFilter) -> DeviceFilter:
-        """Single-process analog of the file-lock Exclusive filter
-        (opencl/filter.hpp:214-330): JAX owns its devices for the process
-        lifetime already, so this is the identity wrapper."""
-        return f
+    Exclusive = staticmethod(_Exclusive)
 
 
 Filter = _FilterNamespace()

@@ -91,14 +91,24 @@ def _target_placer(ctx: Context):
     def place(leaf):
         if not hasattr(leaf, "shape"):
             return leaf  # python scalar — weak-typed, follows the arrays
-        from .expr.compile import _replicable_ref
+        from .expr.compile import _commit_replicable, _replicable_ref
 
         if _replicable_ref(leaf):
-            # registered table (stencil coeffs, mba patch, image data):
-            # _commit_scalars replicates it once per device set at call
-            # time — re-placing it here would both duplicate that work
-            # and demote placement_known (code-review r3)
-            return leaf
+            # Registered table (stencil coeffs, mba patch, image data):
+            # commit it to the TARGET's device set through the shared
+            # per-(buffer, sharding) cache (ADVICE r3: leaving it
+            # untouched made _commit_scalars infer the device set from
+            # the table's SOURCE sharding when no other device leaf
+            # pinned the target, so the kernel ran on the wrong
+            # context).  Cache-shared with _commit_scalars, so repeat
+            # redirects are a dict hit; placement_known is unaffected
+            # because _apply_leaf_transform's known() already excludes
+            # replicable leaves.
+            if ctx.size > 1:
+                sh = ctx.replicated
+            else:
+                sh = jax.sharding.SingleDeviceSharding(ctx.devices[0])
+            return _commit_replicable(leaf, sh)
         if ctx.size > 1:
             if (
                 getattr(leaf, "ndim", 0) == 1

@@ -94,6 +94,22 @@ def _replicable_ref(l):
     return r is not None and r() is l
 
 
+def _commit_replicable(l, sh):
+    """Commit a registered table leaf to a device set, once per (buffer,
+    sharding) — shared by _commit_scalars (call-time commit inferred from
+    the other leaves) and the enqueue() leaf placer (explicit redirect
+    target; ADVICE r3: an expression whose only device leaves are tables
+    must still land on the requested context)."""
+    key = (sh, id(l))
+    ent = _replicated_cache.get(key)
+    if ent is None or ent[0]() is not l:
+        if len(_replicated_cache) >= _REPLICATED_CACHE_MAX:
+            _replicated_cache.clear()
+        ent = (weakref.ref(l), jax.device_put(l, sh))
+        _replicated_cache[key] = ent
+    return ent[1]
+
+
 def _commit_scalars(leaves):
     """Python/np scalar leaves ship host->device on EVERY kernel call
     (measured: the 8-device CPU mesh pays ~200 us/call broadcasting the
@@ -167,16 +183,9 @@ def _commit_scalars(leaves):
                 sh = target()
                 if sh is None:
                     return leaves
-            key = (sh, id(l))
-            ent = _replicated_cache.get(key)
-            if ent is None or ent[0]() is not l:
-                if len(_replicated_cache) >= _REPLICATED_CACHE_MAX:
-                    _replicated_cache.clear()
-                ent = (weakref.ref(l), jax.device_put(l, sh))
-                _replicated_cache[key] = ent
             if out is None:
                 out = list(leaves)
-            out[i] = ent[1]
+            out[i] = _commit_replicable(l, sh)
     return out if out is not None else leaves
 
 

@@ -33,6 +33,8 @@ class Image2DSample(Expr):
 
     def __init__(self, img: "image2d", x: Any, y: Any):
         self.img = img
+        if img.filter == "linear":
+            img._ensure_patch()
         self._patched = (img.filter == "linear"
                          and img._patch_dev is not None)
         tab = img._patch_dev if self._patched else img.data
@@ -113,33 +115,46 @@ class image2d:
         self.shape = host.shape
         self.filter = filter
 
-        # Bilinear patch table: row (y*w + x) holds the 2x2 texel
-        # neighborhood (edge-clamped), so sampling is ONE row gather
-        # instead of 4 scalar gathers (index-bound TPU gathers — the
-        # MBA finding, docs/tpu_kernel_notes.md).  4x the image memory,
-        # budget-gated like the MBA patch (VEXTPU_IMG_PATCH_MB).
-        import os
-
+        self._host = host
         self._patch_dev = None
-        if filter == "linear":
-            budget = int(os.environ.get("VEXTPU_IMG_PATCH_MB", "64"))
-            if host.size * 4 * host.itemsize <= budget * (1 << 20):
-                h, w = host.shape
-                yc = np.minimum(np.arange(h) + 1, h - 1)
-                xc = np.minimum(np.arange(w) + 1, w - 1)
-                patch = np.stack(
-                    [host,
-                     host[:, xc],
-                     host[yc, :],
-                     host[yc][:, xc]], axis=-1).reshape(h * w, 4)
-                self._patch_dev = jnp.asarray(patch)
+        self._patch_built = False
 
         # commit once per device set on first use in a sharded expression
         # (instead of XLA re-broadcasting the table every call)
         from ..expr.compile import mark_replicable
 
         mark_replicable(self.data)
-        if self._patch_dev is not None:
+
+    def _ensure_patch(self) -> None:
+        """Bilinear patch table, built lazily on the FIRST linear sample
+        (ADVICE r3: eager construction paid 4x memory for images never
+        sampled through the patched path): row (y*w + x) holds the 2x2
+        texel neighborhood (edge-clamped), so sampling is ONE row gather
+        instead of 4 scalar gathers (index-bound TPU gathers — the MBA
+        finding, docs/tpu_kernel_notes.md).  4x the image memory,
+        budget-gated like the MBA patch (VEXTPU_IMG_PATCH_MB), sized
+        against the DEVICE dtype actually shipped (an f64 host image
+        downcast to f32 on device counts 4-byte rows)."""
+        if self._patch_built:
+            return
+        self._patch_built = True
+        import os
+
+        host = self._host
+        budget = int(os.environ.get("VEXTPU_IMG_PATCH_MB", "64"))
+        dev_itemsize = np.dtype(self.data.dtype).itemsize
+        if host.size * 4 * dev_itemsize <= budget * (1 << 20):
+            h, w = host.shape
+            yc = np.minimum(np.arange(h) + 1, h - 1)
+            xc = np.minimum(np.arange(w) + 1, w - 1)
+            patch = np.stack(
+                [host,
+                 host[:, xc],
+                 host[yc, :],
+                 host[yc][:, xc]], axis=-1).reshape(h * w, 4)
+            self._patch_dev = jnp.asarray(patch)
+            from ..expr.compile import mark_replicable
+
             mark_replicable(self._patch_dev)
 
     def __call__(self, x: Any, y: Any) -> Image2DSample:

@@ -42,7 +42,12 @@ def _point_setup_np(lo, hi, grid, coords):
     d = len(grid)
     h = [(hi[k] - lo[k]) / grid[k] for k in range(d)]
     u = [np.clip((coords[k] - lo[k]) / h[k], 0, grid[k] - 1e-12) for k in range(d)]
-    i0 = [np.floor(u[k]).astype(np.int64) for k in range(d)]
+    # same explicit clamp as _spline_setup (f64 hits the `grid - 1e-12 ==
+    # grid` rounding at grid ~9e3; deep refinement hierarchies get there)
+    i0 = [
+        np.minimum(np.floor(u[k]).astype(np.int64), grid[k] - 1)
+        for k in range(d)
+    ]
     t = [u[k] - i0[k] for k in range(d)]
     w_axes = [_bspline_weights_np(t[k]) for k in range(d)]
     return i0, w_axes
@@ -124,7 +129,16 @@ def _spline_setup(lo, hi, grid, coords):
         jnp.clip((coords[k] - lo[k]) / h[k], 0, grid[k] - 1e-12)
         for k in range(d)
     ]
-    i0 = [jnp.floor(u[k]).astype(jnp.int32) for k in range(d)]
+    # Explicit index clamp (ADVICE r3): in f32, `grid - 1e-12` rounds to
+    # `grid` for grid >= 9, so floor(u) could reach grid and tap boxes
+    # would cross into the next lattice row.  Clamping i0 (and deriving t
+    # from the clamped index, so t -> 1 at the top edge, where the cubic
+    # weights still evaluate the correct boundary value) makes the
+    # in-bounds invariant hold regardless of float width.
+    i0 = [
+        jnp.minimum(jnp.floor(u[k]).astype(jnp.int32), grid[k] - 1)
+        for k in range(d)
+    ]
     t = [u[k] - i0[k].astype(u[k].dtype) for k in range(d)]
     w_axes = []
     for k in range(d):
