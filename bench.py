@@ -102,11 +102,40 @@ def bench_fused_elementwise(n=1 << 26):
     c = jnp.asarray(rng.random(n, dtype=np.float32))
     d = jnp.asarray(rng.random(n, dtype=np.float32))
     x0 = jnp.asarray(rng.random(n, dtype=np.float32))
-    t = slope_seconds(
-        lambda v, b_, c_, d_: (v + b_ + c_ * d_) % 1.0,
-        x0, lo=8, hi=48, extra=(b, c, d),
-    )
-    return 5 * n * 4 / t / 1e9, t
+
+    def step(v, b_, c_, d_):
+        # LICM guard (r4, exp/hbm_probe.py + /tmp A/B): XLA hoists the
+        # loop-invariant product c*d out of the chain — EVEN THROUGH an
+        # optimization_barrier (measured: raw 874.7, barriered 863.1,
+        # truly-pinned 708.2 GB/s) — so the loop streamed 4 arrays while
+        # the formula counts 5 (1.25x flattery: the r1-r3 ">100% of SoL"
+        # headline).  Tying c to the carry scalar makes the product
+        # provably iteration-dependent; the extra flop is free.
+        return (v + b_ + (c_ + v[0] * np.float32(1e-30)) * d_) % 1.0
+
+    def step_bound(v, b_, c_, d_):
+        # same 4-read+1-write byte mix with left-associated adds (every
+        # partial sum involves v, so nothing is hoistable): the measured
+        # achievable stream rate for this mix, taken back-to-back in the
+        # same process so tunnel/device drift cancels in the ratio
+        # (cross-process anchors swing +-15%: copy measured 634 one run,
+        # 749 the next).  A/B: coupled-fused 708.2 vs adds 701.4 — the
+        # library form sits at the mix bound.
+        return (v + b_ + c_ + d_) % 1.0
+
+    t = slope_seconds(step, x0, lo=8, hi=48, extra=(b, c, d))
+    tb = slope_seconds(step_bound, x0, lo=8, hi=48, extra=(b, c, d))
+    return 5 * n * 4 / t / 1e9, 5 * n * 4 / tb / 1e9
+
+
+def bench_copy(n=1 << 26):
+    """Pure device stream copy bound: 1 read + 1 write (the achievable-
+    GB/s anchor the headline is reconciled against, VERDICT r3 weak #1)."""
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(rng.random(n, dtype=np.float32))
+    t = slope_seconds(lambda v: (v * np.float32(1.0000001)) % 1.0, x0,
+                      lo=8, hi=48)
+    return 2 * n * 4 / t / 1e9, t
 
 
 def bench_saxpy(n=1 << 26):
@@ -266,6 +295,23 @@ def bench_scan(n=1 << 24):
     post = lambda v: v * 1e-7
     if use_pallas_scan(x0, None):
         step = lambda v: pallas_cumsum(v, post=post)
+    else:
+        step = lambda v: post(jnp.cumsum(v))
+    t = slope_seconds(step, x0, lo=16, hi=128)
+    return n / t / 1e9, t
+
+
+def bench_scan_inplace(n=1 << 24):
+    """cumsum with dst=src (donated, input_output_aliases) — the library's
+    in-place scan path (ops/scan.py:181-188; reference scan.hpp:332-458
+    scans in place when output==input).  VERDICT r4 #6: measure the ~2x
+    1r+1w lever and state the ceiling (docs/benchmarking.md)."""
+    from vexcl_tpu.ops.pallas_scan import pallas_cumsum, use_pallas_scan
+
+    x0 = jnp.asarray(np.random.rand(n).astype(np.float32))
+    post = lambda v: v * 1e-7
+    if use_pallas_scan(x0, None):
+        step = lambda v: pallas_cumsum(v, post=post, donate=True)
     else:
         step = lambda v: post(jnp.cumsum(v))
     t = slope_seconds(step, x0, lo=16, hi=128)
@@ -710,12 +756,21 @@ def main():
     fused_holder = {}
 
     def b_fused(extra):
-        fused_gbs, _ = bench_fused_elementwise()
+        fused_gbs, bound_gbs = bench_fused_elementwise()
         fused_holder["gbs"] = fused_gbs
+        fused_holder["bound"] = bound_gbs
         extra["fused_elementwise_GBs"] = round(fused_gbs, 1)
+        extra["stream_mix_bound_GBs"] = round(bound_gbs, 1)
+
+    def b_copy(extra):
+        copy_gbs, _ = bench_copy()
+        fused_holder["copy"] = copy_gbs
+        extra["stream_copy_GBs"] = round(copy_gbs, 1)
 
     def b_saxpy(extra):
-        extra["saxpy_GBs"] = round(bench_saxpy()[0], 1)
+        saxpy_gbs = bench_saxpy()[0]
+        fused_holder["saxpy"] = saxpy_gbs
+        extra["saxpy_GBs"] = round(saxpy_gbs, 1)
 
     def b_red(extra):
         extra["reduction_GBs"] = round(bench_reduction()[0], 1)
@@ -743,6 +798,9 @@ def main():
 
     def b_scan(extra):
         extra["scan_Gelem_s"] = round(bench_scan()[0], 2)
+
+    def b_scanip(extra):
+        extra["scan_inplace_Gelem_s"] = round(bench_scan_inplace()[0], 2)
 
     def b_scanmax(extra):
         extra["scan_max_Gelem_s"] = round(bench_scan_max()[0], 2)
@@ -782,17 +840,26 @@ def main():
         # LAST: flips jax_enable_x64 on; earlier benches compile under x32
         extra.update(bench_f64())
 
-    for b in (b_init, b_fused, b_saxpy, b_red, b_stencil, b_spmv64,
-              b_spmv256, b_ccsr, b_sort, b_scan, b_scanmax, b_philox,
+    for b in (b_init, b_fused, b_copy, b_saxpy, b_red, b_stencil, b_spmv64,
+              b_spmv256, b_ccsr, b_sort, b_scan, b_scanip, b_scanmax, b_philox,
               b_threefry, b_sbk, b_scank, b_rbk, b_mba, b_lorenz, b_fft,
               b_fft_sweep, b_f64):
         # the segscan kernel alone Mosaic-compiles in ~8-11 min
         _guarded(extra, b, timeout_s=1500 if b is b_scank else 900)
 
     fused_gbs = fused_holder.get("gbs", 0.0)
-    pct = 100.0 * fused_gbs * 1e9 / HBM_SOL
+    # Headline denominator: the chip's MEASURED achievable rate for the
+    # fused row's 4-read+1-write mix (VERDICT r3 weak #1 reconciliation,
+    # exp/hbm_probe.py + docs/benchmarking.md).  Reads and writes stream
+    # at different rates (~1100 / ~445 GB/s fit), so the symmetric 819
+    # spec constant is the wrong roofline for a read-heavy mix; the bound
+    # is an adds-only kernel with the identical mix measured back-to-back
+    # in bench_fused_elementwise.  Falls back to the spec constant if the
+    # bound row failed.
+    sol = max(fused_holder.get("bound", 0.0) * 1e9, HBM_SOL)
+    pct = 100.0 * fused_gbs * 1e9 / sol
     result = {
-        "metric": "fused elementwise bandwidth, % of HBM speed-of-light (v5e)",
+        "metric": "fused elementwise bandwidth, % of measured stream bound (v5e)",
         "value": round(pct, 1),
         "unit": "%",
         "vs_baseline": round(pct / 85.0, 3),  # target: >=85% (BASELINE.md)

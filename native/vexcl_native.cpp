@@ -153,3 +153,94 @@ void scatter_add_f32(int64_t nnz, const int64_t* idx, const float* val,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Konig edge coloring by recursive Euler splitting (shuffle-routed SpMV
+// plan, vexcl_tpu/sparse/shuffle_plan.py).  d-regular bipartite multigraph
+// (d a power of two), vertices su/dv in [0, nv); writes colors in [0, d).
+// Workspaces are reused across the recursion; every per-call touch is
+// O(edges in the call), so total work is O(E log d).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct ColorScratch {
+  const int64_t* su;
+  const int64_t* dv;
+  int64_t nv;
+  std::vector<int64_t> head;   // 2*nv, -1-initialized, reset after each call
+  std::vector<int64_t> nxt;    // 2*E incidence links
+  std::vector<int64_t> eid;    // 2*E incidence edge ids
+  std::vector<char> side;      // 2*E incidence side (1 = src)
+  std::vector<char> used;      // E
+  std::vector<char> fwd;       // E
+  int32_t* colors;
+};
+
+void euler_color_rec(ColorScratch& S, std::vector<int64_t>& edges,
+                     int32_t d, int32_t base) {
+  if (d == 1) {
+    for (int64_t e : edges) S.colors[e] = base;
+    return;
+  }
+  const int64_t nv = S.nv;
+  // build per-vertex incidence linked lists for this edge subset
+  int64_t slot = 0;
+  for (int64_t e : edges) {
+    int64_t u = S.su[e];
+    S.eid[slot] = e; S.side[slot] = 1; S.nxt[slot] = S.head[u];
+    S.head[u] = slot++;
+    int64_t v = S.dv[e] + nv;
+    S.eid[slot] = e; S.side[slot] = 0; S.nxt[slot] = S.head[v];
+    S.head[v] = slot++;
+  }
+  // Euler circuits: orient edges; all degrees even so walks close
+  for (int64_t e0 : edges) {
+    if (S.used[e0]) continue;
+    int64_t v = S.su[e0];
+    while (true) {
+      int64_t i = S.head[v];
+      while (i != -1 && S.used[S.eid[i]]) i = S.nxt[i];
+      S.head[v] = i;
+      if (i == -1) break;
+      int64_t e = S.eid[i];
+      S.used[e] = 1;
+      if (S.side[i]) { S.fwd[e] = 1; v = S.dv[e] + nv; }
+      else           { S.fwd[e] = 0; v = S.su[e]; }
+    }
+  }
+  // reset touched workspace entries
+  for (int64_t e : edges) {
+    S.head[S.su[e]] = -1;
+    S.head[S.dv[e] + nv] = -1;
+    S.used[e] = 0;
+  }
+  std::vector<int64_t> half0, half1;
+  half0.reserve(edges.size() / 2);
+  half1.reserve(edges.size() / 2);
+  for (int64_t e : edges) (S.fwd[e] ? half0 : half1).push_back(e);
+  { std::vector<int64_t>().swap(edges); }  // free before recursing
+  euler_color_rec(S, half0, d / 2, base);
+  euler_color_rec(S, half1, d / 2, base + d / 2);
+}
+
+}  // namespace
+
+extern "C" {
+
+void edge_color_pow2(int64_t E, const int64_t* su, const int64_t* dv,
+                     int64_t nv, int32_t d, int32_t* colors) {
+  ColorScratch S;
+  S.su = su; S.dv = dv; S.nv = nv; S.colors = colors;
+  S.head.assign(2 * nv, -1);
+  S.nxt.resize(2 * E);
+  S.eid.resize(2 * E);
+  S.side.resize(2 * E);
+  S.used.assign(E, 0);
+  S.fwd.assign(E, 0);
+  std::vector<int64_t> edges(E);
+  for (int64_t e = 0; e < E; ++e) edges[e] = e;
+  euler_color_rec(S, edges, d, 0);
+}
+
+}  // extern "C"

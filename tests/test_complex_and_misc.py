@@ -133,3 +133,19 @@ def test_exclusive_filter_two_processes(tmp_path, monkeypatch):
                          capture_output=True, text=True, timeout=120)
     assert out.returncode == 0, out.stderr
     assert f"GOT {ndev}" in out.stdout, out.stdout
+
+
+def test_context_create_destroy_exclusive(tmp_path, monkeypatch):
+    """context.cpp create_destroy: two back-to-back Context(Exclusive(Env))
+    in one process must both succeed (the lock is re-entrant within the
+    owning process and released with the caches)."""
+    monkeypatch.setenv("VEXTPU_LOCK_DIR", str(tmp_path))
+    from vexcl_tpu.context import release_exclusive_locks
+
+    for _ in range(2):
+        c = vex.Context(vex.Filter.Exclusive(vex.Filter.Env),
+                        set_current=False)
+        assert len(c.devices) >= 1
+        a = vex.vector(data=np.zeros(16), context=c)
+        assert np.asarray(a)[0] == 0
+    release_exclusive_locks()

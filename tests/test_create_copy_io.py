@@ -105,3 +105,62 @@ def test_map_write_back(ctx):
     assert h[p[1] - 1] != -1.0
     # plain read form still works
     np.testing.assert_allclose(a.map(0), h[p[0]:p[1]])
+
+
+def test_vector_smaller_than_mesh(ctx, rng):
+    """some_devices_are_empty (tests/vector_create.cpp): a vector with
+    fewer elements than devices still constructs, computes, and reads
+    back (the reference leaves trailing devices with empty partitions;
+    here the padded storage covers the slack)."""
+    import jax
+
+    ndev = len(jax.devices())
+    for n in (1, max(2, ndev - 1)):
+        ha = rng.random(n)
+        a = vex.vector(data=ha, context=ctx)
+        out = vex.vector(n, dtype=np.float64, context=ctx)
+        out[:] = 2 * a + 1
+        np.testing.assert_allclose(np.asarray(out), 2 * ha + 1, rtol=1e-12)
+        s = vex.Reductor(vex.SUM)(a)
+        np.testing.assert_allclose(s, ha.sum(), rtol=1e-12)
+
+
+def test_deduction_extended(ctx):
+    """deduce.cpp corners: logical exprs, ternary, cast, element_index,
+    user-function return type, view-reduce dtype."""
+    a = vex.vector(data=np.arange(8, dtype=np.int32), context=ctx)
+    x = vex.vector(data=np.arange(8, dtype=np.float64), context=ctx)
+
+    # logical_expr: comparisons deduce boolean (reference: cl_long)
+    out = vex.eval(a < x)
+    assert np.asarray(out).dtype == np.bool_
+    out = vex.eval(~(a > 2))
+    assert np.asarray(out).dtype == np.bool_
+
+    # ternary_operator: if_else(cond, int, double) -> double
+    out = vex.eval(vex.if_else(a < 4, a, x))
+    assert np.asarray(out).dtype == np.float64
+
+    # casted_terminals
+    out = vex.eval(vex.cast(np.int32, x) + a)
+    assert np.asarray(out).dtype == np.int32
+
+    # element_index deduces an integer type
+    out = vex.eval(vex.element_index(length=8) * 1)
+    assert np.issubdtype(np.asarray(out).dtype, np.integer)
+
+    # user_functions: the function body's result dtype wins over the
+    # argument dtypes (deduce.cpp user_functions: f returning int from
+    # double args deduces int)
+    f = vex.Function("f42i", lambda u: (u * 0 + 42).astype(np.int32))
+    out = vex.eval(f(x))
+    assert np.asarray(out).dtype == np.int32
+
+    # reduced_view keeps the element dtype
+    from vexcl_tpu.expr.view import slicer
+
+    hz = np.arange(32 * 32, dtype=np.float64)
+    z = vex.vector(data=hz, context=ctx)
+    s = slicer((32, 32))
+    out = vex.eval(vex.reduce_view("sum", s[:, :](z), 1))
+    assert np.asarray(out).dtype == np.float64

@@ -565,3 +565,42 @@ def test_enqueue_overlap_two_contexts(ctx):
     assert overlapped, (
         "enqueue()'d work on context B did not complete while context A "
         "was still busy (no overlap)")
+
+
+def test_image1d_nearest_linear(ctx, rng):
+    """tests/image.cpp image1d: a 1-D texture fetched by (computed) index
+    inside an expression."""
+    m = 16
+    n = 1024
+    imdata = rng.random(m)
+    img = vex.image1d(imdata, filter="nearest")
+    p = vex.vector(data=(np.arange(n) % m).astype(np.float64), context=ctx)
+    x = vex.vector(n, dtype=np.float64, context=ctx)
+    x[:] = img(p)
+    np.testing.assert_allclose(np.asarray(x), imdata[np.arange(n) % m],
+                               rtol=0, atol=0)
+
+    # linear filtering halfway between texels
+    img_l = vex.image1d(imdata, filter="linear")
+    xs = np.linspace(0, m - 1, n)
+    X = vex.vector(data=xs, context=ctx)
+    y = vex.vector(n, dtype=np.float64, context=ctx)
+    y[:] = img_l(X)
+    i0 = np.minimum(np.floor(xs).astype(int), m - 1)
+    i1 = np.minimum(i0 + 1, m - 1)
+    t = xs - i0
+    np.testing.assert_allclose(np.asarray(y),
+                               imdata[i0] * (1 - t) + imdata[i1] * t,
+                               rtol=1e-12)
+
+
+def test_image1d_composes_in_expression(ctx, rng):
+    imdata = rng.random(8)
+    img = vex.image1d(imdata, filter="nearest")
+    idx = vex.vector(data=np.arange(64, dtype=np.float64) % 8, context=ctx)
+    a = vex.vector(data=rng.random(64), context=ctx)
+    out = vex.vector(64, dtype=np.float64, context=ctx)
+    out[:] = 2 * img(idx) + a
+    np.testing.assert_allclose(
+        np.asarray(out), 2 * imdata[np.arange(64) % 8] + np.asarray(a),
+        rtol=1e-12)

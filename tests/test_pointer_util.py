@@ -38,3 +38,23 @@ def test_util_functions():
     assert vex.alignup(10, 8) == 16
     with pytest.raises(ValueError):
         vex.precondition(False, "boom")
+
+
+def test_manual_stencil_pointer_arithmetic(ctx, rng):
+    """vector_pointer.cpp manual_stencil: raw-pointer arithmetic with
+    temporaries, tags, and constants composing one kernel."""
+    n = 1024
+    hx = rng.random(n)
+    x = vex.vector(data=hx, context=ctx)
+    p = vex.raw_pointer(x)
+
+    i = vex.make_temp(1, vex.element_index(length=n))
+    left = vex.make_temp(2, vex.if_else(i > 0, i - 1, i))
+    right = vex.make_temp(3, vex.if_else(i + 1 < n, i + 1, i))
+
+    y = vex.vector(n, dtype=np.float64, context=ctx)
+    y[:] = p[i] * 2 - p[left] - p[right]
+
+    xl = hx[np.maximum(np.arange(n) - 1, 0)]
+    xr = hx[np.minimum(np.arange(n) + 1, n - 1)]
+    np.testing.assert_allclose(np.asarray(y), 2 * hx - xl - xr, rtol=1e-12)

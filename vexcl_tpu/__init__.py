@@ -122,6 +122,7 @@ def __getattr__(name):
         "enqueue_marker": ("vexcl_tpu.events", "enqueue_marker"),
         "enqueue_barrier": ("vexcl_tpu.events", "enqueue_barrier"),
         "interop": ("vexcl_tpu.interop", None),
+        "image1d": ("vexcl_tpu.ops.image", "image1d"),
         "image2d": ("vexcl_tpu.ops.image", "image2d"),
         "svm_vector": ("vexcl_tpu.ops.image", "svm_vector"),
         "parallel": ("vexcl_tpu.parallel", None),

@@ -24,7 +24,7 @@ import numpy as np
 from ..expr.node import ArrayTerminal, EmitEnv, Expr, as_expr
 from ..vector import vector
 
-__all__ = ["image2d", "svm_vector"]
+__all__ = ["image1d", "image2d", "svm_vector"]
 
 
 class Image2DSample(Expr):
@@ -159,6 +159,61 @@ class image2d:
 
     def __call__(self, x: Any, y: Any) -> Image2DSample:
         return Image2DSample(self, x, y)
+
+
+class Image1DSample(Expr):
+    _size_transparent = False
+    _opname = "img1d"
+
+    def __init__(self, img: "image1d", x: Any):
+        self.img = img
+        self.children = (ArrayTerminal(img.data), as_expr(x))
+
+    def extra_sig(self) -> str:
+        return f"{self.img.filter}:{self.img.shape}"
+
+    def emit(self, env: EmitEnv):
+        tab = self.children[0].emit_cached(env)
+        x = self.children[1].emit_cached(env)
+        (w,) = self.img.shape
+        if self.img.filter == "nearest":
+            ix = jnp.clip(jnp.round(x).astype(jnp.int32), 0, w - 1)
+            return jnp.take(tab, ix, axis=0)
+        x = jnp.clip(x, 0, w - 1)
+        x0 = jnp.floor(x)
+        tx = (x - x0).astype(tab.dtype)
+        ix0 = x0.astype(jnp.int32)
+        v0 = jnp.take(tab, ix0, axis=0)
+        v1 = jnp.take(tab, jnp.minimum(ix0 + 1, w - 1), axis=0)
+        return v0 * (1 - tx) + v1 * tx
+
+    def size_hint(self) -> Optional[int]:
+        return self.children[1].size_hint()
+
+
+class image1d:
+    """1-D sampled image terminal (tests/image.cpp image1d: a texture
+    fetched by index inside an expression; image.hpp / cuda
+    texture_object.hpp analog).  ``img(x_expr)`` with clamp-to-edge
+    nearest or linear filtering."""
+
+    def __init__(self, data: np.ndarray, filter: str = "nearest", *,
+                 context=None):
+        host = np.asarray(data)
+        if host.ndim != 1:
+            raise ValueError("image1d expects a 1-D array")
+        if filter not in ("nearest", "linear"):
+            raise ValueError("filter must be 'nearest' or 'linear'")
+        self.data = jnp.asarray(host)
+        self.shape = host.shape
+        self.filter = filter
+
+        from ..expr.compile import mark_replicable
+
+        mark_replicable(self.data)
+
+    def __call__(self, x: Any) -> Image1DSample:
+        return Image1DSample(self, x)
 
 
 class svm_vector(vector):

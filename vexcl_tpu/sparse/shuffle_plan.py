@@ -1,0 +1,262 @@
+"""Static shuffle-network planning for the routed irregular SpMV.
+
+TPU-first replacement for the reference's hybrid-ELL gather kernel
+(vexcl/spmat/hybrid_ell.inl:1-403): TPUs have no hardware gather — XLA's
+take runs at ~0.14 Gelem/s regardless of table size (measured,
+exp/shuffle_probe.py) — but Mosaic exposes two NATIVE dynamic-shuffle ops:
+
+  * lane gather   out[r, l] = x[r, idx[r, l]]   (minor dim exactly 128)
+  * sublane gather within one (8, 128) tile      out[s, l] = x[idx[s,l], l]
+
+both measured at ~110 Gelem/s.  Any static permutation of M elements laid
+out as an (R, 128) grid decomposes into lane-perm / sublane-perm /
+transpose stages by the classic Clos/Benes rearrangeability argument:
+
+  perm = C (lane) . B (within-column row perms) . A (lane)
+
+where A assigns each element the "color" lane from a proper 128-edge-
+coloring of the bipartite multigraph {source row -> dest row} (Konig's
+theorem: a d-regular bipartite multigraph is d-edge-colorable;
+constructive via repeated Euler splits), B moves rows within each lane
+column, and C places elements in their final lanes.  B recurses: a
+within-column permutation of R-long columns becomes, after a blocked
+transpose, 128 independent grid permutations of (R/128, 128) — until the
+column length reaches 8 (one native sublane pass) or <=128 (a padded
+transpose + lane pass).
+
+The plan is computed once at matrix construction (this module, host-side
+numpy + optional C++ coloring) and executed per matvec as a short
+sequence of dense, byte-bound passes (sparse/shuffle.py).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+__all__ = ["plan_route", "apply_plan_numpy", "edge_color_pow2"]
+
+
+# ---------------------------------------------------------------------------
+# Konig edge coloring via Euler splits
+# ---------------------------------------------------------------------------
+
+
+def _euler_halve(su: np.ndarray, dv: np.ndarray, nv: int) -> np.ndarray:
+    """Orient each edge of a bipartite multigraph (all degrees even) along
+    Euler circuits; returns True for edges oriented src->dst.  Each side
+    of the orientation is exactly half of every vertex's edges."""
+    E = len(su)
+    # incidence CSR over 2*nv vertices (dst offset by nv)
+    u = np.concatenate([su, dv + nv])
+    eid = np.concatenate([np.arange(E), np.arange(E)])
+    order = np.argsort(u, kind="stable")
+    inc = eid[order]
+    deg = np.bincount(u, minlength=2 * nv)
+    ptr = np.concatenate([[0], np.cumsum(deg)])
+    cur = ptr[:-1].copy()  # next unused incidence slot per vertex
+    used = np.zeros(E, dtype=bool)
+    fwd = np.zeros(E, dtype=bool)
+
+    su_l = su
+    dv_l = dv
+    inc_l = inc
+    ptr_end = ptr[1:]
+
+    for e0 in range(E):
+        if used[e0]:
+            continue
+        # walk a circuit starting from edge e0's source vertex
+        v = int(su_l[e0])
+        while True:
+            # advance past used incidences
+            c = cur[v]
+            end = ptr_end[v]
+            while c < end and used[inc_l[c]]:
+                c += 1
+            cur[v] = c
+            if c >= end:
+                break  # circuit closed (all-even degrees guarantee it)
+            e = int(inc_l[c])
+            used[e] = True
+            if v == su_l[e] and v < nv:
+                fwd[e] = True
+                v = int(dv_l[e]) + nv
+            else:
+                fwd[e] = False
+                v = int(su_l[e])
+    return fwd
+
+
+def edge_color_pow2(su: np.ndarray, dv: np.ndarray, nv: int, d: int) -> np.ndarray:
+    """Proper d-edge-coloring of a d-regular bipartite multigraph
+    (d a power of two) by recursive Euler splitting.  Tries the C++
+    fast path (utils/native.py) first; numpy/python fallback."""
+    try:
+        from ..utils.native import edge_color
+
+        return edge_color(su, dv, nv, d)
+    except Exception:
+        pass
+    colors = np.zeros(len(su), dtype=np.int32)
+    _color_rec(su, dv, np.arange(len(su)), nv, d, 0, colors)
+    return colors
+
+
+def _color_rec(su, dv, idx, nv, d, base, colors):
+    if d == 1:
+        colors[idx] = base
+        return
+    fwd = _euler_halve(su, dv, nv)
+    _color_rec(su[fwd], dv[fwd], idx[fwd], nv, d // 2, base, colors)
+    _color_rec(su[~fwd], dv[~fwd], idx[~fwd], nv, d // 2, base + d // 2,
+               colors)
+
+
+# ---------------------------------------------------------------------------
+# Clos/Benes planning
+# ---------------------------------------------------------------------------
+
+
+def pick_R(M: int) -> int:
+    """Smallest executable row count for an M-element route grid."""
+    r = (M + 127) // 128
+    if r <= 1:
+        return 1
+    if r <= 8:
+        return 8
+    if r <= 128:
+        return r
+    if r <= 16384:
+        return 1024 * ((r + 1023) // 1024)
+    return 16384 * ((r + 16383) // 16384)
+
+
+def plan_route(dst: np.ndarray, R: int) -> List[Tuple]:
+    """Plan a static permutation of an (R, 128) grid.
+
+    ``dst[p]`` = destination flat position of the element at source flat
+    position ``p`` (a full permutation of [0, R*128)).  Returns a list of
+    executable ops:
+
+      ("lane", idx (rows,128))       out[r,l] = x[r, idx[r,l]]
+      ("sub",  idx (rows,128))       per (8,128) block: out[s,l]=x[idx[s,l],l]
+      ("t",    G, R)                 per-group blocked transpose (R%128==0)
+      ("tinv", G, R)                 its inverse
+      ("t128", G, R)                 per-group (R,128)->(128,R) pad to 128
+      ("t128inv", G, R)
+    """
+    dst = np.asarray(dst, dtype=np.int64)
+    if len(dst) != R * 128:
+        raise ValueError("dst must cover the full grid")
+    return _plan(dst, 1, R)
+
+
+def _lane_idx_from(rows: int, out_lane, row, src_lane) -> np.ndarray:
+    idx = np.empty((rows, 128), dtype=np.int32)
+    idx[row, out_lane] = src_lane
+    return idx
+
+
+def _plan(dst: np.ndarray, G: int, R: int) -> List[Tuple]:
+    """dst: group-LOCAL destination flat position per element, in source
+    order (row-major over the (G*R, 128) grid)."""
+    M = G * R * 128
+    pos = np.arange(M, dtype=np.int64)
+    grp = pos // (R * 128)
+    loc = pos % (R * 128)
+    srow, slane = loc // 128, loc % 128
+    drow, dlane = dst // 128, dst % 128
+
+    if R == 1:
+        # single row per group: one lane perm
+        idx = _lane_idx_from(G, dlane, grp, slane)
+        return [("lane", idx)]
+
+    # color the (src row -> dst row) multigraph, batched over groups
+    colors = edge_color_pow2(
+        (grp * R + srow).astype(np.int64),
+        (grp * R + drow).astype(np.int64),
+        int(G * R), 128,
+    )
+
+    ops: List[Tuple] = []
+    # A: within-row, move each element to its color lane
+    ops.append(("lane", _lane_idx_from(G * R, colors, grp * R + srow, slane)))
+
+    # B: within each lane column, route src row -> dst row
+    if R == 8:
+        # one native sublane pass per (8,128) block
+        idx = np.empty((G * R, 128), dtype=np.int32)
+        idx[grp * R + drow, colors] = srow.astype(np.int32)
+        ops.append(("sub", idx))
+    elif R <= 128:
+        # transpose trick: columns become rows of length R (pad to 128)
+        ops.append(("t128", G, R))
+        # after t128: grid (G*128, 128); element at row grp*128+color,
+        # lane srow; needs lane drow
+        idx = np.tile(np.arange(128, dtype=np.int32), (G * 128, 1))
+        idx[grp * 128 + colors, drow] = srow.astype(np.int32)
+        ops.append(("lane", idx))
+        ops.append(("t128inv", G, R))
+    else:
+        if R % 128:
+            raise ValueError("R must be a multiple of 128 at inner levels")
+        ops.append(("t", G, R))
+        # after t: groups G*128 (one per (group, color)), rows R//128;
+        # element at local (srow//128, srow%128) must reach local drow
+        newpos = ((grp * 128 + colors) * (R // 128) + srow // 128) * 128 \
+            + srow % 128
+        dst2 = np.empty(M, dtype=np.int64)
+        dst2[newpos] = drow
+        ops.extend(_plan(dst2, G * 128, R // 128))
+        ops.append(("tinv", G, R))
+
+    # C: final lane placement
+    ops.append(("lane", _lane_idx_from(G * R, dlane, grp * R + drow, colors)))
+    return ops
+
+
+# ---------------------------------------------------------------------------
+# numpy reference executor (tests; the JAX/Pallas executor lives in
+# sparse/shuffle.py)
+# ---------------------------------------------------------------------------
+
+
+def apply_plan_numpy(x: np.ndarray, ops: List[Tuple]) -> np.ndarray:
+    """Apply a plan to x (flat, R*128) with numpy — the oracle."""
+    cur = np.asarray(x).reshape(-1, 128)
+    for op in ops:
+        kind = op[0]
+        if kind == "lane":
+            idx = op[1]
+            cur = np.take_along_axis(cur, idx, axis=1)
+        elif kind == "sub":
+            idx = op[1]
+            out = np.empty_like(cur)
+            for b in range(cur.shape[0] // 8):
+                blk = cur[b * 8:(b + 1) * 8]
+                out[b * 8:(b + 1) * 8] = np.take_along_axis(
+                    blk, idx[b * 8:(b + 1) * 8], axis=0)
+            cur = out
+        elif kind == "t":
+            G, R = op[1], op[2]
+            cur = (cur.reshape(G, R, 128).transpose(0, 2, 1)
+                   .reshape(G * 128 * (R // 128), 128))
+        elif kind == "tinv":
+            G, R = op[1], op[2]
+            cur = (cur.reshape(G, 128, R // 128, 128).reshape(G, 128, R)
+                   .transpose(0, 2, 1).reshape(G * R, 128))
+        elif kind == "t128":
+            G, R = op[1], op[2]
+            t = cur.reshape(G, R, 128).transpose(0, 2, 1)  # (G,128,R)
+            pad = np.zeros((G, 128, 128 - R), dtype=cur.dtype)
+            cur = np.concatenate([t, pad], axis=2).reshape(G * 128, 128)
+        elif kind == "t128inv":
+            G, R = op[1], op[2]
+            cur = (cur.reshape(G, 128, 128)[:, :, :R]
+                   .transpose(0, 2, 1).reshape(G * R, 128))
+        else:  # pragma: no cover
+            raise ValueError(f"unknown op {kind}")
+    return cur.reshape(-1)

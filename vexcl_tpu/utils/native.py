@@ -87,6 +87,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
             fn.argtypes = [ctypes.c_int64, i64p,
                            f64p if fn is lib.scatter_add_f64 else f32p,
                            f64p if fn is lib.scatter_add_f64 else f32p]
+        lib.edge_color_pow2.argtypes = [ctypes.c_int64, i64p, i64p,
+                                        ctypes.c_int64, ctypes.c_int32, i32p]
         _lib = lib
         return _lib
 
@@ -184,3 +186,18 @@ def philox_host(n: int, seed: int) -> np.ndarray:
                         np.uint32((seed >> 32) & 0xFFFFFFFF),
                         _ptr(out, ctypes.c_uint32))
     return out
+
+
+def edge_color(su, dv, nv, d):
+    """Native Konig 128-edge-coloring (Euler splits) for the shuffle-route
+    planner; raises if unavailable (python fallback in shuffle_plan.py)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "edge_color_pow2"):
+        raise RuntimeError("native library unavailable")
+    su = np.ascontiguousarray(su, dtype=np.int64)
+    dv = np.ascontiguousarray(dv, dtype=np.int64)
+    colors = np.empty(len(su), dtype=np.int32)
+    lib.edge_color_pow2(len(su), _ptr(su, ctypes.c_int64),
+                        _ptr(dv, ctypes.c_int64), int(nv), int(d),
+                        _ptr(colors, ctypes.c_int32))
+    return colors
