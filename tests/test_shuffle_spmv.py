@@ -1,0 +1,125 @@
+"""SELL-R shuffle-routed irregular SpMV (sparse/shuffle.py) — the TPU-first
+replacement for the reference's hybrid-ELL kernel
+(vexcl/spmat/hybrid_ell.inl:1-403)."""
+
+import numpy as np
+import pytest
+
+import vexcl_tpu as vex
+from vexcl_tpu.sparse.shuffle import SELLR
+from vexcl_tpu.sparse.shuffle_plan import (apply_plan_numpy, pick_R,
+                                           plan_route)
+
+
+def random_csr(n, m, mean_len, seed=0, hot_col=None):
+    r = np.random.default_rng(seed)
+    lens = np.maximum(1, r.poisson(mean_len, n))
+    ptr = np.concatenate([[0], np.cumsum(lens)])
+    col = r.integers(0, m, int(ptr[-1]))
+    if hot_col is not None:
+        col[r.random(len(col)) < 0.3] = hot_col
+    val = r.standard_normal(int(ptr[-1]))
+    return ptr, col, val
+
+
+def csr_matvec_ref(n, ptr, col, val, x):
+    y = np.zeros(n, dtype=np.result_type(val, x))
+    for i in range(n):
+        s, e = ptr[i], ptr[i + 1]
+        y[i] = (val[s:e] * x[col[s:e]]).sum()
+    return y
+
+
+@pytest.mark.parametrize("R", [1, 8, 32, 128, 1024, 2048])
+def test_plan_route_random_perm(R, rng):
+    M = R * 128
+    perm = rng.permutation(M)
+    ops = plan_route(perm, R)
+    x = rng.standard_normal(M)
+    got = apply_plan_numpy(x, ops)
+    exp = np.empty(M)
+    exp[perm] = x
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_pick_R_covers_sizes():
+    for M, expect in ((1, 1), (128, 1), (1024, 8), (4096, 32),
+                      (1 << 20, 8192), ((1 << 20) + 1, 9216)):
+        assert pick_R(M) * 128 >= M
+        assert pick_R(M) == expect
+
+
+@pytest.mark.parametrize("shape", [(128, 128, 3), (1000, 1000, 8),
+                                   (4096, 4096, 16), (513, 2049, 5)])
+def test_sellr_matvec_matches_reference(shape, rng):
+    n, m, mean = shape
+    ptr, col, val = random_csr(n, m, mean, seed=n + mean)
+    A = SELLR(n, m, ptr, col, val)
+    x = rng.standard_normal(m)
+    y = np.asarray(A.apply(x))
+    ref = csr_matvec_ref(n, ptr, col, val, x)
+    np.testing.assert_allclose(y, ref, rtol=1e-12, atol=1e-12)
+
+
+def test_sellr_hot_column_spills_to_tail(rng):
+    """A column referenced by 30% of all entries concentrates one
+    (tile, lane) bucket; the excess must spill to the CSR tail and the
+    product must stay exact."""
+    n = m = 1000
+    ptr, col, val = random_csr(n, m, 8, seed=7, hot_col=7)
+    A = SELLR(n, m, ptr, col, val)
+    assert A.tail is not None and A.tail.nnz > 0
+    x = rng.standard_normal(m)
+    np.testing.assert_allclose(np.asarray(A.apply(x)),
+                               csr_matvec_ref(n, ptr, col, val, x),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_sellr_through_spmat_expression(ctx, rng):
+    """fmt='sellr' through the SpMat expression terminal, fused with
+    surrounding arithmetic."""
+    n = m = 512
+    ptr, col, val = random_csr(n, m, 6, seed=3)
+    A = vex.SpMat(n, m, ptr, col, val, fmt="sellr", context=ctx)
+    hx = rng.standard_normal(m)
+    hz = rng.standard_normal(n)
+    x = vex.vector(data=hx, context=ctx)
+    z = vex.vector(data=hz, context=ctx)
+    y = vex.vector(n, dtype=np.float64, context=ctx)
+    y[:] = 2.0 * (A * x) + z
+    ref = 2.0 * csr_matvec_ref(n, ptr, col, val, hx) + hz
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-12, atol=1e-12)
+
+
+def test_sellr_f32(rng):
+    n = m = 777
+    ptr, col, val = random_csr(n, m, 9, seed=11)
+    val = val.astype(np.float32)
+    A = SELLR(n, m, ptr, col, val)
+    assert A.dtype == np.float32
+    x = rng.standard_normal(m).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(A.apply(x)),
+                               csr_matvec_ref(n, ptr, col, val, x),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_sellr_kernel_cache_no_cross_matrix_reuse(ctx, rng):
+    """Two same-shaped SELLR matrices carry different plans; the kernel
+    cache must key on the plan structure, not just shapes."""
+    n = m = 512
+    ptr1, col1, val1 = random_csr(n, m, 6, seed=21)
+    ptr2, col2, val2 = random_csr(n, m, 6, seed=22)
+    A1 = vex.SpMat(n, m, ptr1, col1, val1, fmt="sellr", context=ctx)
+    A2 = vex.SpMat(n, m, ptr2, col2, val2, fmt="sellr", context=ctx)
+    hx = rng.standard_normal(m)
+    x = vex.vector(data=hx, context=ctx)
+    y1 = vex.vector(n, dtype=np.float64, context=ctx)
+    y2 = vex.vector(n, dtype=np.float64, context=ctx)
+    y1[:] = A1 * x
+    y2[:] = A2 * x
+    np.testing.assert_allclose(np.asarray(y1),
+                               csr_matvec_ref(n, ptr1, col1, val1, hx),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(y2),
+                               csr_matvec_ref(n, ptr2, col2, val2, hx),
+                               rtol=1e-12, atol=1e-12)

