@@ -323,6 +323,14 @@ def bench_dist_pallas_local(n=1 << 22):
     # DIA (the dia_halo local phase composition from sparse/distributed.py)
     offsets = [-2, -1, 0, 1, 2]
     vals = rng.random((5, n), dtype=np.float32)
+    # DIA invariant (sparse/dia.py:14): vals[k, i] = A[i, i+off_k] is ZERO
+    # where i+off_k is out of range — the dist path's edge replication
+    # relies on it (sparse/distributed.py:126-128)
+    for k, off in enumerate(offsets):
+        if off < 0:
+            vals[k, :-off] = 0.0
+        elif off > 0:
+            vals[k, n - off:] = 0.0
     form = _local_pallas_dia(n, offsets, jnp.asarray(vals), jnp.float32)
     assert form in ("roll", "window"), form
 
