@@ -1005,9 +1005,14 @@ def main():
     # at different rates (~1100 / ~445 GB/s fit), so the symmetric 819
     # spec constant is the wrong roofline for a read-heavy mix; the bound
     # is an adds-only kernel with the identical mix measured back-to-back
-    # in bench_fused_elementwise.  Falls back to the spec constant if the
-    # bound row failed.
-    sol = max(fused_holder.get("bound", 0.0) * 1e9, HBM_SOL)
+    # in bench_fused_elementwise.  The bound is used DIRECTLY (no max
+    # with the spec constant): both sides share the process's device/
+    # tunnel state, so the ratio cancels the +-15% cross-process drift —
+    # flooring the denominator at 819 re-introduced exactly that drift
+    # (a slow-state run measured fused 624.9 / bound 680.9 = 91.8%, but
+    # the 819 floor reported 76.3%).  Falls back to the spec constant
+    # only if the bound row itself failed.
+    sol = fused_holder.get("bound", 0.0) * 1e9 or HBM_SOL
     pct = 100.0 * fused_gbs * 1e9 / sol
     result = {
         "metric": "fused elementwise bandwidth, % of measured stream bound (v5e)",
