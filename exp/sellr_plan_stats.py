@@ -28,26 +28,20 @@ def describe(S, depth=0):
     # reconstruct stage grid sizes by replaying shapes
     rows = S._R
     total_bytes = 0
-    ai = 0
     for op in S._stage_kinds:
         kind = op[0]
-        if kind == "lane":
+        if kind in ("lane", "sub", "lsl"):
             b = rows * 128 * 4 * 2  # r+w
-            print(f"{pad}  lane  rows={rows}  {b/1e6:.0f} MB")
-            ai += 1
-        elif kind == "sub":
-            b = rows * 128 * 4 * 2
-            print(f"{pad}  sub   rows={rows}  {b/1e6:.0f} MB")
-            ai += 1
-        elif kind == "t":
+            print(f"{pad}  {kind:5s} rows={rows}  {b/1e6:.0f} MB")
+        elif kind in ("t", "lane_t"):
             G, R = op[1], op[2]
             b = rows * 128 * 4 * 2
-            print(f"{pad}  t     G={G} R={R}  {b/1e6:.0f} MB")
-        elif kind == "tinv":
+            print(f"{pad}  {kind:5s} G={G} R={R}  {b/1e6:.0f} MB")
+        elif kind in ("tinv", "tinv_lane"):
             G, R = op[1], op[2]
             rows_new = G * R
             b = rows * 128 * 4 * 2
-            print(f"{pad}  tinv  G={G} R={R}  {b/1e6:.0f} MB -> rows={rows_new}")
+            print(f"{pad}  {kind:9s} G={G} R={R}  {b/1e6:.0f} MB -> rows={rows_new}")
             rows = rows_new
         elif kind == "t128":
             G, R = op[1], op[2]

@@ -155,92 +155,178 @@ void scatter_add_f32(int64_t nnz, const int64_t* idx, const float* val,
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
-// Konig edge coloring by recursive Euler splitting (shuffle-routed SpMV
-// plan, vexcl_tpu/sparse/shuffle_plan.py).  d-regular bipartite multigraph
+// Konig edge coloring by Euler splitting (shuffle-routed SpMV plan,
+// vexcl_tpu/sparse/shuffle_plan.py).  d-regular bipartite multigraph
 // (d a power of two), vertices su/dv in [0, nv); writes colors in [0, d).
-// Workspaces are reused across the recursion; every per-call touch is
-// O(edges in the call), so total work is O(E log d).
+//
+// Level-synchronous rewrite (r4): the recursive linked-list version paid
+// a cache miss per pointer hop over the full edge range at every depth
+// (~50 s at 16M edges on this 1-core host).  Here each Euler split
+// COMPACTS its two halves into contiguous spans of a ping-pong buffer,
+// so every deeper level walks cache-resident data; incidence is CSR with
+// cursors (no linked lists), ids are int32, used/fwd are bitmasks, and
+// each slot carries its jump target (no per-step u/v lookup).  `seg`
+// marks vertex-disjoint contiguous edge segments (the planner's
+// per-group grids), which start cache-resident from level 0.
+// Requires E, 2*nv < 2^31 (the python wrapper falls back otherwise).
 // ---------------------------------------------------------------------------
 
 namespace {
 
-struct ColorScratch {
-  const int64_t* su;
-  const int64_t* dv;
-  int64_t nv;
-  std::vector<int64_t> head;   // 2*nv, -1-initialized, reset after each call
-  std::vector<int64_t> nxt;    // 2*E incidence links
-  std::vector<int64_t> eid;    // 2*E incidence edge ids
-  std::vector<char> side;      // 2*E incidence side (1 = src)
-  std::vector<char> used;      // E
-  std::vector<char> fwd;       // E
-  int32_t* colors;
+struct SegColorScratch {
+  std::vector<int32_t> eu, ev, eid, eu2, ev2, eid2;  // edge triples (2 bufs)
+  // 2*m incidence slots: other_endpoint << 32 | local_edge << 1 | is_src
+  std::vector<uint64_t> slots;
+  std::vector<int32_t> vcur, vend, vfill;     // per-vertex slot cursors
+  std::vector<int32_t> touched;               // touched vertex list
+  std::vector<uint64_t> used, fwd;            // bitmasks over local edges
 };
 
-void euler_color_rec(ColorScratch& S, std::vector<int64_t>& edges,
-                     int32_t d, int32_t base) {
-  if (d == 1) {
-    for (int64_t e : edges) S.colors[e] = base;
-    return;
+inline bool bit_get(const uint64_t* b, int32_t i) {
+  return (b[i >> 6] >> (i & 63)) & 1;
+}
+inline void bit_set(uint64_t* b, int32_t i) {
+  b[i >> 6] |= uint64_t(1) << (i & 63);
+}
+
+// Orient one group: local edges (u[i], v[i]) for i in [0, m); all degrees
+// even.  Sets S.fwd bit = edge oriented src->dst.
+void euler_orient(SegColorScratch& S, const int32_t* u, const int32_t* v,
+                  int32_t m, int32_t nv) {
+  S.touched.clear();
+  // degree count (vend doubles as the counter; zeroed invariantly)
+  for (int32_t i = 0; i < m; ++i) {
+    int32_t a = u[i], b = v[i] + nv;
+    if (!S.vend[a]) S.touched.push_back(a);
+    ++S.vend[a];
+    if (!S.vend[b]) S.touched.push_back(b);
+    ++S.vend[b];
   }
-  const int64_t nv = S.nv;
-  // build per-vertex incidence linked lists for this edge subset
-  int64_t slot = 0;
-  for (int64_t e : edges) {
-    int64_t u = S.su[e];
-    S.eid[slot] = e; S.side[slot] = 1; S.nxt[slot] = S.head[u];
-    S.head[u] = slot++;
-    int64_t v = S.dv[e] + nv;
-    S.eid[slot] = e; S.side[slot] = 0; S.nxt[slot] = S.head[v];
-    S.head[v] = slot++;
+  int32_t off = 0;
+  for (int32_t t : S.touched) {
+    int32_t c = S.vend[t];
+    S.vcur[t] = off;
+    S.vfill[t] = off;
+    off += c;
+    S.vend[t] = off;
   }
-  // Euler circuits: orient edges; all degrees even so walks close
-  for (int64_t e0 : edges) {
-    if (S.used[e0]) continue;
-    int64_t v = S.su[e0];
-    while (true) {
-      int64_t i = S.head[v];
-      while (i != -1 && S.used[S.eid[i]]) i = S.nxt[i];
-      S.head[v] = i;
-      if (i == -1) break;
-      int64_t e = S.eid[i];
-      S.used[e] = 1;
-      if (S.side[i]) { S.fwd[e] = 1; v = S.dv[e] + nv; }
-      else           { S.fwd[e] = 0; v = S.su[e]; }
+  for (int32_t i = 0; i < m; ++i) {
+    int32_t a = u[i], b = v[i] + nv;
+    S.slots[S.vfill[a]++] =
+        ((uint64_t)(uint32_t)b << 32) | ((uint32_t)i << 1) | 1u;
+    S.slots[S.vfill[b]++] = ((uint64_t)(uint32_t)a << 32) | ((uint32_t)i << 1);
+  }
+  const int32_t nw = (m + 63) >> 6;
+  std::fill(S.used.begin(), S.used.begin() + nw, 0);
+  std::fill(S.fwd.begin(), S.fwd.begin() + nw, 0);
+  uint64_t* ub = S.used.data();
+  uint64_t* fb = S.fwd.data();
+  for (int32_t i0 = 0; i0 < m; ++i0) {
+    if (bit_get(ub, i0)) continue;
+    int32_t x = u[i0];
+    for (;;) {
+      int32_t c = S.vcur[x], e = S.vend[x];
+      uint64_t s = 0;
+      while (c < e && bit_get(ub, (int32_t)((uint32_t)(s = S.slots[c]) >> 1)))
+        ++c;
+      S.vcur[x] = c;
+      if (c >= e) break;
+      s = S.slots[c];
+      int32_t ei = (int32_t)((uint32_t)s >> 1);
+      bit_set(ub, ei);
+      if (s & 1) bit_set(fb, ei);
+      x = (int32_t)(s >> 32);
     }
   }
-  // reset touched workspace entries
-  for (int64_t e : edges) {
-    S.head[S.su[e]] = -1;
-    S.head[S.dv[e] + nv] = -1;
-    S.used[e] = 0;
+  for (int32_t t : S.touched) S.vend[t] = 0;  // restore the invariant
+}
+
+// Shared Euler-split level loop: scratch arrives with eu/ev/eid filled.
+void run_color_levels(SegColorScratch& S, int64_t E, int32_t nv, int32_t d,
+                      int64_t seg, int32_t* colors) {
+  S.vcur.resize(2 * (int64_t)nv);
+  S.vfill.resize(2 * (int64_t)nv);
+  S.vend.assign(2 * (int64_t)nv, 0);
+  const int64_t max_m = seg < E ? seg : E;
+  S.slots.resize(2 * max_m);
+  S.used.resize((max_m + 63) >> 6);
+  S.fwd.resize((max_m + 63) >> 6);
+  std::vector<int64_t> offs, offs2;
+  std::vector<int32_t> base, base2;
+  for (int64_t s = 0; s < E; s += seg) offs.push_back(s);
+  offs.push_back(E);
+  base.assign(offs.size() - 1, 0);
+  for (int32_t dd = d; dd > 1; dd >>= 1) {
+    offs2.clear();
+    base2.clear();
+    offs2.push_back(0);
+    for (size_t g = 0; g + 1 < offs.size(); ++g) {
+      const int64_t s0 = offs[g];
+      const int32_t m = (int32_t)(offs[g + 1] - s0);
+      euler_orient(S, S.eu.data() + s0, S.ev.data() + s0, m, nv);
+      // compact: fwd half to [s0, s0+m/2), rest to [s0+m/2, s0+m)
+      int64_t wf = s0, wb = s0 + m / 2;
+      const uint64_t* fb = S.fwd.data();
+      for (int32_t i = 0; i < m; ++i) {
+        int64_t w = bit_get(fb, i) ? wf++ : wb++;
+        S.eu2[w] = S.eu[s0 + i];
+        S.ev2[w] = S.ev[s0 + i];
+        S.eid2[w] = S.eid[s0 + i];
+      }
+      offs2.push_back(s0 + m / 2);
+      offs2.push_back(s0 + m);
+      base2.push_back(base[g]);
+      base2.push_back(base[g] + (dd >> 1));
+    }
+    S.eu.swap(S.eu2); S.ev.swap(S.ev2); S.eid.swap(S.eid2);
+    offs.swap(offs2);
+    base.swap(base2);
   }
-  std::vector<int64_t> half0, half1;
-  half0.reserve(edges.size() / 2);
-  half1.reserve(edges.size() / 2);
-  for (int64_t e : edges) (S.fwd[e] ? half0 : half1).push_back(e);
-  { std::vector<int64_t>().swap(edges); }  // free before recursing
-  euler_color_rec(S, half0, d / 2, base);
-  euler_color_rec(S, half1, d / 2, base + d / 2);
+  for (size_t g = 0; g + 1 < offs.size(); ++g)
+    for (int64_t i = offs[g]; i < offs[g + 1]; ++i)
+      colors[S.eid[i]] = base[g];
 }
 
 }  // namespace
 
 extern "C" {
 
+// seg: edges [k*seg, (k+1)*seg) are vertex-disjoint groups (pass seg == E
+// for one connected problem).
+void edge_color_pow2_seg(int64_t E, const int64_t* su, const int64_t* dv,
+                         int64_t nv64, int32_t d, int64_t seg,
+                         int32_t* colors) {
+  SegColorScratch S;
+  S.eu.resize(E); S.ev.resize(E); S.eid.resize(E);
+  S.eu2.resize(E); S.ev2.resize(E); S.eid2.resize(E);
+  for (int64_t i = 0; i < E; ++i) {
+    S.eu[i] = (int32_t)su[i];
+    S.ev[i] = (int32_t)dv[i];
+    S.eid[i] = (int32_t)i;
+  }
+  run_color_levels(S, E, (int32_t)nv64, d, seg, colors);
+}
+
 void edge_color_pow2(int64_t E, const int64_t* su, const int64_t* dv,
                      int64_t nv, int32_t d, int32_t* colors) {
-  ColorScratch S;
-  S.su = su; S.dv = dv; S.nv = nv; S.colors = colors;
-  S.head.assign(2 * nv, -1);
-  S.nxt.resize(2 * E);
-  S.eid.resize(2 * E);
-  S.side.resize(2 * E);
-  S.used.assign(E, 0);
-  S.fwd.assign(E, 0);
-  std::vector<int64_t> edges(E);
-  for (int64_t e = 0; e < E; ++e) edges[e] = e;
-  euler_color_rec(S, edges, d, 0);
+  edge_color_pow2_seg(E, su, dv, nv, d, E, colors);
+}
+
+// Planner-shaped entry: the source vertex of edge i is ALWAYS i/128 (the
+// route grids are row-major (rows, 128) in source order), so only the
+// int32 dst-row array crosses the boundary — materializing the int64
+// su/dv pair cost ~1 s/array in numpy on the bench host.
+void edge_color_rows_i32(int64_t E, const int32_t* dvrow, int64_t nv64,
+                         int32_t d, int64_t seg, int32_t* colors) {
+  SegColorScratch S;
+  S.eu.resize(E); S.ev.resize(E); S.eid.resize(E);
+  S.eu2.resize(E); S.ev2.resize(E); S.eid2.resize(E);
+  for (int64_t i = 0; i < E; ++i) {
+    S.eu[i] = (int32_t)(i >> 7);
+    S.ev[i] = dvrow[i];
+    S.eid[i] = (int32_t)i;
+  }
+  run_color_levels(S, E, (int32_t)nv64, d, seg, colors);
 }
 
 }  // extern "C"

@@ -123,3 +123,48 @@ def test_sellr_kernel_cache_no_cross_matrix_reuse(ctx, rng):
     np.testing.assert_allclose(np.asarray(y2),
                                csr_matvec_ref(n, ptr2, col2, val2, hx),
                                rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("R", [8, 1024, 2048, 16384])
+def test_fused_stages_match_plan(R, rng):
+    """fuse_stages peephole ([lane,t]->lane_t, [tinv,lane]->tinv_lane,
+    [lane,sub,lane]->lsl) must execute to the identical permutation."""
+    from vexcl_tpu.sparse.shuffle import _apply_route, fuse_stages
+
+    M = R * 128
+    perm = rng.permutation(M)
+    ops = plan_route(perm, R)
+    fused = fuse_stages(ops)
+    kinds = [op[0] for op in fused]
+    if R >= 1024:
+        # the big-route shapes must actually exercise every fused kind
+        assert "lane_t" in kinds and "tinv_lane" in kinds
+        assert all(k not in kinds for k in ("t", "tinv"))
+    x = rng.standard_normal(M).astype(np.float32)
+    exp = np.empty(M, dtype=np.float32)
+    exp[perm] = x
+    got = np.asarray(
+        _apply_route(np.reshape(x, (-1, 128)), fused, interpret=True)
+    ).reshape(-1)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_free_lanes_plan(rng):
+    """plan_route_free_lanes: placing each element at its returned lane
+    and running the (A-less) ops reproduces the permutation."""
+    from vexcl_tpu.sparse.shuffle_plan import plan_route_free_lanes
+    from vexcl_tpu.sparse.shuffle import _apply_route, fuse_stages
+
+    R = 1024
+    M = R * 128
+    perm = rng.permutation(M)
+    lanes, ops = plan_route_free_lanes(perm, R)
+    x = rng.standard_normal(M).astype(np.float32)
+    placed = np.empty((R, 128), dtype=np.float32)
+    placed[np.arange(M) // 128, lanes] = x
+    got = np.asarray(
+        _apply_route(placed, fuse_stages(ops), interpret=True)
+    ).reshape(-1)
+    exp = np.empty(M, dtype=np.float32)
+    exp[perm] = x
+    np.testing.assert_array_equal(got, exp)

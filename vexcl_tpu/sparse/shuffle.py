@@ -44,7 +44,7 @@ from ..utils.util import to_device
 import os
 
 from .formats import CSR
-from .shuffle_plan import pick_R, plan_route
+from .shuffle_plan import pick_R, plan_route, plan_route_free_lanes
 
 __all__ = ["SELLR"]
 
@@ -96,19 +96,35 @@ def _lane_perm(x, idx, interpret=False):
 
 @partial(jax.jit, static_argnames=("interpret",))
 def _sub_perm(x, idx, interpret=False):
-    """Per (8,128) block: out[s, l] = x[idx[s, l], l] — Mosaic sublane
-    gather (supported for exactly one native tile)."""
+    """Per (8,128) tile: out[s, l] = x[idx[s, l], l] — Mosaic sublane
+    gather (indices are tile-local).  Blocks carry many tiles with a
+    static inner loop: one grid step per tile costs ~0.2 us of grid
+    overhead, which dominated the pass 10x at 16K tiles
+    (exp/route_fuse_probe r4)."""
     rows = x.shape[0]
+    blk = _pick_blk(rows)
 
     def kernel(d_ref, i_ref, o_ref):
-        o_ref[:] = jnp.take_along_axis(d_ref[:], i_ref[:], axis=0)
+        for k in range(blk // 8):
+            sl = slice(k * 8, (k + 1) * 8)
+            o_ref[sl, :] = jnp.take_along_axis(d_ref[sl, :], i_ref[sl, :],
+                                               axis=0)
 
+    if blk < 8:
+        def kernel_small(d_ref, i_ref, o_ref):
+            o_ref[:] = jnp.take_along_axis(d_ref[:], i_ref[:], axis=0)
+
+        return pl.pallas_call(
+            kernel_small,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            interpret=interpret,
+        )(x, idx)
     return pl.pallas_call(
         kernel,
-        grid=(rows // 8,),
-        in_specs=[pl.BlockSpec((8, 128), lambda i: (i, 0)),
-                  pl.BlockSpec((8, 128), lambda i: (i, 0))],
-        out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0)),
+        grid=(rows // blk,),
+        in_specs=[pl.BlockSpec((blk, 128), lambda i: (i, 0)),
+                  pl.BlockSpec((blk, 128), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((blk, 128), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
     )(x, idx)
@@ -146,16 +162,245 @@ def _expand_gather(xt, tile_of_chunk, sub_idx, lane_idx, nchunks,
     )(tile_of_chunk, xt, sub_idx, lane_idx)
 
 
+def _tile_T(t):
+    """In-kernel (128,128) tile transpose as an MXU identity-matmul
+    contraction over dim 0: result[i,j] = sum_k t[k,i]*I[k,j] = t[j,i].
+    Measured BIT-EXACT for f32 at HIGHEST precision (the 3-pass bf16
+    split reconstructs the mantissa; x*1 and x*0 products are exact) and
+    compiles in ~1 s.  The naive in-kernel `.T` is NOT usable: Mosaic's
+    transpose lowering hangs (>300 s) compiling even a (256,128) grid of
+    (128,128) tile transposes on this toolchain (exp/route_fuse_probe
+    r4 log) — opt back in with VEXTPU_ROUTE_T=native to re-test."""
+    if os.environ.get("VEXTPU_ROUTE_T") == "native":
+        return t.T
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+           ).astype(t.dtype)
+    return jax.lax.dot_general(
+        t, eye, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=t.dtype)
+
+
+def _pick_F(nb: int) -> int:
+    """Tile-row factor per grid step for the transpose-carrying kernels:
+    the largest power-of-two divisor of nb, capped at 16 — (128,128)
+    output blocks write 512-byte HBM bursts at huge strides (measured
+    0.98 ms/pass); F=8..32 blocks write 4-16 KB bursts (0.58 ms) while
+    staying well under the VMEM crash budget (F=16: ~7 MB with gather
+    operands, double-buffered)."""
+    f = 1
+    while f < 16 and nb % (f * 2) == 0:
+        f *= 2
+    return f
+
+
+@partial(jax.jit, static_argnames=("G", "R", "interpret"))
+def _t_pallas(x, G, R, interpret=False):
+    """Per-group blocked transpose (G*R,128)->(G*128*(R//128),128) as a
+    single Pallas pass of MXU tile transposes, F tiles per grid step.
+    NOTE: for a BARE transpose XLA's own lowering measured slightly
+    faster (0.486 vs 0.519 ms at 16.8M, exp/route_fuse_probe), so the
+    executor uses XLA for unfused t/tinv; this kernel is the building
+    block the fused lane_t/tinv_lane variants beat XLA with."""
+    nb = R // 128
+    F = _pick_F(nb)
+
+    def kernel(x_ref, o_ref):
+        for k in range(F):
+            o_ref[:, k * 128:(k + 1) * 128] = _tile_T(
+                x_ref[k * 128:(k + 1) * 128, :])
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(G, nb // F),
+        in_specs=[pl.BlockSpec((F * 128, 128),
+                               lambda g, i, nbF=nb // F: (g * nbF + i, 0))],
+        out_specs=pl.BlockSpec((128, F * 128), lambda g, i: (g, i)),
+        out_shape=jax.ShapeDtypeStruct((G * 128, R), x.dtype),
+        interpret=interpret,
+    )(x)
+    return out.reshape(G * 128 * nb, 128)
+
+
+@partial(jax.jit, static_argnames=("G", "R", "interpret"))
+def _tinv_pallas(x, G, R, interpret=False):
+    nb = R // 128
+    F = _pick_F(nb)
+
+    def kernel(x_ref, o_ref):
+        for k in range(F):
+            o_ref[k * 128:(k + 1) * 128, :] = _tile_T(
+                x_ref[:, k * 128:(k + 1) * 128])
+
+    return pl.pallas_call(
+        kernel,
+        grid=(G, nb // F),
+        in_specs=[pl.BlockSpec((128, F * 128), lambda g, i: (g, i))],
+        out_specs=pl.BlockSpec((F * 128, 128),
+                               lambda g, i, nbF=nb // F: (g * nbF + i, 0)),
+        out_shape=jax.ShapeDtypeStruct((G * R, 128), x.dtype),
+        interpret=interpret,
+    )(x.reshape(G * 128, R))
+
+
+@partial(jax.jit, static_argnames=("G", "R", "interpret"))
+def _lane_t(x, idx, G, R, interpret=False):
+    """Fused [lane perm] + [per-group transpose]: one HBM pass instead of
+    two (fused 0.58 ms vs 0.294 + 0.486 unfused at 16.8M elements)."""
+    nb = R // 128
+    F = _pick_F(nb)
+
+    def kernel(x_ref, i_ref, o_ref):
+        g1 = jnp.take_along_axis(x_ref[:], i_ref[:], axis=1)
+        for k in range(F):
+            o_ref[:, k * 128:(k + 1) * 128] = _tile_T(
+                g1[k * 128:(k + 1) * 128, :])
+
+    spec_in = pl.BlockSpec((F * 128, 128),
+                           lambda g, i, nbF=nb // F: (g * nbF + i, 0))
+    out = pl.pallas_call(
+        kernel,
+        grid=(G, nb // F),
+        in_specs=[spec_in, spec_in],
+        out_specs=pl.BlockSpec((128, F * 128), lambda g, i: (g, i)),
+        out_shape=jax.ShapeDtypeStruct((G * 128, R), x.dtype),
+        interpret=interpret,
+    )(x, idx)
+    return out.reshape(G * 128 * nb, 128)
+
+
+@partial(jax.jit, static_argnames=("G", "R", "interpret"))
+def _tinv_lane(x, idx, G, R, interpret=False):
+    """Fused [per-group inverse transpose] + [lane perm]."""
+    nb = R // 128
+    F = _pick_F(nb)
+
+    def kernel(x_ref, i_ref, o_ref):
+        for k in range(F):
+            t = _tile_T(x_ref[:, k * 128:(k + 1) * 128])
+            o_ref[k * 128:(k + 1) * 128, :] = jnp.take_along_axis(
+                t, i_ref[k * 128:(k + 1) * 128, :], axis=1)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(G, nb // F),
+        in_specs=[pl.BlockSpec((128, F * 128), lambda g, i: (g, i)),
+                  pl.BlockSpec((F * 128, 128),
+                               lambda g, i, nbF=nb // F: (g * nbF + i, 0))],
+        out_specs=pl.BlockSpec((F * 128, 128),
+                               lambda g, i, nbF=nb // F: (g * nbF + i, 0)),
+        out_shape=jax.ShapeDtypeStruct((G * R, 128), x.dtype),
+        interpret=interpret,
+    )(x.reshape(G * 128, R), idx)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _lsl_perm(x, ia, isub, ic, interpret=False):
+    """Fused [lane][sub][lane] — the whole bottom level of the Benes
+    recursion in one pass (all three ops act within one (8,128) tile;
+    the sub gather is evaluated per-tile in a static inner loop)."""
+    rows = x.shape[0]
+    blk = _pick_blk(rows)
+
+    def kernel(x_ref, a_ref, s_ref, c_ref, o_ref):
+        g1 = jnp.take_along_axis(x_ref[:], a_ref[:], axis=1)
+        for k in range(blk // 8):
+            sl = slice(k * 8, (k + 1) * 8)
+            g2 = jnp.take_along_axis(g1[sl, :], s_ref[sl, :], axis=0)
+            o_ref[sl, :] = jnp.take_along_axis(g2, c_ref[sl, :], axis=1)
+
+    if blk < 8:
+        def kernel_small(x_ref, a_ref, s_ref, c_ref, o_ref):
+            g1 = jnp.take_along_axis(x_ref[:], a_ref[:], axis=1)
+            g2 = jnp.take_along_axis(g1, s_ref[:], axis=0)
+            o_ref[:] = jnp.take_along_axis(g2, c_ref[:], axis=1)
+
+        return pl.pallas_call(
+            kernel_small,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            interpret=interpret,
+        )(x, ia, isub, ic)
+    spec = pl.BlockSpec((blk, 128), lambda i: (i, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(rows // blk,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x, ia, isub, ic)
+
+
+# number of device idx arrays each op kind carries (op layout:
+# (kind, *arrays, *statics))
+_KIND_ARRAYS = {"lane": 1, "sub": 1, "lsl": 3, "lane_t": 1, "tinv_lane": 1}
+
+
+def fuse_stages(ops: List[Tuple]) -> List[Tuple]:
+    """Peephole-fuse a planned stage list: [lane,sub,lane] -> lsl,
+    [lane,t] -> lane_t, [tinv,lane] -> tinv_lane.  Cuts the 11-pass plan
+    of a two-level route to 5 passes (each at lane-perm speed)."""
+    out: List[Tuple] = []
+    i = 0
+    while i < len(ops):
+        k = ops[i][0]
+        if (k == "lane" and i + 2 < len(ops) and ops[i + 1][0] == "sub"
+                and ops[i + 2][0] == "lane"):
+            out.append(("lsl", ops[i][1], ops[i + 1][1], ops[i + 2][1]))
+            i += 3
+        elif k == "lane" and i + 1 < len(ops) and ops[i + 1][0] == "t":
+            out.append(("lane_t", ops[i][1], ops[i + 1][1], ops[i + 1][2]))
+            i += 2
+        elif k == "tinv" and i + 1 < len(ops) and ops[i + 1][0] == "lane":
+            out.append(("tinv_lane", ops[i + 1][1], ops[i][1], ops[i][2]))
+            i += 2
+        else:
+            out.append(ops[i])
+            i += 1
+    return out
+
+
+def split_stage_ops(ops: List[Tuple]) -> Tuple[List[Tuple], List]:
+    """Separate the static stage structure (kind + shape params — part of
+    the kernel-cache key) from the device idx arrays (jit leaves)."""
+    kinds, arrays = [], []
+    for op in ops:
+        na = _KIND_ARRAYS.get(op[0], 0)
+        arrays.extend(op[1:1 + na])
+        kinds.append((op[0],) + tuple(op[1 + na:]))
+    return kinds, arrays
+
+
+def join_stage_ops(kinds: List[Tuple], arrays) -> List[Tuple]:
+    arrays = list(arrays)
+    out = []
+    for k in kinds:
+        na = _KIND_ARRAYS.get(k[0], 0)
+        out.append((k[0],) + tuple(arrays[:na]) + tuple(k[1:]))
+        del arrays[:na]
+    return out
+
+
 def _apply_route(x, stages, interpret):
     """Execute the planned shuffle stages (device arrays prepared at
-    construction; reshapes/transposes are XLA, perms are Pallas)."""
+    construction; perms and blocked transposes are fused Pallas passes,
+    the padded t128 bottom stays XLA)."""
     for op in stages:
         kind = op[0]
         if kind == "lane":
             x = _lane_perm(x, op[1], interpret=interpret)
         elif kind == "sub":
             x = _sub_perm(x, op[1], interpret=interpret)
+        elif kind == "lsl":
+            x = _lsl_perm(x, op[1], op[2], op[3], interpret=interpret)
+        elif kind == "lane_t":
+            x = _lane_t(x, op[1], op[2], op[3], interpret=interpret)
+        elif kind == "tinv_lane":
+            x = _tinv_lane(x, op[1], op[2], op[3], interpret=interpret)
         elif kind == "t":
+            # bare transposes stay XLA: measured 0.486 vs 0.519 ms/pass
+            # for the Pallas tiling at 16.8M (exp/route_fuse_probe)
             G, R = op[1], op[2]
             x = (x.reshape(G, R, 128).transpose(0, 2, 1)
                  .reshape(G * 128 * (R // 128), 128))
@@ -302,14 +547,10 @@ class SELLR:
                 used[rows_long] = True
                 dst[np.nonzero(dst < 0)[0]] = np.nonzero(~used)[0][
                     : Rexp * 128 - n_t]
-                ops = plan_route(dst, Rexp)
-                self._tier_route = [
-                    (op[0],) if op[0] in ("lane", "sub") else op
-                    for op in ops
-                ]
+                ops = fuse_stages(plan_route(dst, Rexp))
+                self._tier_route, t_arr = split_stage_ops(ops)
                 self._tier_route_arrays = tuple(
-                    jnp.asarray(op[1]) for op in ops
-                    if op[0] in ("lane", "sub"))
+                    jnp.asarray(a) for a in t_arr)
                 self._tier_R = Rexp
                 self._tier_n = n_t
             else:
@@ -336,7 +577,6 @@ class SELLR:
         src_flat = src_row * 128 + lane_in_tile
 
         sub_plane = np.zeros((src_rows, 128), dtype=np.int32)
-        lane_plane = np.tile(np.arange(128, dtype=np.int32), (src_rows, 1))
         sub_plane[src_row, lane_in_tile] = sub_in_tile.astype(np.int32)
 
         # ---- destination & route plan ---------------------------------------
@@ -352,7 +592,20 @@ class SELLR:
         used_dst = np.zeros(M_route, dtype=bool)
         used_dst[dst_flat_e] = True
         dst[free_src] = np.nonzero(~used_dst)[0]
-        stages = plan_route(dst, R)
+        # free-lanes plan: the expand gather can place each entry at ANY
+        # lane of its source row, so the route's top A pass folds into
+        # the lane gather the expand already does (one full HBM pass
+        # saved); adjacent [lane,t]/[tinv,lane]/[lane,sub,lane] passes
+        # then peephole-fuse into single Pallas kernels (11 -> 5 passes
+        # for a two-level route)
+        lanes, stages = plan_route_free_lanes(dst, R)
+        stages = fuse_stages(stages)
+        lanes2 = lanes.reshape(R, 128)[:src_rows].astype(np.int64)
+        lane_plane = np.empty((src_rows, 128), dtype=np.int32)
+        np.put_along_axis(
+            lane_plane, lanes2,
+            np.broadcast_to(np.arange(128, dtype=np.int32),
+                            (src_rows, 128)), axis=1)
 
         # ---- device arrays ---------------------------------------------------
         self._xpad_tiles = ntiles
@@ -365,12 +618,8 @@ class SELLR:
         # leaves() so they are jit ARGUMENTS, not embedded constants
         # (closed-over arrays blow the remote-compile payload — the
         # HTTP 413 hazard, bench.py:slope_seconds docstring)
-        self._stage_kinds: List[Tuple] = [
-            (op[0],) if op[0] in ("lane", "sub") else op for op in stages
-        ]
-        self._stage_arrays = tuple(
-            jnp.asarray(op[1]) for op in stages if op[0] in ("lane", "sub")
-        )
+        self._stage_kinds, st_arr = split_stage_ops(stages)
+        self._stage_arrays = tuple(jnp.asarray(a) for a in st_arr)
         vplane = np.zeros((self.n, w), dtype=val.dtype)
         vplane[erow, ek] = eval_
         self._val = to_device(vplane)
@@ -393,11 +642,7 @@ class SELLR:
     def apply_leaves(self, leaves, x):
         tile_of_chunk, sub_idx, lane_idx, vplane = leaves[:4]
         ns = len(self._stage_arrays)
-        stage_arrays = list(leaves[4:4 + ns])
-        stages = [
-            (k[0], stage_arrays.pop(0)) if k[0] in ("lane", "sub") else k
-            for k in self._stage_kinds
-        ]
+        stages = join_stage_ops(self._stage_kinds, leaves[4:4 + ns])
         rest = leaves[4 + ns:]
         interpret = config.pallas_interpret()
         n, w = self.n, self.width
@@ -419,11 +664,7 @@ class SELLR:
             y = y + hot_W @ jnp.take(x, hot_idx, axis=0).astype(hot_W.dtype)
         if self.tier is not None:
             nr = len(self._tier_route_arrays)
-            route_arrays = list(rest[:nr])
-            tstages = [
-                (k[0], route_arrays.pop(0)) if k[0] in ("lane", "sub") else k
-                for k in self._tier_route
-            ]
+            tstages = join_stage_ops(self._tier_route, rest[:nr])
             y_t = self.tier.apply_leaves(rest[nr:], x)
             yt_pad = jnp.zeros((self._tier_R * 128,), y_t.dtype
                                ).at[: self._tier_n].set(y_t)

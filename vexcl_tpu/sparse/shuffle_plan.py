@@ -89,14 +89,16 @@ def _euler_halve(su: np.ndarray, dv: np.ndarray, nv: int) -> np.ndarray:
     return fwd
 
 
-def edge_color_pow2(su: np.ndarray, dv: np.ndarray, nv: int, d: int) -> np.ndarray:
+def edge_color_pow2(su: np.ndarray, dv: np.ndarray, nv: int, d: int,
+                    seg: int = None) -> np.ndarray:
     """Proper d-edge-coloring of a d-regular bipartite multigraph
     (d a power of two) by recursive Euler splitting.  Tries the C++
-    fast path (utils/native.py) first; numpy/python fallback."""
+    fast path (utils/native.py) first; numpy/python fallback.  ``seg``
+    marks vertex-disjoint contiguous edge segments (per-group grids)."""
     try:
         from ..utils.native import edge_color
 
-        return edge_color(su, dv, nv, d)
+        return edge_color(su, dv, nv, d, seg=seg)
     except Exception:
         pass
     colors = np.zeros(len(su), dtype=np.int32)
@@ -146,28 +148,44 @@ def pick_R(M: int) -> int:
     return 16384 * r2
 
 
+def _color_rows(drow, nv, d, seg=None):
+    """Color the planner's row-major multigraph: edge i's SOURCE vertex is
+    implicitly i // 128; ``drow`` is the (global) destination row per
+    element.  Native int32 fast path; python fallback."""
+    try:
+        from ..utils.native import edge_color_rows
+
+        return edge_color_rows(drow, nv, d, seg=seg)
+    except Exception:
+        pass
+    E = len(drow)
+    su = np.arange(E, dtype=np.int64) // 128
+    colors = np.zeros(E, dtype=np.int32)
+    _color_rec(su, np.asarray(drow, dtype=np.int64), np.arange(E), nv, d,
+               0, colors)
+    return colors
+
+
 def plan_route_free_lanes(dst: np.ndarray, R: int):
     """Like :func:`plan_route`, but for sources whose LANE within their
     row is free (the expand-gather places each entry at any lane of its
     source row): returns ``(lanes, ops)`` where ``lanes[p]`` is the lane
     the element of source slot p must be PLACED at (its Konig color), and
     ``ops`` omits the top A stage — one full pass saved per matvec."""
-    dst = np.asarray(dst, dtype=np.int64)
+    dst = np.ascontiguousarray(dst, dtype=np.int32)
     if len(dst) != R * 128:
         raise ValueError("dst must cover the full grid")
     if R == 1:
         # single row: placing at the dest lane IS the whole route
-        return (dst % 128).astype(np.int32), []
-    pos = np.arange(R * 128, dtype=np.int64)
-    srow = pos // 128
-    drow = dst // 128
-    colors = edge_color_pow2(srow, drow, R, 128)
+        return (dst & 127).astype(np.int32), []
+    drow = dst >> 7
+    colors = _color_rows(drow, R, 128).reshape(R, 128)
     # dst as seen from the color-placed layout: element occupying slot
     # (srow, color) has destination dst[p]; its color there is its lane
-    dst2 = np.empty(R * 128, dtype=np.int64)
-    dst2[srow * 128 + colors] = dst
-    ops = _plan(dst2, 1, R, known_colors=(pos % 128).astype(np.int32))
-    return colors.astype(np.int32), ops
+    dst2 = np.empty((R, 128), dtype=np.int32)
+    np.put_along_axis(dst2, colors, dst.reshape(R, 128), axis=1)
+    ops = _plan(dst2.reshape(-1), 1, R, known_colors=True)
+    return colors.reshape(-1).copy(), ops
 
 
 def plan_route(dst: np.ndarray, R: int) -> List[Tuple]:
@@ -184,83 +202,102 @@ def plan_route(dst: np.ndarray, R: int) -> List[Tuple]:
       ("t128", G, R)                 per-group (R,128)->(128,R) pad to 128
       ("t128inv", G, R)
     """
-    dst = np.asarray(dst, dtype=np.int64)
+    dst = np.ascontiguousarray(dst, dtype=np.int32)
     if len(dst) != R * 128:
         raise ValueError("dst must cover the full grid")
     return _plan(dst, 1, R)
 
 
-def _lane_idx_from(rows: int, out_lane, row, src_lane) -> np.ndarray:
-    idx = np.empty((rows, 128), dtype=np.int32)
-    idx[row, out_lane] = src_lane
-    return idx
+_LANE128 = np.arange(128, dtype=np.int32)
 
 
 def _plan(dst: np.ndarray, G: int, R: int,
-          known_colors: np.ndarray = None) -> List[Tuple]:
-    """dst: group-LOCAL destination flat position per element, in source
-    order (row-major over the (G*R, 128) grid).  When ``known_colors`` is
-    given, the elements already SIT at their color lanes (slane == color)
-    and the A stage is omitted (plan_route_free_lanes)."""
-    M = G * R * 128
-    pos = np.arange(M, dtype=np.int64)
-    grp = pos // (R * 128)
-    loc = pos % (R * 128)
-    srow, slane = loc // 128, loc % 128
-    drow, dlane = dst // 128, dst % 128
+          known_colors: bool = False) -> List[Tuple]:
+    """dst: group-LOCAL destination flat position per element (int32), in
+    source order (row-major over the (G*R, 128) grid).  When
+    ``known_colors`` is True the elements already SIT at their color
+    lanes (color == lane) and the A stage is omitted
+    (plan_route_free_lanes).
+
+    All index math is int32 and 2-D (row, lane) — flat int64 position
+    arrays cost ~18 s per call at 16.8M elements on the bench host
+    (np.repeat at ~13 Melem/s; see the r4 construction cProfile)."""
+    rows = G * R
+    dst2 = dst.reshape(rows, 128)
+    drow = dst2 >> 7                      # group-local dst row
+    dlane = dst2 & 127
+    row0 = np.arange(rows, dtype=np.int32)
 
     if R == 1:
         # single row per group: one lane perm
-        idx = _lane_idx_from(G, dlane, grp, slane)
+        idx = np.empty((rows, 128), dtype=np.int32)
+        np.put_along_axis(idx, dlane,
+                          np.broadcast_to(_LANE128, (rows, 128)), axis=1)
         return [("lane", idx)]
 
+    grpR = (row0 // R) * R                # group base row
+
     ops: List[Tuple] = []
-    if known_colors is None:
+    if not known_colors:
         # color the (src row -> dst row) multigraph, batched over groups
-        colors = edge_color_pow2(
-            (grp * R + srow).astype(np.int64),
-            (grp * R + drow).astype(np.int64),
-            int(G * R), 128,
-        )
+        # (edges are in source order, so each group's R*128 edges are a
+        # contiguous vertex-disjoint segment — the native colorer keeps
+        # each segment cache-resident)
+        gdrow = drow + grpR[:, None]
+        colors = _color_rows(gdrow.reshape(-1), rows, 128,
+                             seg=R * 128 if G > 1 else None
+                             ).reshape(rows, 128)
         # A: within-row, move each element to its color lane
-        ops.append(
-            ("lane", _lane_idx_from(G * R, colors, grp * R + srow, slane)))
+        idx = np.empty((rows, 128), dtype=np.int32)
+        np.put_along_axis(idx, colors,
+                          np.broadcast_to(_LANE128, (rows, 128)), axis=1)
+        ops.append(("lane", idx))
     else:
-        colors = known_colors
+        colors = np.broadcast_to(_LANE128, (rows, 128))
 
     # B: within each lane column, route src row -> dst row
-    if R in (2, 4, 8) and (G * R) % 8 == 0:
+    if R in (2, 4, 8) and rows % 8 == 0:
         # one native sublane pass per (8,128) block; for R < 8 several
-        # groups share a tile, so the indices are TILE-absolute (the
-        # group's base row within its 8-row tile plus the local row)
-        base = (grp * R) % 8
-        idx = np.empty((G * R, 128), dtype=np.int32)
-        idx[grp * R + drow, colors] = (base + srow).astype(np.int32)
-        ops.append(("sub", idx))
+        # groups share a tile, so the indices are TILE-absolute — which
+        # collapses to the source row's position within its 8-row tile
+        idx = np.empty(rows * 128, dtype=np.int32)
+        flat = ((drow + grpR[:, None]) << 7) | colors
+        idx[flat.reshape(-1)] = np.broadcast_to(
+            (row0 & 7)[:, None], (rows, 128)).reshape(-1)
+        ops.append(("sub", idx.reshape(rows, 128)))
     elif R <= 128:
         # transpose trick: columns become rows of length R (pad to 128)
         ops.append(("t128", G, R))
         # after t128: grid (G*128, 128); element at row grp*128+color,
         # lane srow; needs lane drow
-        idx = np.tile(np.arange(128, dtype=np.int32), (G * 128, 1))
-        idx[grp * 128 + colors, drow] = srow.astype(np.int32)
+        idx = np.tile(_LANE128, (G * 128, 1))
+        grp128 = (row0 // R) * 128
+        flat = ((grp128[:, None] + colors) << 7) | drow
+        idx.reshape(-1)[flat.reshape(-1)] = np.broadcast_to(
+            (row0 % R)[:, None], (rows, 128)).reshape(-1)
         ops.append(("lane", idx))
         ops.append(("t128inv", G, R))
     else:
         if R % 128:
             raise ValueError("R must be a multiple of 128 at inner levels")
+        nb = R // 128
         ops.append(("t", G, R))
         # after t: groups G*128 (one per (group, color)), rows R//128;
         # element at local (srow//128, srow%128) must reach local drow
-        newpos = ((grp * 128 + colors) * (R // 128) + srow // 128) * 128 \
-            + srow % 128
-        dst2 = np.empty(M, dtype=np.int64)
-        dst2[newpos] = drow
-        ops.extend(_plan(dst2, G * 128, R // 128))
+        grp128 = (row0 // R) * 128
+        srow_hi = (row0 % R) >> 7
+        newpos = ((((grp128[:, None] + colors) * nb + srow_hi[:, None])
+                   << 7) | (row0 & 127)[:, None])
+        dstn = np.empty(rows * 128, dtype=np.int32)
+        dstn[newpos.reshape(-1)] = drow.reshape(-1)
+        ops.extend(_plan(dstn, G * 128, nb))
         ops.append(("tinv", G, R))
 
     # C: final lane placement
-    ops.append(("lane", _lane_idx_from(G * R, dlane, grp * R + drow, colors)))
+    idxc = np.empty(rows * 128, dtype=np.int32)
+    flat = ((drow + grpR[:, None]) << 7) | dlane
+    idxc[flat.reshape(-1)] = np.ascontiguousarray(colors).reshape(-1)
+    ops.append(("lane", idxc.reshape(rows, 128)))
     return ops
 
 

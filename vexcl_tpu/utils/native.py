@@ -89,6 +89,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
                            f64p if fn is lib.scatter_add_f64 else f32p]
         lib.edge_color_pow2.argtypes = [ctypes.c_int64, i64p, i64p,
                                         ctypes.c_int64, ctypes.c_int32, i32p]
+        lib.edge_color_pow2_seg.argtypes = [ctypes.c_int64, i64p, i64p,
+                                            ctypes.c_int64, ctypes.c_int32,
+                                            ctypes.c_int64, i32p]
+        lib.edge_color_rows_i32.argtypes = [ctypes.c_int64, i32p,
+                                            ctypes.c_int64, ctypes.c_int32,
+                                            ctypes.c_int64, i32p]
         _lib = lib
         return _lib
 
@@ -188,16 +194,40 @@ def philox_host(n: int, seed: int) -> np.ndarray:
     return out
 
 
-def edge_color(su, dv, nv, d):
+def edge_color(su, dv, nv, d, seg=None):
     """Native Konig 128-edge-coloring (Euler splits) for the shuffle-route
-    planner; raises if unavailable (python fallback in shuffle_plan.py)."""
+    planner; raises if unavailable (python fallback in shuffle_plan.py).
+    ``seg``: edges [k*seg, (k+1)*seg) are vertex-disjoint groups (the
+    planner's per-group grids) — coloring them independently keeps the
+    working set cache-resident."""
     lib = get_lib()
-    if lib is None or not hasattr(lib, "edge_color_pow2"):
+    if lib is None or not hasattr(lib, "edge_color_pow2_seg"):
         raise RuntimeError("native library unavailable")
+    if len(su) >= 2**31 or 2 * int(nv) >= 2**31:
+        raise RuntimeError("int32 limit in native edge coloring")
     su = np.ascontiguousarray(su, dtype=np.int64)
     dv = np.ascontiguousarray(dv, dtype=np.int64)
     colors = np.empty(len(su), dtype=np.int32)
-    lib.edge_color_pow2(len(su), _ptr(su, ctypes.c_int64),
-                        _ptr(dv, ctypes.c_int64), int(nv), int(d),
-                        _ptr(colors, ctypes.c_int32))
+    lib.edge_color_pow2_seg(len(su), _ptr(su, ctypes.c_int64),
+                            _ptr(dv, ctypes.c_int64), int(nv), int(d),
+                            int(seg or len(su)),
+                            _ptr(colors, ctypes.c_int32))
+    return colors
+
+
+def edge_color_rows(dvrow, nv, d, seg=None):
+    """Native coloring for the planner's row-major grids: the source
+    vertex of edge i is implicitly i // 128, so only the int32 dst-row
+    array is passed (the int64 su/dv materialization dominated planning
+    time on the bench host)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "edge_color_rows_i32"):
+        raise RuntimeError("native library unavailable")
+    if len(dvrow) >= 2**31 or 2 * int(nv) >= 2**31:
+        raise RuntimeError("int32 limit in native edge coloring")
+    dvrow = np.ascontiguousarray(dvrow, dtype=np.int32)
+    colors = np.empty(len(dvrow), dtype=np.int32)
+    lib.edge_color_rows_i32(len(dvrow), _ptr(dvrow, ctypes.c_int32),
+                            int(nv), int(d), int(seg or len(dvrow)),
+                            _ptr(colors, ctypes.c_int32))
     return colors
