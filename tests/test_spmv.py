@@ -375,3 +375,42 @@ def test_ccsr_auto_cache_expansion(ctx, monkeypatch):
     ref = csr_matvec(ptr, ccol, cval, hx.astype(np.float64))
     np.testing.assert_allclose(np.asarray(ya), ref, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(yb), ref, rtol=1e-5)
+
+
+def test_distributed_spmv_sellr_mode(ctx, rng, monkeypatch):
+    """r4: SELL-R as the distributed local phase — per-shard uniform
+    shuffle-route plans stacked under one shard_map, all-gathered x; no
+    XLA gathers in the local compute (vs the ~0.14 Gelem/s take path)."""
+    monkeypatch.setenv("VEXTPU_DSPMV_SELLR", "1")
+    n = 1000  # not divisible by 8: pad rows must stay inert
+    ptr, col, val = random_csr(rng, n, n, density=0.01)
+    hx = rng.random(n)
+    A = sparse.distributed(n, n, ptr, col, val, context=ctx)
+    assert A.mode == "sellr"
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(n, dtype=np.float64, context=ctx)
+    y[:] = A * x
+    np.testing.assert_allclose(np.asarray(y), csr_matvec(ptr, col, val, hx),
+                               rtol=1e-10)
+    y[:] = 2.0 * (A * x) + 1.0
+    np.testing.assert_allclose(
+        np.asarray(y), 2.0 * csr_matvec(ptr, col, val, hx) + 1.0, rtol=1e-10)
+
+
+def test_distributed_spmv_sellr_skewed(ctx, rng, monkeypatch):
+    """Skewed row lengths: shards with very different overflow must still
+    produce identical leaf structures (padded tails / src_rows)."""
+    monkeypatch.setenv("VEXTPU_DSPMV_SELLR", "1")
+    n = 512
+    lens = np.where(np.arange(n) < 32, 200, 3)  # heavy rows in shard 0
+    ptr = np.concatenate([[0], np.cumsum(lens)])
+    col = rng.integers(0, n, ptr[-1])
+    val = rng.standard_normal(ptr[-1])
+    A = sparse.distributed(n, n, ptr, col, val, context=ctx)
+    assert A.mode == "sellr"
+    hx = rng.random(n)
+    x = vex.vector(data=hx, context=ctx)
+    y = vex.vector(n, dtype=np.float64, context=ctx)
+    y[:] = A * x
+    np.testing.assert_allclose(np.asarray(y), csr_matvec(ptr, col, val, hx),
+                               rtol=1e-10)

@@ -33,6 +33,7 @@ Rows are padded to a multiple of the device count.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
@@ -82,6 +83,33 @@ class DistSpMVExpr(Expr):
         npad = mat.npad
         x = self.children[-1].emit_cached(env)
         xp = jnp.pad(x, (0, npad - x.shape[0])) if x.shape[0] != npad else x
+
+        if mat.mode == "sellr":
+            leaves = tuple(c.emit_cached(env) for c in self.children[:-1])
+            tmpl = mat._template
+
+            def shard_fn(*args):
+                *lv, x_blk = args
+                # ghost exchange: ICI all-gather of the sharded x, then
+                # the shard's SELLR (expand + shuffle route + reduce)
+                # consumes the full vector — no XLA gathers in the local
+                # phase (vs ~0.14 Gelem/s for the ELL take path)
+                xg = jax.lax.all_gather(x_blk, axis, tiled=True)
+                lv = tuple(a[0] for a in lv)  # drop the stacked dev axis
+                return tmpl.apply_leaves(lv, xg)
+
+            # check_vma=False: pallas_call inside shard_map cannot
+            # annotate varying mesh axes (same as the dia local phase)
+            y = jax.shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=tuple(
+                    P(axis, *([None] * (a.ndim - 1))) for a in leaves
+                ) + (P(axis),),
+                out_specs=P(axis),
+                check_vma=False,
+            )(*leaves, xp)
+            return y[: mat.n]
 
         if mat.mode == "ell_a2a":
             col2, val = (c.emit_cached(env) for c in self.children[:2])
@@ -213,6 +241,36 @@ class distributed:
             sh = NamedSharding(self.context.mesh, P(None, self.axis))
             self._leaves = (jax.device_put(jnp.asarray(vals), sh),)
             self.nnz = dia.nnz
+            return
+
+        # SELL-R local phase (r4): the gather-based ELL local matvec runs
+        # at XLA's ~0.14 Gelem/s take rate — the wall the single-device
+        # SELLR format removes.  For big irregular matrices, build one
+        # uniform-structure SELLR per row shard (sparse/shuffle.py:
+        # sellr_uniform_shards) and run it as the shard_map local phase
+        # over the all-gathered x.  Env: VEXTPU_DSPMV_SELLR=1 forces it
+        # (tests), =0 disables, default engages above 4M nnz.
+        sellr_env = os.environ.get("VEXTPU_DSPMV_SELLR", "")
+        use_sellr = (sellr_env == "1"
+                     or (sellr_env != "0" and int(ptr[-1]) > (1 << 22)))
+        if use_sellr:
+            from .shuffle import sellr_uniform_shards
+
+            S = self.npad // self.ndev
+            ptr_pad = np.concatenate(
+                [ptr, np.full(self.npad - self.n, ptr[-1], np.int64)])
+            self.mode = "sellr"
+            tmpl, stacked = sellr_uniform_shards(
+                S, self.npad, ptr_pad, np.asarray(col, dtype=np.int64),
+                np.asarray(val), self.ndev)
+            self._template = tmpl
+            self._leaves = tuple(
+                jax.device_put(
+                    jnp.asarray(a),
+                    NamedSharding(self.context.mesh,
+                                  P(self.axis, *([None] * (a.ndim - 1)))),
+                ) for a in stacked)
+            self.nnz = int(ptr[-1])
             return
 
         rl = np.diff(ptr)

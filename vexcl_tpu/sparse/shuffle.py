@@ -446,7 +446,16 @@ class SELLR:
     format = "sellr"
 
     def __init__(self, n: int, m: int, ptr, col, val,
-                 width: Optional[int] = None, _depth: int = 0):
+                 width: Optional[int] = None, _depth: int = 0,
+                 uniform: Optional[dict] = None, premeter: bool = False):
+        # ``uniform``: force the structural parameters (chunk_rows, cap,
+        # and — in the build phase — src_rows, R, tail_nnz) so that
+        # same-shaped row shards produce IDENTICAL leaf pytrees: the
+        # distributed SpMV stacks per-shard leaves under one shard_map
+        # (SPMD needs one program).  Implies: no hot plane, no recursive
+        # tier (overflow goes to a zero-padded CSR tail).  ``premeter``:
+        # stop after measuring the natural sizes (premeter_src_rows,
+        # premeter_tail_nnz) used to compute the forced maxima.
         ptr = np.asarray(ptr, dtype=np.int64)
         col = np.asarray(col, dtype=np.int64)
         val = np.asarray(val)
@@ -471,8 +480,11 @@ class SELLR:
 
         # ---- hot columns -> dense rank-k plane ------------------------------
         hot_min = int(os.environ.get("VEXTPU_SELLR_HOT_COL", "2048"))
-        cnt_col = np.bincount(ecol, minlength=self.m)
-        hot_cols = np.nonzero(cnt_col > hot_min)[0]
+        if uniform is None:
+            cnt_col = np.bincount(ecol, minlength=self.m)
+            hot_cols = np.nonzero(cnt_col > hot_min)[0]
+        else:
+            hot_cols = ()   # per-shard hot planes would break uniformity
         self._hot_idx = None
         self._hot_W = None
         if len(hot_cols):
@@ -502,11 +514,16 @@ class SELLR:
 
         # lane-skew backstop: cap the per-(tile, lane) depth, spill excess
         # to the overflow path (bounded slot inflation)
-        chunk_rows = CHUNK_ROWS if len(ecol) > (1 << 21) else CHUNK_ROWS_SMALL
+        if uniform is not None:
+            chunk_rows = uniform["chunk_rows"]
+            cap = uniform["cap"]
+        else:
+            chunk_rows = (CHUNK_ROWS if len(ecol) > (1 << 21)
+                          else CHUNK_ROWS_SMALL)
+            mean_depth = max(1.0, len(ecol) / max(1, ntiles * 128))
+            cap = int(max(1024, 16 * mean_depth))
         self._chunk_rows = chunk_rows
         cnt_tl = np.bincount(tl, minlength=ntiles * 128)
-        mean_depth = max(1.0, len(ecol) / max(1, ntiles * 128))
-        cap = int(max(1024, 16 * mean_depth))
         spill = rank >= cap
         sp_col, sp_val, sp_row = ecol[spill], eval_[spill], erow[spill]
         if spill.any():
@@ -514,6 +531,16 @@ class SELLR:
             ecol, eval_, erow = ecol[ks], eval_[ks], erow[ks]
             tile_id, sub_in_tile = tile_id[ks], sub_in_tile[ks]
             lane_in_tile, rank = lane_in_tile[ks], rank[ks]
+
+        if premeter:
+            depth_tl = np.minimum(cnt_tl, cap).reshape(ntiles, 128)
+            b_rows = depth_tl.max(axis=1)
+            b_rows = ((b_rows + chunk_rows - 1) // chunk_rows) * chunk_rows
+            sr = int(max(1, b_rows.sum()))
+            self.premeter_src_rows = (
+                (sr + chunk_rows - 1) // chunk_rows) * chunk_rows
+            self.premeter_tail_nnz = int((~in_ell).sum() + len(sp_col))
+            return
 
         # ---- overflow (long rows + spills): recursive tier or CSR ----------
         ek = np.zeros(len(ecol), dtype=np.int64)  # ELL slot within row
@@ -529,7 +556,22 @@ class SELLR:
         ocol = np.concatenate([col[~in_ell], sp_col])
         oval = np.concatenate([val[~in_ell], sp_val])
         orow = np.concatenate([rows_of[~in_ell], sp_row])
-        if len(ocol):
+        if uniform is not None:
+            tnnz = uniform["tail_nnz"]
+            assert len(ocol) <= tnnz
+            if tnnz:
+                order = np.argsort(orow, kind="stable")
+                orow, ocol, oval = orow[order], ocol[order], oval[order]
+                pad_t = tnnz - len(ocol)
+                tlen_full = np.bincount(orow, minlength=self.n)
+                # pad entries sit in the last row with zero values
+                tlen_full[self.n - 1] += pad_t
+                tptr = np.concatenate([[0], np.cumsum(tlen_full)])
+                ocol = np.concatenate([ocol, np.zeros(pad_t, np.int64)])
+                oval = np.concatenate([oval, np.zeros(pad_t, val.dtype)])
+                self.tail = CSR(self.n, self.m, tptr,
+                                ocol.astype(np.int32), oval)
+        elif len(ocol):
             order = np.argsort(orow, kind="stable")
             orow, ocol, oval = orow[order], ocol[order], oval[order]
             csr_max = int(os.environ.get("VEXTPU_SELLR_CSR_MAX", "65536"))
@@ -568,6 +610,9 @@ class SELLR:
         row_off[1:] = np.cumsum(bucket_rows)[:-1]
         src_rows = int(max(1, bucket_rows.sum()))
         src_rows = ((src_rows + chunk_rows - 1) // chunk_rows) * chunk_rows
+        if uniform is not None:
+            assert src_rows <= uniform["src_rows"]
+            src_rows = uniform["src_rows"]
         self._nchunks = int(src_rows // chunk_rows)
         tile_of_chunk = np.zeros(self._nchunks, dtype=np.int32)
         tile_of_chunk[: int((bucket_rows // chunk_rows).sum())] = np.repeat(
@@ -582,7 +627,9 @@ class SELLR:
         # ---- destination & route plan ---------------------------------------
         M_dst = self.n * w
         dst_rows = (M_dst + 127) // 128
-        R = pick_R(max(src_rows, dst_rows) * 128)
+        R = (uniform["R"] if uniform is not None
+             else pick_R(max(src_rows, dst_rows) * 128))
+        assert R >= max(src_rows, dst_rows)
         M_route = R * 128
 
         dst = np.full(M_route, -1, dtype=np.int64)
@@ -700,3 +747,55 @@ def _choose_sellr_width(n: int, row_len: np.ndarray) -> int:
         if c < best_c:
             best_w, best_c = w, c
     return best_w
+
+
+def sellr_uniform_shards(S: int, m: int, ptr, col, val, ndev: int):
+    """Build ``ndev`` row-shards (S rows each; ptr covers ndev*S rows) as
+    SELLR matrices with IDENTICAL leaf pytrees, for the distributed SpMV:
+    shard_map is SPMD, so every shard must run the same program over
+    same-shaped leaves.  Returns ``(template, stacked)`` — the shard-0
+    object (static structure only) and the per-leaf np.stack over shards.
+
+    Uniformization (reference analog: setup_exchange precomputing the
+    topology once, vexcl/spmat.hpp:291-378): a premeter pass measures
+    each shard's natural src_rows/tail_nnz; the build pass forces the
+    maxima everywhere (pad slots route to unused ELL destinations, pad
+    tail entries carry zero values into the last row)."""
+    ptr = np.asarray(ptr, dtype=np.int64)
+    nnz = int(ptr[-1])
+    row_len = np.diff(ptr)
+    # width: no-tier cost model (overflow rides the CSR-crumb gather)
+    best_w, best_c = 1, float("inf")
+    for w in (4, 8, 16, 24, 32, 48, 64, 96, 128):
+        c = (pick_R(S * w) * 128
+             + 150.0 * np.maximum(row_len - w, 0).sum() / ndev)
+        if c < best_c:
+            best_w, best_c = w, c
+    w = best_w
+    chunk_rows = CHUNK_ROWS if nnz // ndev > (1 << 21) else CHUNK_ROWS_SMALL
+    ntiles = ((m + TILE - 1) // TILE)
+    cap = int(max(1024, 16 * max(1.0, nnz / max(1, ntiles * 128))))
+    uni = {"chunk_rows": chunk_rows, "cap": cap}
+
+    def shard_csr(d):
+        lo, hi = d * S, (d + 1) * S
+        p = ptr[lo:hi + 1] - ptr[lo]
+        return p, col[ptr[lo]:ptr[hi]], val[ptr[lo]:ptr[hi]]
+
+    src_rows, tail_nnz = 1, 0
+    for d in range(ndev):
+        p, c_, v_ = shard_csr(d)
+        probe = SELLR(S, m, p, c_, v_, width=w, uniform=uni, premeter=True)
+        src_rows = max(src_rows, probe.premeter_src_rows)
+        tail_nnz = max(tail_nnz, probe.premeter_tail_nnz)
+
+    uni = dict(uni, src_rows=src_rows, tail_nnz=tail_nnz,
+               R=pick_R(max(src_rows, (S * w + 127) // 128) * 128))
+    shards = [SELLR(S, m, *shard_csr(d), width=w, uniform=uni)
+              for d in range(ndev)]
+    leaf_sets = [sh.leaves() for sh in shards]
+    nl = {len(ls) for ls in leaf_sets}
+    assert len(nl) == 1, "uniformization failed: leaf counts differ"
+    stacked = [np.stack([np.asarray(ls[i]) for ls in leaf_sets])
+               for i in range(nl.pop())]
+    return shards[0], stacked
