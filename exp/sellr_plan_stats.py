@@ -19,59 +19,59 @@ t0 = time.time()
 A = SELLR(n, n, ptr, col, val)
 print(f"construction {time.time()-t0:.1f}s")
 
-def describe(S, depth=0):
-    pad = "  " * depth
-    print(f"{pad}tier depth={depth}: n={S.n} w={S.width} src_rows={S._src_rows} "
-          f"R={S._R} nchunks={S._nchunks} chunk_rows={S._chunk_rows}")
-    ell_slots = S.n * S.width
-    print(f"{pad}  ELL slots={ell_slots/1e6:.1f}M route grid={S._R*128/1e6:.1f}M")
-    # reconstruct stage grid sizes by replaying shapes
-    rows = S._R
-    total_bytes = 0
-    for op in S._stage_kinds:
+
+def route_bytes(kinds, rows, label):
+    total = 0
+    for op in kinds:
         kind = op[0]
-        if kind in ("lane", "sub", "lsl"):
-            b = rows * 128 * 4 * 2  # r+w
-            print(f"{pad}  {kind:5s} rows={rows}  {b/1e6:.0f} MB")
-        elif kind in ("t", "lane_t"):
-            G, R = op[1], op[2]
+        if kind in ("lane", "sub", "subk", "lsl", "lslk",
+                    "t", "lane_t"):
             b = rows * 128 * 4 * 2
-            print(f"{pad}  {kind:5s} G={G} R={R}  {b/1e6:.0f} MB")
+            print(f"  {label}{kind:9s} rows={rows}  {b/1e6:.0f} MB")
         elif kind in ("tinv", "tinv_lane"):
-            G, R = op[1], op[2]
-            rows_new = G * R
+            G, R = op[-2], op[-1]
             b = rows * 128 * 4 * 2
-            print(f"{pad}  {kind:9s} G={G} R={R}  {b/1e6:.0f} MB -> rows={rows_new}")
-            rows = rows_new
+            rows = G * R
+            print(f"  {label}{kind:9s} G={G} R={R}  {b/1e6:.0f} MB")
         elif kind == "t128":
-            G, R = op[1], op[2]
+            G, R = op[-2], op[-1]
             rows_new = G * 128
             b = (rows + rows_new) * 128 * 4
-            print(f"{pad}  t128  G={G} R={R}  rows {rows}->{rows_new} "
-                  f"(pad {128/R:.0f}x)  {b/1e6:.0f} MB")
+            print(f"  {label}t128      G={G} R={R} rows {rows}->{rows_new}"
+                  f" (pad {128/R:.0f}x)  {b/1e6:.0f} MB")
             rows = rows_new
         elif kind == "t128inv":
-            G, R = op[1], op[2]
+            G, R = op[-2], op[-1]
             rows_new = G * R
             b = (rows + rows_new) * 128 * 4
-            print(f"{pad}  t128inv G={G} R={R} rows {rows}->{rows_new}  {b/1e6:.0f} MB")
+            print(f"  {label}t128inv   G={G} R={R}  {b/1e6:.0f} MB")
             rows = rows_new
-        total_bytes += b
-    # the t/tinv intermediate rows bookkeeping above is approximate for 't'
-    print(f"{pad}  route pass bytes total ~{total_bytes/1e9:.2f} GB "
-          f"(per matvec, r+w)")
-    ex_b = (S._nchunks * S._chunk_rows * 128) * 4 * 2
-    print(f"{pad}  expand: {S._nchunks}x{S._chunk_rows} rows "
-          f"({ex_b/1e6:.0f} MB r+w)")
-    red_b = ell_slots * 4 * 2 + S.n * 4
-    print(f"{pad}  reduce: {red_b/1e6:.0f} MB")
-    if S._hot_W is not None:
-        print(f"{pad}  hot plane: {S._hot_W.shape}")
-    if S.tier is not None:
-        print(f"{pad}  tier route R={S._tier_R} n_t={S._tier_n} "
-              f"stages={[k[0] for k in S._tier_route]}")
-        describe(S.tier, depth + 1)
-    elif S.tail is not None:
-        print(f"{pad}  CSR tail nnz={S.tail.nnz}")
+        total += b
+    return total
 
-describe(A)
+
+print(f"src_rows={A._src_rows} dst_rows={A._dst_rows} R={A._R} "
+      f"nchunks={A._nchunks} chunk_rows={A._chunk_rows}")
+print(f"classes={len(A._classes)} slots={A._dst_rows*128/1e6:.1f}M "
+      f"(nnz {nnz/1e6:.1f}M) route grid={A._R*128/1e6:.1f}M")
+for off, nk, wk in A._classes[:8]:
+    print(f"  class off={off} n_k={nk} w_k={wk}")
+if len(A._classes) > 8:
+    print(f"  ... {len(A._classes)-8} more")
+tb = route_bytes(A._stage_kinds, A._R, "")
+print(f"route pass bytes total ~{tb/1e9:.2f} GB (per matvec, r+w)")
+ex_b = (A._nchunks * A._chunk_rows * 128) * 4 * 2
+print(f"expand: {A._nchunks}x{A._chunk_rows} rows ({ex_b/1e6:.0f} MB r+w)")
+red_b = A._dst_rows * 128 * 4 * 2 + A.n * 4
+print(f"reduce: {red_b/1e6:.0f} MB over {len(A._classes)} class planes")
+if A._y_kinds is not None:
+    yb = route_bytes(A._y_kinds, A._y_R, "y: ")
+    print(f"y scatter route R={A._y_R}: ~{yb/1e6:.0f} MB")
+if A._hot_W is not None:
+    print(f"hot plane: {A._hot_W.shape}")
+if A.tail is not None:
+    print(f"CSR tail nnz={A.tail.nnz} (~{A.tail.nnz*15e-6:.2f} ms at "
+          f"15 ns/entry)")
+grand = tb + ex_b + red_b + (yb if A._y_kinds is not None else 0)
+print(f"TOTAL ~{grand/1e9:.2f} GB/matvec -> ~{grand/600e9*1e3:.2f} ms at "
+      f"600 GB/s -> ~{2*nnz/(grand/600e9)/1e9:.1f} GFLOP/s byte-bound")

@@ -43,10 +43,59 @@ def test_plan_route_random_perm(R, rng):
 
 
 def test_pick_R_covers_sizes():
+    from vexcl_tpu.sparse.shuffle_plan import _BOTTOMS
+
     for M, expect in ((1, 1), (128, 1), (1024, 8), (4096, 32),
-                      (1 << 20, 8192), ((1 << 20) + 1, 9216)):
+                      (1 << 20, 8192), ((1 << 20) + 1, 16384),
+                      ((1 << 24) + 1, 16384 * 16)):
         assert pick_R(M) * 128 >= M
         assert pick_R(M) == expect
+    # every reachable recursion bottom must be in the cheap set
+    for M in (1, 100, 10**3, 10**4, 10**5, 10**6, 3 * 10**6, 10**7,
+              3 * 10**7, 10**8, 2 * 10**8, 10**9):
+        R = pick_R(M)
+        assert R * 128 >= M
+        b = R
+        while b > 128:
+            assert b % 128 == 0
+            b //= 128
+        assert b in _BOTTOMS or b == 1
+
+
+@pytest.mark.parametrize("R", [16, 24, 32, 2048, 3072, 4096])
+def test_plan_route_subk_bottoms(R, rng):
+    """Sizes whose recursion bottoms at K in {16,24,32} use the one-pass
+    subk op (not the 128/K-padded t128)."""
+    M = R * 128
+    perm = rng.permutation(M)
+    ops = plan_route(perm, R)
+    kinds = [op[0] for op in ops]
+    assert "subk" in kinds and "t128" not in kinds
+    x = rng.standard_normal(M)
+    got = apply_plan_numpy(x, ops)
+    exp = np.empty(M)
+    exp[perm] = x
+    np.testing.assert_array_equal(got, exp)
+
+
+@pytest.mark.parametrize("R", [16, 32, 2048, 3072])
+def test_subk_pallas_matches_numpy(R, rng):
+    """The fused subk/lslk Pallas executors reproduce the numpy oracle."""
+    from vexcl_tpu.sparse.shuffle import _apply_route, fuse_stages
+
+    M = R * 128
+    perm = rng.permutation(M)
+    ops = plan_route(perm, R)
+    fused = fuse_stages(ops)
+    if R >= 2048:
+        assert "lslk" in [op[0] for op in fused]
+    x = rng.standard_normal(M).astype(np.float32)
+    exp = np.empty(M, dtype=np.float32)
+    exp[perm] = x
+    got = np.asarray(
+        _apply_route(np.reshape(x, (-1, 128)), fused, interpret=True)
+    ).reshape(-1)
+    np.testing.assert_array_equal(got, exp)
 
 
 @pytest.mark.parametrize("shape", [(128, 128, 3), (1000, 1000, 8),
@@ -61,13 +110,28 @@ def test_sellr_matvec_matches_reference(shape, rng):
     np.testing.assert_allclose(y, ref, rtol=1e-12, atol=1e-12)
 
 
-def test_sellr_hot_column_spills_to_tail(rng):
-    """A column referenced by 30% of all entries concentrates one
-    (tile, lane) bucket; the excess must spill to the CSR tail and the
-    product must stay exact."""
+def test_sellr_hot_column_dense_plane(rng):
+    """A column referenced by 30% of all entries becomes a dense
+    rank-k plane (y += W @ x[hot]) and the product stays exact."""
     n = m = 1000
     ptr, col, val = random_csr(n, m, 8, seed=7, hot_col=7)
     A = SELLR(n, m, ptr, col, val)
+    assert A._hot_W is not None and A._hot_W.shape[1] == 1
+    x = rng.standard_normal(m)
+    np.testing.assert_allclose(np.asarray(A.apply(x)),
+                               csr_matvec_ref(n, ptr, col, val, x),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_sellr_lane_skew_spills_to_tail(rng, monkeypatch):
+    """With the hot plane disabled, a column referenced by 30% of all
+    entries concentrates one (tile, lane) bucket; the per-(tile, lane)
+    cap must spill the excess to the CSR tail and stay exact."""
+    monkeypatch.setenv("VEXTPU_SELLR_HOT_COL", str(1 << 30))
+    n = m = 1000
+    ptr, col, val = random_csr(n, m, 8, seed=7, hot_col=7)
+    A = SELLR(n, m, ptr, col, val)
+    assert A._hot_W is None
     assert A.tail is not None and A.tail.nnz > 0
     x = rng.standard_normal(m)
     np.testing.assert_allclose(np.asarray(A.apply(x)),

@@ -44,7 +44,8 @@ from ..utils.util import to_device
 import os
 
 from .formats import CSR
-from .shuffle_plan import pick_R, plan_route, plan_route_free_lanes
+from .shuffle_plan import (pick_R, pick_R_floor, plan_route,
+                           plan_route_free_lanes)
 
 __all__ = ["SELLR"]
 
@@ -128,6 +129,96 @@ def _sub_perm(x, idx, interpret=False):
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
     )(x, idx)
+
+
+def _subk_body(d_ref, i_ref, base: int, K: int):
+    """In-kernel K-row within-column perm of rows [base, base+K) of d_ref
+    (idx group-local in [0, K)): K/8 sublane gathers + selects per output
+    tile.  Returns the list of K/8 output (8, 128) tiles."""
+    tiles = []
+    for a in range(K // 8):
+        idx = i_ref[base + a * 8: base + (a + 1) * 8, :]
+        sub = idx & 7
+        acc = None
+        for j in range(K // 8):
+            g1 = jnp.take_along_axis(
+                d_ref[base + j * 8: base + (j + 1) * 8, :], sub, axis=0)
+            acc = g1 if acc is None else jnp.where(idx // 8 == j, g1, acc)
+        tiles.append(acc)
+    return tiles
+
+
+def _pick_gpb(ngrp: int, K: int) -> int:
+    """Groups per grid step: keep blocks around 512 rows (grid overhead
+    ~0.2 us/step; VMEM ~1.5 MB double-buffered at 512 rows x 3 operands)."""
+    gpb = 1
+    while gpb * 2 <= ngrp and ngrp % (gpb * 2) == 0 and K * gpb * 2 <= 512:
+        gpb *= 2
+    return gpb
+
+
+@partial(jax.jit, static_argnames=("K", "interpret"))
+def _subk_perm(x, idx, K, interpret=False):
+    """Per (K,128) block: out[s,l] = x[base+idx[s,l], l] with idx in
+    [0, K) — one byte-bound pass for the K in {16,24,32} recursion
+    bottoms (t128 at K=16 padded 8x across three mid passes)."""
+    rows = x.shape[0]
+    gpb = _pick_gpb(rows // K, K)
+    blk = K * gpb
+
+    def kernel(d_ref, i_ref, o_ref):
+        for g in range(gpb):
+            for a, t in enumerate(_subk_body(d_ref, i_ref, g * K, K)):
+                o_ref[g * K + a * 8: g * K + (a + 1) * 8, :] = t
+
+    spec = pl.BlockSpec((blk, 128), lambda i: (i, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(rows // blk,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x, idx)
+
+
+@partial(jax.jit, static_argnames=("K", "interpret"))
+def _lslk_perm(x, ia, isub, ic, K, interpret=False):
+    """Fused [lane][subk][lane] — the whole bottom level of a route whose
+    groups span K rows, in one byte-bound pass."""
+    rows = x.shape[0]
+    gpb = _pick_gpb(rows // K, K)
+    blk = K * gpb
+
+    def kernel(x_ref, a_ref, s_ref, c_ref, o_ref):
+        g1 = jnp.take_along_axis(x_ref[:], a_ref[:], axis=1)
+        for g in range(gpb):
+            for a, t in enumerate(_subk_body_g(g1, s_ref, g * K, K)):
+                sl = slice(g * K + a * 8, g * K + (a + 1) * 8)
+                o_ref[sl, :] = jnp.take_along_axis(t, c_ref[sl, :], axis=1)
+
+    def _subk_body_g(g1, s_ref, base, K):
+        tiles = []
+        for a in range(K // 8):
+            idx = s_ref[base + a * 8: base + (a + 1) * 8, :]
+            sub = idx & 7
+            acc = None
+            for j in range(K // 8):
+                gg = jnp.take_along_axis(
+                    g1[base + j * 8: base + (j + 1) * 8, :], sub, axis=0)
+                acc = gg if acc is None else jnp.where(idx // 8 == j, gg, acc)
+            tiles.append(acc)
+        return tiles
+
+    spec = pl.BlockSpec((blk, 128), lambda i: (i, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(rows // blk,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x, ia, isub, ic)
 
 
 @partial(jax.jit, static_argnames=("nchunks", "chunk_rows", "interpret"))
@@ -334,13 +425,15 @@ def _lsl_perm(x, ia, isub, ic, interpret=False):
 
 # number of device idx arrays each op kind carries (op layout:
 # (kind, *arrays, *statics))
-_KIND_ARRAYS = {"lane": 1, "sub": 1, "lsl": 3, "lane_t": 1, "tinv_lane": 1}
+_KIND_ARRAYS = {"lane": 1, "sub": 1, "subk": 1, "lsl": 3, "lslk": 3,
+                "lane_t": 1, "tinv_lane": 1}
 
 
 def fuse_stages(ops: List[Tuple]) -> List[Tuple]:
-    """Peephole-fuse a planned stage list: [lane,sub,lane] -> lsl,
-    [lane,t] -> lane_t, [tinv,lane] -> tinv_lane.  Cuts the 11-pass plan
-    of a two-level route to 5 passes (each at lane-perm speed)."""
+    """Peephole-fuse a planned stage list: [lane,sub,lane] -> lsl (and
+    [lane,subk,lane] -> lslk), [lane,t] -> lane_t, [tinv,lane] ->
+    tinv_lane.  Cuts the 11-pass plan of a two-level route to 5 passes
+    (each at lane-perm speed)."""
     out: List[Tuple] = []
     i = 0
     while i < len(ops):
@@ -348,6 +441,11 @@ def fuse_stages(ops: List[Tuple]) -> List[Tuple]:
         if (k == "lane" and i + 2 < len(ops) and ops[i + 1][0] == "sub"
                 and ops[i + 2][0] == "lane"):
             out.append(("lsl", ops[i][1], ops[i + 1][1], ops[i + 2][1]))
+            i += 3
+        elif (k == "lane" and i + 2 < len(ops) and ops[i + 1][0] == "subk"
+                and ops[i + 2][0] == "lane"):
+            out.append(("lslk", ops[i][1], ops[i + 1][1], ops[i + 2][1],
+                        ops[i + 1][2]))
             i += 3
         elif k == "lane" and i + 1 < len(ops) and ops[i + 1][0] == "t":
             out.append(("lane_t", ops[i][1], ops[i + 1][1], ops[i + 1][2]))
@@ -392,8 +490,13 @@ def _apply_route(x, stages, interpret):
             x = _lane_perm(x, op[1], interpret=interpret)
         elif kind == "sub":
             x = _sub_perm(x, op[1], interpret=interpret)
+        elif kind == "subk":
+            x = _subk_perm(x, op[1], op[2], interpret=interpret)
         elif kind == "lsl":
             x = _lsl_perm(x, op[1], op[2], op[3], interpret=interpret)
+        elif kind == "lslk":
+            x = _lslk_perm(x, op[1], op[2], op[3], op[4],
+                           interpret=interpret)
         elif kind == "lane_t":
             x = _lane_t(x, op[1], op[2], op[3], interpret=interpret)
         elif kind == "tinv_lane":
@@ -428,25 +531,34 @@ def _apply_route(x, stages, interpret):
 
 
 class SELLR:
-    """Shuffle-routed ELL with recursive overflow tiers and dense
-    hot-column extraction.
+    """Shuffle-routed sparse matrix with width-class row planes
+    (SELL-sigma adapted to routing) and dense hot-column extraction.
 
-    * Long ROWS overflow into a compact-row-space child SELLR (tier)
-      whose dense result is route-expanded back onto the full row space —
-      every static irregular movement is a shuffle network, never an XLA
-      gather/scatter.  Recursion bottoms out in a plain CSR once the
-      crumb count is small (VEXTPU_SELLR_CSR_MAX, default 32768).
+    * Rows are SORTED BY LENGTH at construction and partitioned into
+      WIDTH CLASSES: class k is a dense (n_k, w_k) plane inside the one
+      route destination space, sized to its rows' actual entry counts
+      (exact widths up to 32, geometric ratio 1.1 above), so EVERY entry
+      of every row rides the single expand -> route -> reduce pipeline.
+      Per-class row sums concatenate into a sorted-order y that one
+      small shuffle route (n elements) scatters back to natural row
+      order.  (The earlier recursive-tier design stacked four full
+      pipelines plus a 307K-entry CSR tail on the 16.8M-nnz bench
+      matrix; classes replace all of it with static layout.)
     * Hot COLUMNS (count > VEXTPU_SELLR_HOT_COL, default 2048) become a
       dense (n, k) plane: y += W @ x[hot_cols] — a k-column dense matvec
       instead of k*count shuffle slots (a dense column IS dense data).
     * A per-(tile, lane) cap backstops pathological lane skew by spilling
-      the excess to the overflow path.
+      the excess to a small CSR tail; when the natural source grid lands
+      just above a pick_R breakpoint, the deepest buckets are trimmed
+      into the tail instead of letting the route grid jump a level
+      (src_rows=131104 vs the 131072 breakpoint cost 2x route traffic
+      on the bench matrix before the trim).
     """
 
     format = "sellr"
 
     def __init__(self, n: int, m: int, ptr, col, val,
-                 width: Optional[int] = None, _depth: int = 0,
+                 width: Optional[int] = None,
                  uniform: Optional[dict] = None, premeter: bool = False):
         # ``uniform``: force the structural parameters (chunk_rows, cap,
         # and — in the build phase — src_rows, R, tail_nnz) so that
@@ -464,12 +576,18 @@ class SELLR:
         self.nnz = int(ptr[-1])
         row_len = np.diff(ptr)
 
-        w = int(width) if width else _choose_sellr_width(self.n, row_len)
-        w = max(1, min(w, 128))
+        # single-width mode (explicit width / uniform distributed shards):
+        # one (n, w) class in natural row order, length overflow to the
+        # CSR tail.  Multi-class mode (the default): width=0 sentinel,
+        # classes computed after hot/spill extraction below.
+        single = width is not None or uniform is not None
+        if single and width is None:
+            raise ValueError("uniform SELLR requires an explicit width")
+        w = max(1, min(int(width), 128)) if single else 0
         self.width = w
 
         # ---- split ELL part vs row overflow --------------------------------
-        keep = np.minimum(row_len, w)
+        keep = np.minimum(row_len, w) if single else row_len
         within = np.arange(len(col)) - np.repeat(ptr[:-1], row_len)
         rows_of = np.repeat(np.arange(self.n), row_len)
         in_ell = within < np.repeat(keep, row_len)
@@ -524,7 +642,32 @@ class SELLR:
             cap = int(max(1024, 16 * mean_depth))
         self._chunk_rows = chunk_rows
         cnt_tl = np.bincount(tl, minlength=ntiles * 128)
-        spill = rank >= cap
+
+        # per-tile row allowance (max capped lane depth, rounded to whole
+        # chunks); the breakpoint trim may shave deep tiles further
+        depth_tl = np.minimum(cnt_tl, cap).reshape(ntiles, 128)
+        allow_t = depth_tl.max(axis=1)
+        allow_t = ((allow_t + chunk_rows - 1) // chunk_rows) * chunk_rows
+        if uniform is None and not premeter:
+            # estimate the destination grid (pre-trim upper bound) to see
+            # whether shaving a few source chunks avoids a pick_R jump
+            if single:
+                dst_rows_est = max(1, (self.n * w + 127) // 128)
+            else:
+                elen0 = np.bincount(erow[rank < cap], minlength=self.n)
+                slots0 = sum(
+                    nk * wk for _, nk, wk
+                    in _length_classes(np.sort(elen0)[::-1]))
+                dst_rows_est = max(1, (slots0 + 127) // 128)
+            # spill budget: a CSR-tail entry costs ~15 ns, a route-grid
+            # level jump ~1 ms — but never degrade more than 1/8 of the
+            # entries to the gather path
+            budget = min(max(4096, len(ecol) // 256),
+                         max(256, len(ecol) // 8))
+            allow_t = _trim_allowances(allow_t, depth_tl, chunk_rows,
+                                       dst_rows_est, budget=budget)
+
+        spill = (rank >= cap) | (rank >= allow_t[tile_id])
         sp_col, sp_val, sp_row = ecol[spill], eval_[spill], erow[spill]
         if spill.any():
             ks = ~spill
@@ -533,26 +676,21 @@ class SELLR:
             lane_in_tile, rank = lane_in_tile[ks], rank[ks]
 
         if premeter:
-            depth_tl = np.minimum(cnt_tl, cap).reshape(ntiles, 128)
-            b_rows = depth_tl.max(axis=1)
-            b_rows = ((b_rows + chunk_rows - 1) // chunk_rows) * chunk_rows
-            sr = int(max(1, b_rows.sum()))
+            sr = int(max(1, allow_t.sum()))
             self.premeter_src_rows = (
                 (sr + chunk_rows - 1) // chunk_rows) * chunk_rows
             self.premeter_tail_nnz = int((~in_ell).sum() + len(sp_col))
             return
 
-        # ---- overflow (long rows + spills): recursive tier or CSR ----------
-        ek = np.zeros(len(ecol), dtype=np.int64)  # ELL slot within row
-        # recompute slot-within-row for the surviving ELL entries
+        # ---- overflow (clipped long rows + spills) -> CSR tail --------------
+        ek = np.zeros(len(ecol), dtype=np.int64)  # slot within row
+        # recompute slot-within-row for the surviving routed entries
         o3 = np.argsort(erow, kind="stable")
         s3 = erow[o3]
         g3 = np.searchsorted(s3, s3, side="left")
         ek[o3] = np.arange(len(erow)) - g3
 
         self.tail = None
-        self.tier = None
-        self._tier_route = None
         ocol = np.concatenate([col[~in_ell], sp_col])
         oval = np.concatenate([val[~in_ell], sp_val])
         orow = np.concatenate([rows_of[~in_ell], sp_row])
@@ -560,8 +698,8 @@ class SELLR:
             tnnz = uniform["tail_nnz"]
             assert len(ocol) <= tnnz
             if tnnz:
-                order = np.argsort(orow, kind="stable")
-                orow, ocol, oval = orow[order], ocol[order], oval[order]
+                order_o = np.argsort(orow, kind="stable")
+                orow, ocol, oval = orow[order_o], ocol[order_o], oval[order_o]
                 pad_t = tnnz - len(ocol)
                 tlen_full = np.bincount(orow, minlength=self.n)
                 # pad entries sit in the last row with zero values
@@ -572,40 +710,15 @@ class SELLR:
                 self.tail = CSR(self.n, self.m, tptr,
                                 ocol.astype(np.int32), oval)
         elif len(ocol):
-            order = np.argsort(orow, kind="stable")
-            orow, ocol, oval = orow[order], ocol[order], oval[order]
-            csr_max = int(os.environ.get("VEXTPU_SELLR_CSR_MAX", "65536"))
-            if len(ocol) > csr_max and _depth < 3:
-                rows_long, tlen = np.unique(orow, return_counts=True)
-                n_t = len(rows_long)
-                tptr_c = np.concatenate([[0], np.cumsum(tlen)])
-                self.tier = SELLR(n_t, self.m, tptr_c, ocol, oval,
-                                  _depth=_depth + 1)
-                # route the tier's dense (n_t,) result onto the n rows
-                Rexp = pick_R(max(self.n, n_t))
-                dst = np.full(Rexp * 128, -1, dtype=np.int64)
-                dst[np.arange(n_t)] = rows_long
-                used = np.zeros(Rexp * 128, dtype=bool)
-                used[rows_long] = True
-                dst[np.nonzero(dst < 0)[0]] = np.nonzero(~used)[0][
-                    : Rexp * 128 - n_t]
-                ops = fuse_stages(plan_route(dst, Rexp))
-                self._tier_route, t_arr = split_stage_ops(ops)
-                self._tier_route_arrays = tuple(
-                    jnp.asarray(a) for a in t_arr)
-                self._tier_R = Rexp
-                self._tier_n = n_t
-            else:
-                tlen_full = np.bincount(orow, minlength=self.n)
-                tptr = np.concatenate([[0], np.cumsum(tlen_full)])
-                self.tail = CSR(self.n, self.m, tptr,
-                                ocol.astype(np.int32), oval)
+            order_o = np.argsort(orow, kind="stable")
+            orow, ocol, oval = orow[order_o], ocol[order_o], oval[order_o]
+            tlen_full = np.bincount(orow, minlength=self.n)
+            tptr = np.concatenate([[0], np.cumsum(tlen_full)])
+            self.tail = CSR(self.n, self.m, tptr,
+                            ocol.astype(np.int32), oval)
 
         # ---- bucket rows & gather planes ------------------------------------
-        depth_tl = np.minimum(cnt_tl, cap).reshape(ntiles, 128)
-        bucket_rows = depth_tl.max(axis=1)
-        bucket_rows = ((bucket_rows + chunk_rows - 1) // chunk_rows
-                       ) * chunk_rows
+        bucket_rows = allow_t
         row_off = np.zeros(ntiles, dtype=np.int64)
         row_off[1:] = np.cumsum(bucket_rows)[:-1]
         src_rows = int(max(1, bucket_rows.sum()))
@@ -624,16 +737,40 @@ class SELLR:
         sub_plane = np.zeros((src_rows, 128), dtype=np.int32)
         sub_plane[src_row, lane_in_tile] = sub_in_tile.astype(np.int32)
 
-        # ---- destination & route plan ---------------------------------------
-        M_dst = self.n * w
-        dst_rows = (M_dst + 127) // 128
+        # ---- width classes & destination slot layout -------------------------
+        if single:
+            self._classes = ((0, self.n, w),)
+            self._row_order = None
+            dst_flat_e = (erow * w + ek).astype(np.int64)
+            slots = self.n * w
+        else:
+            elen = np.bincount(erow, minlength=self.n)
+            row_order = np.argsort(-elen, kind="stable").astype(np.int64)
+            sl = elen[row_order]
+            classes = _length_classes(sl)
+            base_sorted = np.empty(self.n, dtype=np.int64)
+            cls = []
+            off = 0
+            for start, nk, wk in classes:
+                base_sorted[start:start + nk] = (
+                    off + np.arange(nk, dtype=np.int64) * wk)
+                cls.append((off, nk, wk))
+                off += nk * wk
+            slots = off
+            self._classes = tuple(cls)
+            pos_of_row = np.empty(self.n, dtype=np.int64)
+            pos_of_row[row_order] = np.arange(self.n)
+            row_base = base_sorted[pos_of_row]
+            dst_flat_e = row_base[erow] + ek
+            self._row_order = row_order
+
+        dst_rows = max(1, (slots + 127) // 128)
         R = (uniform["R"] if uniform is not None
              else pick_R(max(src_rows, dst_rows) * 128))
         assert R >= max(src_rows, dst_rows)
         M_route = R * 128
 
         dst = np.full(M_route, -1, dtype=np.int64)
-        dst_flat_e = (erow * w + ek).astype(np.int64)
         dst[src_flat] = dst_flat_e
         free_src = np.nonzero(dst < 0)[0]
         used_dst = np.zeros(M_route, dtype=bool)
@@ -667,9 +804,27 @@ class SELLR:
         # HTTP 413 hazard, bench.py:slope_seconds docstring)
         self._stage_kinds, st_arr = split_stage_ops(stages)
         self._stage_arrays = tuple(jnp.asarray(a) for a in st_arr)
-        vplane = np.zeros((self.n, w), dtype=val.dtype)
-        vplane[erow, ek] = eval_
-        self._val = to_device(vplane)
+        self._dst_rows = dst_rows
+        vflat = np.zeros(dst_rows * 128, dtype=val.dtype)
+        vflat[dst_flat_e] = eval_
+        self._val = to_device(vflat.reshape(dst_rows, 128))
+
+        # scatter the per-class row sums (sorted order) back to natural
+        # row order: one small route over n elements
+        self._y_kinds = None
+        self._y_arrays = ()
+        self._y_R = 0
+        if (self._row_order is not None
+                and not np.array_equal(self._row_order,
+                                       np.arange(self.n))):
+            Ry = pick_R(self.n)
+            dst_y = np.empty(Ry * 128, dtype=np.int64)
+            dst_y[: self.n] = self._row_order
+            dst_y[self.n:] = np.arange(self.n, Ry * 128)
+            yops = fuse_stages(plan_route(dst_y, Ry))
+            self._y_kinds, y_arr = split_stage_ops(yops)
+            self._y_arrays = tuple(jnp.asarray(a) for a in y_arr)
+            self._y_R = Ry
 
     @property
     def dtype(self):
@@ -677,22 +832,24 @@ class SELLR:
 
     def leaves(self) -> Tuple:
         out = (self._tile_of_chunk, self._sub_idx, self._lane_idx,
-               self._val) + self._stage_arrays
+               self._val) + self._stage_arrays + self._y_arrays
         if self._hot_W is not None:
             out = out + (self._hot_idx, self._hot_W)
-        if self.tier is not None:
-            out = out + self._tier_route_arrays + self.tier.leaves()
-        elif self.tail is not None:
+        if self.tail is not None:
             out = out + self.tail.leaves()
         return out
 
     def apply_leaves(self, leaves, x):
-        tile_of_chunk, sub_idx, lane_idx, vplane = leaves[:4]
+        tile_of_chunk, sub_idx, lane_idx, vflat = leaves[:4]
         ns = len(self._stage_arrays)
         stages = join_stage_ops(self._stage_kinds, leaves[4:4 + ns])
         rest = leaves[4 + ns:]
+        ny = len(self._y_arrays)
+        if ny:
+            ystages = join_stage_ops(self._y_kinds, rest[:ny])
+            rest = rest[ny:]
         interpret = config.pallas_interpret()
-        n, w = self.n, self.width
+        n = self.n
         xpad = jnp.pad(x.reshape(-1),
                        (0, self._xpad_tiles * TILE - x.shape[0]))
         xt = xpad.reshape(self._xpad_tiles * 8, 128)
@@ -703,22 +860,25 @@ class SELLR:
             g = jnp.concatenate(
                 [g, jnp.zeros((self._R - g.shape[0], 128), g.dtype)])
         h = _apply_route(g, stages, interpret)
-        routed = h.reshape(-1)[: n * w].reshape(n, w)
-        y = jnp.sum(routed.astype(vplane.dtype) * vplane, axis=1)
+        hf = h.reshape(-1)
+        vf = vflat.reshape(-1)
+        # per-class dense row sums (sorted row order); static slices, so
+        # XLA fuses multiply+reduce per class plane
+        parts = []
+        for off, nk, wk in self._classes:
+            seg = (hf[off: off + nk * wk].astype(vf.dtype)
+                   * vf[off: off + nk * wk])
+            parts.append(seg.reshape(nk, wk).sum(axis=1))
+        y = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        if self._y_kinds is not None:
+            ypad = jnp.zeros((self._y_R * 128,), y.dtype).at[:n].set(y)
+            y = _apply_route(ypad.reshape(-1, 128), ystages,
+                             interpret).reshape(-1)[:n]
         if self._hot_W is not None:
             hot_idx, hot_W = rest[0], rest[1]
             rest = rest[2:]
             y = y + hot_W @ jnp.take(x, hot_idx, axis=0).astype(hot_W.dtype)
-        if self.tier is not None:
-            nr = len(self._tier_route_arrays)
-            tstages = join_stage_ops(self._tier_route, rest[:nr])
-            y_t = self.tier.apply_leaves(rest[nr:], x)
-            yt_pad = jnp.zeros((self._tier_R * 128,), y_t.dtype
-                               ).at[: self._tier_n].set(y_t)
-            expanded = _apply_route(yt_pad.reshape(-1, 128), tstages,
-                                    interpret)
-            y = y + expanded.reshape(-1)[: n].astype(y.dtype)
-        elif self.tail is not None:
+        if self.tail is not None:
             y = y + CSR.matvec(n, rest, x).astype(y.dtype)
         return y
 
@@ -726,27 +886,69 @@ class SELLR:
         return self.apply_leaves(self.leaves(), x)
 
 
-def _choose_sellr_width(n: int, row_len: np.ndarray) -> int:
-    """Width minimizing the modeled matvec cost: routed slots are cheap
-    dense passes, overflow entries recurse at roughly 2.5 slots-equivalent
-    each, so the optimum sits near a high quantile of the row-length
-    distribution (unlike the reference's 3:1 occupancy rule, which
-    optimizes GPU gather width — sparse/ell.hpp:92-121)."""
-    csr_max = int(os.environ.get("VEXTPU_SELLR_CSR_MAX", "65536"))
-    best_w, best_c = 1, float("inf")
-    for w in (4, 8, 16, 24, 32, 48, 64, 96, 128):
-        slots = pick_R(n * w) * 128
-        tail = int(np.maximum(row_len - w, 0).sum())
-        if tail > csr_max:
-            # recursing tier: ~2.5 slot-equivalents per overflow entry
-            # plus a fixed per-tier pipeline overhead
-            c = slots + 2.5 * tail + 300_000
-        else:
-            # CSR crumbs ride the XLA gather (~15 ns/entry ~ 150 slots)
-            c = slots + 150 * tail
-        if c < best_c:
-            best_w, best_c = w, c
-    return best_w
+_EXACT_W = 32        # class widths are exact up to here
+_CLASS_RATIO = 1.1   # geometric width ratio above (pad <= 10% per row)
+_MAX_CLASSES = 96
+
+
+def _length_classes(sl: np.ndarray) -> List[Tuple[int, int, int]]:
+    """Partition rows (lengths ``sl`` sorted DESC) into width classes:
+    returns [(start, n_k, w_k)] covering all rows.  Widths are exact up
+    to _EXACT_W (zero padding — short lengths carry most of the mass)
+    and grow geometrically above (pad <= _CLASS_RATIO per row); class
+    count is bounded so the per-class reduce ops stay cheap to compile.
+    Unlike the reference's 3:1 ELL occupancy rule (sparse/ell.hpp:92-121,
+    which optimizes GPU gather width), the classes only size dense
+    planes — the route moves every entry regardless."""
+    n = len(sl)
+    classes: List[Tuple[int, int, int]] = []
+    start = 0
+    neg = -np.asarray(sl)  # ascending for searchsorted
+    while start < n:
+        wv = int(sl[start])
+        if wv <= 1 or len(classes) == _MAX_CLASSES - 1:
+            classes.append((start, n - start, max(1, wv)))
+            break
+        lim = wv if wv <= _EXACT_W else int(np.ceil(wv / _CLASS_RATIO))
+        end = int(np.searchsorted(neg, -lim, side="right"))
+        end = max(end, start + 1)
+        classes.append((start, end - start, wv))
+        start = end
+    return classes
+
+
+def _trim_allowances(allow_t: np.ndarray, depth_tl: np.ndarray,
+                     chunk_rows: int, dst_rows: int,
+                     budget: int) -> np.ndarray:
+    """When the natural source grid sits just above a pick_R breakpoint
+    the whole route pays a level jump (2x grid on the bench matrix);
+    shave whole chunks off the deepest tiles' row allowances — spilling
+    those entries to the CSR tail — if at most ``budget`` entries buy
+    the smaller grid.  Returns the (possibly trimmed) allowances."""
+    src_nat = int(allow_t.sum())
+    if src_nat <= chunk_rows:
+        return allow_t
+    target = max(pick_R_floor(src_nat), pick_R(max(1, dst_rows) * 128))
+    if target >= src_nat or src_nat - target > max(64 * chunk_rows,
+                                                   src_nat // 16):
+        return allow_t
+    allow = allow_t.copy()
+    spilled = 0
+    total = src_nat
+    while total > target:
+        # marginal spill of shaving one chunk: entries whose rank falls
+        # in [a - chunk_rows, a) across the tile's lanes
+        band = np.clip(depth_tl - (allow[:, None] - chunk_rows),
+                       0, chunk_rows)
+        cost = band.sum(axis=1)
+        cost[allow < chunk_rows] = 1 << 62
+        t = int(np.argmin(cost))
+        spilled += int(cost[t])
+        if spilled > budget or allow[t] < chunk_rows:
+            return allow_t  # too expensive — keep the natural grid
+        allow[t] -= chunk_rows
+        total -= chunk_rows
+    return allow
 
 
 def sellr_uniform_shards(S: int, m: int, ptr, col, val, ndev: int):

@@ -121,31 +121,60 @@ def _color_rec(su, dv, idx, nv, d, base, colors):
 # ---------------------------------------------------------------------------
 
 
+# Allowed recursion-bottom row counts: {2,4,8} execute as one native
+# sublane pass, {16,24,32} as one fused subk pass (K/8 in-VMEM sublane
+# gathers + selects per output tile — still byte-bound at K<=32), and
+# {64,128} as the padded-transpose t128 (pad <= 2x).  Bottoms in
+# (32, 64) would pad t128 >2x or pay >4x VPU work in subk; rounding the
+# grid up is cheaper (the r4 16.8M-matvec bottomed at 16 via t128 and
+# paid 3 passes over 8x-padded data — 6.17 GB/matvec of route traffic).
+_BOTTOMS = (2, 4, 8, 16, 24, 32, 64, 128)
+
+
+def _round_bottom(b: int) -> int:
+    for v in _BOTTOMS:
+        if b <= v:
+            return v
+    raise ValueError(f"bottom {b} > 128")
+
+
 def pick_R(M: int) -> int:
     """Smallest executable row count for an M-element route grid.
 
-    Chooses sizes whose recursion bottoms out on the cheap native ops:
-    R/128^k ends in {2, 4, 8} (one sublane pass) where possible; the
-    in-between sizes use the padded-transpose bottom (t128), whose cost
-    scales with 128/R_k, so the bottom level is rounded up to the next
-    power of two to bound the padding."""
+    Chooses sizes whose recursion bottoms out on the cheap ops (see
+    _BOTTOMS): one native sublane pass, one fused subk pass, or a t128
+    padded at most 2x."""
     r = (M + 127) // 128
     if r <= 1:
         return 1
-    if r <= 8:
-        return 1 << (r - 1).bit_length()   # 2, 4, 8
     if r <= 128:
-        return r
-    if r <= 16384:
-        # R1 = R/128 in [8, 128] (multiples of 8): sublane bottom at 8,
-        # t128 bottom above (pad 128/R1, cheap once R1 is large)
-        return 1024 * ((r + 1023) // 1024)
-    # two levels: round R2 = R/16384 to a power of two so the bottom is
-    # the sublane op ({2,4,8}) instead of a heavily-padded t128 (a t128
-    # at R2=2 pads 64x across three mid passes — measured 37 ms matvecs)
-    r2 = (r + 16383) // 16384
-    r2 = 1 << (r2 - 1).bit_length()
-    return 16384 * r2
+        return _round_bottom(r)
+    if r <= 128 * 128:
+        return 128 * _round_bottom((r + 127) // 128)
+    if r <= 128 * 128 * 128:
+        return 16384 * _round_bottom((r + 16383) // 16384)
+    # three levels (beyond 268M elements)
+    return 16384 * 128 * _round_bottom((r + 16384 * 128 - 1)
+                                       // (16384 * 128))
+
+
+def _R_image() -> List[int]:
+    """All row counts pick_R can return (the executable route grids)."""
+    vals = {1}
+    for scale in (1, 128, 16384, 16384 * 128):
+        vals.update(scale * b for b in _BOTTOMS)
+    return sorted(vals)
+
+
+_R_IMAGE = _R_image()
+
+
+def pick_R_floor(rows: int) -> int:
+    """Largest executable route row count <= ``rows`` (pick_R's image) —
+    the breakpoint a slightly-oversized source grid could be trimmed
+    down to."""
+    i = np.searchsorted(_R_IMAGE, rows, side="right")
+    return _R_IMAGE[max(0, i - 1)]
 
 
 def _color_rows(drow, nv, d, seg=None):
@@ -197,6 +226,7 @@ def plan_route(dst: np.ndarray, R: int) -> List[Tuple]:
 
       ("lane", idx (rows,128))       out[r,l] = x[r, idx[r,l]]
       ("sub",  idx (rows,128))       per (8,128) block: out[s,l]=x[idx[s,l],l]
+      ("subk", idx (rows,128), K)    per (K,128) block, idx group-local
       ("t",    G, R)                 per-group blocked transpose (R%128==0)
       ("tinv", G, R)                 its inverse
       ("t128", G, R)                 per-group (R,128)->(128,R) pad to 128
@@ -265,6 +295,16 @@ def _plan(dst: np.ndarray, G: int, R: int,
         idx[flat.reshape(-1)] = np.broadcast_to(
             (row0 & 7)[:, None], (rows, 128)).reshape(-1)
         ops.append(("sub", idx.reshape(rows, 128)))
+    elif R <= 32 and R % 8 == 0:
+        # one fused subk pass: a K-row within-column perm as K/8 in-VMEM
+        # sublane gathers + selects per output tile — one byte-bound HBM
+        # pass, vs t128's three passes over 128/K-padded data.  Indices
+        # are group-LOCAL (in [0, K)).
+        idx = np.empty(rows * 128, dtype=np.int32)
+        flat = ((drow + grpR[:, None]) << 7) | colors
+        idx[flat.reshape(-1)] = np.broadcast_to(
+            (row0 % R)[:, None], (rows, 128)).reshape(-1)
+        ops.append(("subk", idx.reshape(rows, 128), R))
     elif R <= 128:
         # transpose trick: columns become rows of length R (pad to 128)
         ops.append(("t128", G, R))
@@ -322,6 +362,14 @@ def apply_plan_numpy(x: np.ndarray, ops: List[Tuple]) -> np.ndarray:
                 blk = cur[b * 8:(b + 1) * 8]
                 out[b * 8:(b + 1) * 8] = np.take_along_axis(
                     blk, idx[b * 8:(b + 1) * 8], axis=0)
+            cur = out
+        elif kind == "subk":
+            idx, K = op[1], op[2]
+            out = np.empty_like(cur)
+            for b in range(cur.shape[0] // K):
+                blk = cur[b * K:(b + 1) * K]
+                out[b * K:(b + 1) * K] = np.take_along_axis(
+                    blk, idx[b * K:(b + 1) * K], axis=0)
             cur = out
         elif kind == "t":
             G, R = op[1], op[2]

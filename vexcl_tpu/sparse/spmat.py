@@ -62,8 +62,11 @@ class SpMVExpr(Expr):
             # the plan's static structure (stage kinds, grid sizes) is
             # baked into apply_leaves — two same-shaped SELLR matrices
             # with different plans must not share a kernel
+            ysig = (None if m.device._y_kinds is None
+                    else tuple(m.device._y_kinds))
             extra = hash((tuple(m.device._stage_kinds), m.device._R,
                           m.device._nchunks, m.device.width,
+                          m.device._classes, ysig,
                           m.device.tail is not None))
         else:
             extra = int(getattr(m.device, "tail", None) is not None)
