@@ -67,11 +67,17 @@ print(f"reduce: {red_b/1e6:.0f} MB over {len(A._classes)} class planes")
 if A._y_kinds is not None:
     yb = route_bytes(A._y_kinds, A._y_R, "y: ")
     print(f"y scatter route R={A._y_R}: ~{yb/1e6:.0f} MB")
+xb = 0
+if A._x_kinds is not None:
+    xb = route_bytes(A._x_kinds, A._x_R, "x: ")
+    ndup = 0 if A._dup_idx is None else A._dup_idx.shape[0]
+    print(f"x balance pre-route R={A._x_R}: ~{xb/1e6:.0f} MB "
+          f"(dups={ndup})")
 if A._hot_W is not None:
     print(f"hot plane: {A._hot_W.shape}")
 if A.tail is not None:
     print(f"CSR tail nnz={A.tail.nnz} (~{A.tail.nnz*15e-6:.2f} ms at "
           f"15 ns/entry)")
-grand = tb + ex_b + red_b + (yb if A._y_kinds is not None else 0)
+grand = tb + ex_b + red_b + (yb if A._y_kinds is not None else 0) + xb
 print(f"TOTAL ~{grand/1e9:.2f} GB/matvec -> ~{grand/600e9*1e3:.2f} ms at "
       f"600 GB/s -> ~{2*nnz/(grand/600e9)/1e9:.1f} GFLOP/s byte-bound")

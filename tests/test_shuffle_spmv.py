@@ -123,6 +123,48 @@ def test_sellr_hot_column_dense_plane(rng):
                                rtol=1e-12, atol=1e-12)
 
 
+def test_sellr_width_classes_cover_rows(rng):
+    """Multi-class SELLR: classes partition all n rows, slots fit the
+    route grid, and per-class widths bound the padded row lengths."""
+    n, m = 3000, 3000
+    ptr, col, val = random_csr(n, m, 10, seed=42)
+    A = SELLR(n, m, ptr, col, val)
+    assert A.width == 0  # multi-class sentinel
+    total = sum(nk for _, nk, wk in A._classes)
+    assert total == n
+    offs = [off for off, _, _ in A._classes]
+    assert offs == sorted(offs)
+    last_off, last_nk, last_wk = A._classes[-1]
+    assert last_off + last_nk * last_wk <= A._dst_rows * 128
+
+
+def test_sellr_balanced_source_layout(rng):
+    """The balanced x layout (capacity-packed bins + pre-route) engages
+    when it shrinks the route grid and reproduces the exact product."""
+    n = m = 1000
+    ptr, col, val = random_csr(n, m, 8, seed=1008)
+    A = SELLR(n, m, ptr, col, val)
+    assert A._x_kinds is not None  # balance adopted at this shape
+    x = rng.standard_normal(m)
+    np.testing.assert_allclose(np.asarray(A.apply(x)),
+                               csr_matvec_ref(n, ptr, col, val, x),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_sellr_duplicated_hot_elements(rng, monkeypatch):
+    """Elements hotter than half a bucket split into duplicate copies
+    fetched by a small static gather before the pre-route."""
+    monkeypatch.setenv("VEXTPU_SELLR_HOT_COL", str(1 << 30))
+    n = m = 2000
+    ptr, col, val = random_csr(n, m, 8, seed=17, hot_col=3)
+    A = SELLR(n, m, ptr, col, val)
+    assert A._dup_idx is not None and A._dup_idx.shape[0] > 0
+    x = rng.standard_normal(m)
+    np.testing.assert_allclose(np.asarray(A.apply(x)),
+                               csr_matvec_ref(n, ptr, col, val, x),
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_sellr_lane_skew_spills_to_tail(rng, monkeypatch):
     """With the hot plane disabled, a column referenced by 30% of all
     entries concentrates one (tile, lane) bucket; the per-(tile, lane)

@@ -7,20 +7,26 @@ no hardware gather (XLA's take: ~0.14 Gelem/s at any table size,
 exp/shuffle_probe.py), so instead of gathering x per entry the matvec is
 a fixed sequence of DENSE shuffle passes:
 
-  1. EXPAND   Entries are bucketed by 1024-element x tile at
-              construction; a Pallas kernel fetches each bucket's values
-              from its (8,128) x tile with the two native Mosaic shuffle
-              ops (sublane gather + lane gather), the tile selected per
+  1. BALANCE  (when it shrinks the route grid) x elements are
+              bin-packed into (tile, lane) source buckets by reference
+              count — capacity-aware stratified pairing, overloaded
+              elements duplicated — and a cheap pre-route rearranges x
+              into that layout per matvec (_balance_layout).
+  2. EXPAND   A Pallas kernel fetches each bucket's values from its
+              (8,128) x tile with the two native Mosaic shuffle ops
+              (sublane gather + lane gather), the tile selected per
               chunk via scalar prefetch.
-  2. ROUTE    A static Clos/Benes shuffle network (shuffle_plan.py) —
-              lane-perm passes at ~110 Gelem/s + blocked transposes —
-              permutes the expanded values from bucket order into dense
-              ELL (row-major) order.  The plan is edge-colored once at
-              construction (Konig via Euler splits, C++ fast path).
-  3. REDUCE   y = (routed * val).reshape(n, w).sum(axis=1): a dense,
-              byte-bound row reduction.  Long rows overflow into a
-              recursive compact-row-space tier whose dense result is
-              route-expanded back onto the full row space.
+  3. ROUTE    A static Clos/Benes shuffle network (shuffle_plan.py) —
+              fused lane/sublane-perm passes at ~110 Gelem/s + blocked
+              transposes — permutes the expanded values from bucket
+              order into the width-class destination layout.  The plan
+              is edge-colored once at construction (Konig via Euler
+              splits, C++ fast path).
+  4. REDUCE   Rows sort by length into width classes (SELL-sigma
+              style); per class k a dense byte-bound row sum
+              (routed_k * val_k).reshape(n_k, w_k).sum(axis=1); one
+              small n-element route scatters the concatenated sums
+              back to natural row order.
 
 Random access thus becomes dense data movement — the shape the hardware
 wants.  Measured end to end on a v5e chip this is two orders of magnitude
@@ -615,20 +621,26 @@ class SELLR:
             self._hot_W = to_device(Wp)
             ecol, eval_, erow = ecol[~is_hot], eval_[~is_hot], erow[~is_hot]
 
-        # ---- source buckets (by 1024-element x tile); placement lane is
-        # the entry's col%128, so the two-op tile gather composes without
-        # conflicts; per-(tile, lane) rank gives the row ---------------------
+        # ---- destination size estimate (drives trim + balance choices) -----
+        if single:
+            dst_rows_est = max(1, (self.n * w + 127) // 128)
+        elif len(ecol):
+            elen_full = np.bincount(erow, minlength=self.n)
+            slots0 = sum(nk * wk for _, nk, wk
+                         in _length_classes(np.sort(elen_full)[::-1]))
+            dst_rows_est = max(1, (slots0 + 127) // 128)
+        else:
+            dst_rows_est = 1
+
+        # ---- source buckets (one 1024-element x tile each); the natural
+        # layout places entries at lane = col % 128, so the two-op tile
+        # gather composes without conflicts; per-(tile, lane) rank gives
+        # the row.  The balanced layout (below) re-bins via a pre-route.
         m_pad = ((self.m + TILE - 1) // TILE) * TILE
         ntiles = m_pad // TILE
         tile_id = ecol // TILE
         sub_in_tile = (ecol % TILE) // 128
         lane_in_tile = ecol % 128
-        tl = tile_id * 128 + lane_in_tile
-        o2 = np.argsort(tl, kind="stable")
-        s2 = tl[o2]
-        g2 = np.searchsorted(s2, s2, side="left")
-        rank = np.empty(len(ecol), dtype=np.int64)
-        rank[o2] = np.arange(len(ecol)) - g2
 
         # lane-skew backstop: cap the per-(tile, lane) depth, spill excess
         # to the overflow path (bounded slot inflation)
@@ -641,6 +653,65 @@ class SELLR:
             mean_depth = max(1.0, len(ecol) / max(1, ntiles * 128))
             cap = int(max(1024, 16 * mean_depth))
         self._chunk_rows = chunk_rows
+
+        # ---- balanced source layout: adopt when it shrinks the route ------
+        self._x_kinds = None
+        self._x_arrays = ()
+        self._x_R = 0
+        self._dup_idx = None
+        if uniform is None and not premeter and len(ecol):
+            tl = tile_id * 128 + lane_in_tile
+            depth_nat = np.minimum(
+                np.bincount(tl, minlength=ntiles * 128), cap
+            ).reshape(ntiles, 128).max(axis=1)
+            src_nat = int(((depth_nat + chunk_rows - 1) // chunk_rows
+                           ).sum()) * chunk_rows
+            R_nat = pick_R(max(dst_rows_est, max(1, src_nat)) * 128)
+            bal = _balance_layout(ecol, self.m, chunk_rows)
+            if bal is not None:
+                (tile_b, sub_b, lane_b, ntiles_b, cap_b, el2slot,
+                 dup_src, m_eff, spill_est) = bal
+                tl_b = tile_b * 128 + lane_b
+                depth_b = np.minimum(
+                    np.bincount(tl_b, minlength=ntiles_b * 128), cap_b
+                ).reshape(ntiles_b, 128).max(axis=1)
+                src_bal = int(((depth_b + chunk_rows - 1) // chunk_rows
+                               ).sum()) * chunk_rows
+                R_bal = pick_R(max(dst_rows_est, max(1, src_bal)) * 128)
+                # ~6 pre-route passes over m elements vs ~5 route passes
+                # over the grid difference; reject if the hard per-bin
+                # capacity would push too many entries to the CSR tail
+                if (R_bal < R_nat
+                        and 5 * (R_nat - R_bal) * 128
+                        > 6 * ntiles_b * TILE
+                        and spill_est <= min(
+                            max(4096, len(ecol) // 256),
+                            max(256, len(ecol) // 8))):
+                    tile_id, sub_in_tile, lane_in_tile = (
+                        tile_b, sub_b, lane_b)
+                    ntiles, cap = ntiles_b, cap_b
+                    R_x = pick_R(ntiles_b * TILE)
+                    dst_x = np.empty(R_x * 128, dtype=np.int64)
+                    dst_x[:m_eff] = el2slot
+                    used_x = np.zeros(R_x * 128, dtype=bool)
+                    used_x[el2slot] = True
+                    dst_x[m_eff:] = np.nonzero(~used_x)[0][
+                        : R_x * 128 - m_eff]
+                    xops = fuse_stages(plan_route(dst_x, R_x))
+                    self._x_kinds, x_arr = split_stage_ops(xops)
+                    self._x_arrays = tuple(jnp.asarray(a) for a in x_arr)
+                    self._x_R = R_x
+                    self._m_eff = m_eff
+                    if len(dup_src):
+                        self._dup_idx = jnp.asarray(
+                            dup_src.astype(np.int32))
+
+        tl = tile_id * 128 + lane_in_tile
+        o2 = np.argsort(tl, kind="stable")
+        s2 = tl[o2]
+        g2 = np.searchsorted(s2, s2, side="left")
+        rank = np.empty(len(ecol), dtype=np.int64)
+        rank[o2] = np.arange(len(ecol)) - g2
         cnt_tl = np.bincount(tl, minlength=ntiles * 128)
 
         # per-tile row allowance (max capped lane depth, rounded to whole
@@ -649,16 +720,6 @@ class SELLR:
         allow_t = depth_tl.max(axis=1)
         allow_t = ((allow_t + chunk_rows - 1) // chunk_rows) * chunk_rows
         if uniform is None and not premeter:
-            # estimate the destination grid (pre-trim upper bound) to see
-            # whether shaving a few source chunks avoids a pick_R jump
-            if single:
-                dst_rows_est = max(1, (self.n * w + 127) // 128)
-            else:
-                elen0 = np.bincount(erow[rank < cap], minlength=self.n)
-                slots0 = sum(
-                    nk * wk for _, nk, wk
-                    in _length_classes(np.sort(elen0)[::-1]))
-                dst_rows_est = max(1, (slots0 + 127) // 128)
             # spill budget: a CSR-tail entry costs ~15 ns, a route-grid
             # level jump ~1 ms — but never degrade more than 1/8 of the
             # entries to the gather path
@@ -832,7 +893,10 @@ class SELLR:
 
     def leaves(self) -> Tuple:
         out = (self._tile_of_chunk, self._sub_idx, self._lane_idx,
-               self._val) + self._stage_arrays + self._y_arrays
+               self._val) + self._stage_arrays + self._y_arrays \
+            + self._x_arrays
+        if self._dup_idx is not None:
+            out = out + (self._dup_idx,)
         if self._hot_W is not None:
             out = out + (self._hot_idx, self._hot_W)
         if self.tail is not None:
@@ -848,11 +912,29 @@ class SELLR:
         if ny:
             ystages = join_stage_ops(self._y_kinds, rest[:ny])
             rest = rest[ny:]
+        nx = len(self._x_arrays)
+        if nx:
+            xstages = join_stage_ops(self._x_kinds, rest[:nx])
+            rest = rest[nx:]
+        if self._dup_idx is not None:
+            dup_idx = rest[0]
+            rest = rest[1:]
         interpret = config.pallas_interpret()
         n = self.n
-        xpad = jnp.pad(x.reshape(-1),
-                       (0, self._xpad_tiles * TILE - x.shape[0]))
-        xt = xpad.reshape(self._xpad_tiles * 8, 128)
+        if self._x_kinds is not None:
+            # balanced source layout: duplicate the overloaded elements
+            # (small static gather), pre-route x into the packed bins
+            xflat = x.reshape(-1)
+            if self._dup_idx is not None:
+                xflat = jnp.concatenate(
+                    [xflat, jnp.take(xflat, dup_idx, axis=0)])
+            xpad = jnp.pad(xflat, (0, self._x_R * 128 - xflat.shape[0]))
+            xr = _apply_route(xpad.reshape(-1, 128), xstages, interpret)
+            xt = xr[: self._xpad_tiles * 8]
+        else:
+            xpad = jnp.pad(x.reshape(-1),
+                           (0, self._xpad_tiles * TILE - x.shape[0]))
+            xt = xpad.reshape(self._xpad_tiles * 8, 128)
         g = _expand_gather(xt, tile_of_chunk, sub_idx, lane_idx,
                            self._nchunks, chunk_rows=self._chunk_rows,
                            interpret=interpret)
@@ -884,6 +966,86 @@ class SELLR:
 
     def apply(self, x):
         return self.apply_leaves(self.leaves(), x)
+
+
+def _balance_layout(ecol, m, chunk_rows):
+    """Bin-pack the x elements into (tile, lane) source buckets by
+    reference count.
+
+    The expand gather reads each entry's value through (tile, sub, lane)
+    indices WE choose, so the bucket does not have to be the column's
+    natural position (lane = col % 128): a cheap per-matvec pre-route
+    (~6 passes over m elements) rearranges x into a layout where every
+    (tile, lane) bucket carries ~the mean depth — elements sorted by
+    reference count, snake round-robin across the bins, elements hotter
+    than half a bucket split into duplicate copies (a small static
+    jnp.take materializes the copies before the pre-route).  The natural
+    layout's per-bucket depth skew padded the source grid ~25% on the
+    16.8M-nnz bench matrix (src_rows 167520 vs the 131072 breakpoint),
+    doubling every route pass.
+
+    Returns (tile_id, sub, lane, ntiles, cap, el2slot, dup_src, m_eff)
+    for the caller to adopt if it shrinks the route grid, else None.
+    """
+    entries = len(ecol)
+    if entries == 0:
+        return None
+    cnt_el = np.bincount(ecol, minlength=m).astype(np.int64)
+    ntiles0 = (m + TILE - 1) // TILE
+    C0 = -(-entries // (ntiles0 * 128))
+    C_t = max(chunk_rows,
+              ((C0 + chunk_rows - 1) // chunk_rows) * chunk_rows)
+    S = max(1, C_t // 2)
+    # split overloaded elements into <= S-reference copies
+    hvy = np.nonzero(cnt_el > S)[0]
+    ncop = -(-cnt_el[hvy] // S)
+    ndup = int((ncop - 1).sum())
+    m_eff = m + ndup
+    ntiles = (m_eff + TILE - 1) // TILE
+    nbins = ntiles * 128
+    # packing weight per xdup position
+    w_all = np.empty(m_eff, dtype=np.int64)
+    w_all[:m] = cnt_el
+    dup_src = np.repeat(hvy, ncop - 1)
+    if ndup:
+        w_all[hvy] = S
+        w_ex = np.full(ndup, S, dtype=np.int64)
+        ex_rel = np.concatenate([[0], np.cumsum(ncop - 1)[:-1]])
+        w_ex[ex_rel + ncop - 2] = cnt_el[hvy] - (ncop - 1) * S
+        w_all[m:] = w_ex
+    # stratified pairing: 8 rounds, each pairing the next nbins heaviest
+    # elements against the bins sorted by current load ASCENDING.  Loads
+    # stay within ~the last round's weight spread of the mean, i.e.
+    # (almost) under C_t — so every tile's row allowance is exactly C_t
+    # with no chunk-quantization waste; the residue spills via cap=C_t.
+    order_w = np.argsort(-w_all, kind="stable")
+    loads = np.zeros(nbins, dtype=np.int64)
+    el2slot = np.empty(m_eff, dtype=np.int64)
+    for rnd in range(8):
+        seg = order_w[rnd * nbins: (rnd + 1) * nbins]
+        if not len(seg):
+            break
+        ob = np.argsort(loads, kind="stable")[: len(seg)]
+        loads[ob] += w_all[seg]
+        el2slot[seg] = (ob // 128) * TILE + rnd * 128 + (ob % 128)
+    spill_est = int(np.maximum(loads - C_t, 0).sum())
+    # per-entry owner copy: the j-th reference of element c reads copy
+    # j // S (0 = the base position, k >= 1 the k-th duplicate)
+    if ndup:
+        oE = np.argsort(ecol, kind="stable")
+        sE = ecol[oE]
+        gE = np.searchsorted(sE, sE, side="left")
+        occ = np.empty(entries, dtype=np.int64)
+        occ[oE] = np.arange(entries) - gE
+        ex_start = np.full(m, -1, dtype=np.int64)
+        ex_start[hvy] = m + ex_rel
+        cidx = occ // S
+        owner = np.where(cidx == 0, ecol, ex_start[ecol] + cidx - 1)
+    else:
+        owner = ecol
+    sl = el2slot[owner]
+    return (sl // TILE, (sl % TILE) // 128, sl % 128, ntiles,
+            C_t, el2slot, dup_src, m_eff, spill_est)
 
 
 _EXACT_W = 32        # class widths are exact up to here

@@ -64,9 +64,12 @@ class SpMVExpr(Expr):
             # with different plans must not share a kernel
             ysig = (None if m.device._y_kinds is None
                     else tuple(m.device._y_kinds))
+            xsig = (None if m.device._x_kinds is None
+                    else (tuple(m.device._x_kinds), m.device._x_R,
+                          m.device._dup_idx is not None))
             extra = hash((tuple(m.device._stage_kinds), m.device._R,
                           m.device._nchunks, m.device.width,
-                          m.device._classes, ysig,
+                          m.device._classes, ysig, xsig,
                           m.device.tail is not None))
         else:
             extra = int(getattr(m.device, "tail", None) is not None)
