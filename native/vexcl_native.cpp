@@ -138,6 +138,48 @@ void philox4x32_host(int64_t n, uint32_t k0, uint32_t k1, uint32_t* out) {
 }
 
 
+// Rank-within-group: rank[i] = #{j < i : keys[j] == keys[i]}.  One pass
+// with a counter array indexed by key (keys in [0, nkeys)).  Replaces the
+// numpy argsort+searchsorted rank pattern, which cost ~7 s per 16.8M call
+// on the bench host (the counter array is cache-resident at the SELLR
+// planner's key ranges: tiles*128 or row counts).
+void group_rank_i32(int64_t E, const int32_t* keys, int64_t nkeys,
+                    int32_t* rank) {
+  std::vector<int32_t> cnt((size_t)nkeys, 0);
+  for (int64_t i = 0; i < E; ++i) rank[i] = cnt[keys[i]]++;
+}
+
+// Fused CSR row expansion: rows_of[k] = row of entry k, within[k] = its
+// slot index inside the row.  One streaming pass (numpy: two np.repeat +
+// an arange subtract, ~7 s at 16.8M on the bench host).
+void expand_rows_i32(int64_t n, const int64_t* ptr, int32_t* rows_of,
+                     int32_t* within) {
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t b = ptr[i], e = ptr[i + 1];
+    for (int64_t k = b; k < e; ++k) {
+      rows_of[k] = (int32_t)i;
+      within[k] = (int32_t)(k - b);
+    }
+  }
+}
+
+// Complete a partial permutation: dst[i] < 0 slots are filled with the
+// unused destination values in ascending order.  Replaces a numpy
+// nonzero/bool-mask/nonzero chain (~3 random passes over the grid).
+void perm_complete_i32(int64_t M, int32_t* dst) {
+  std::vector<uint64_t> used((size_t)((M + 63) >> 6), 0);
+  for (int64_t i = 0; i < M; ++i) {
+    int64_t d = dst[i];
+    if (d >= 0) used[d >> 6] |= (uint64_t)1 << (d & 63);
+  }
+  int64_t nf = 0;
+  for (int64_t i = 0; i < M; ++i) {
+    if (dst[i] >= 0) continue;
+    while (used[nf >> 6] >> (nf & 63) & 1) ++nf;
+    dst[i] = (int32_t)nf++;
+  }
+}
+
 // Scatter-add with duplicate accumulation: out[idx[i]] += val[i].
 // Serial per pass but memory-speed; used by the DIA builder when CSR input
 // carries duplicate cells (numpy's bincount-with-weights measured
@@ -180,6 +222,7 @@ struct SegColorScratch {
   std::vector<int32_t> vcur, vend, vfill;     // per-vertex slot cursors
   std::vector<int32_t> touched;               // touched vertex list
   std::vector<uint64_t> used, fwd;            // bitmasks over local edges
+  std::vector<int32_t> trail_of;              // multi-trail: edge -> trail
 };
 
 inline bool bit_get(const uint64_t* b, int32_t i) {
@@ -189,10 +232,10 @@ inline void bit_set(uint64_t* b, int32_t i) {
   b[i >> 6] |= uint64_t(1) << (i & 63);
 }
 
-// Orient one group: local edges (u[i], v[i]) for i in [0, m); all degrees
-// even.  Sets S.fwd bit = edge oriented src->dst.
-void euler_orient(SegColorScratch& S, const int32_t* u, const int32_t* v,
-                  int32_t m, int32_t nv) {
+// Build the per-group incidence CSR + clear bitmasks; shared by both
+// walk variants.
+void build_incidence(SegColorScratch& S, const int32_t* u,
+                     const int32_t* v, int32_t m, int32_t nv) {
   S.touched.clear();
   // degree count (vend doubles as the counter; zeroed invariantly)
   for (int32_t i = 0; i < m; ++i) {
@@ -219,6 +262,13 @@ void euler_orient(SegColorScratch& S, const int32_t* u, const int32_t* v,
   const int32_t nw = (m + 63) >> 6;
   std::fill(S.used.begin(), S.used.begin() + nw, 0);
   std::fill(S.fwd.begin(), S.fwd.begin() + nw, 0);
+}
+
+// Orient one group: local edges (u[i], v[i]) for i in [0, m); all degrees
+// even.  Sets S.fwd bit = edge oriented src->dst.
+void euler_orient(SegColorScratch& S, const int32_t* u, const int32_t* v,
+                  int32_t m, int32_t nv) {
+  build_incidence(S, u, v, m, nv);
   uint64_t* ub = S.used.data();
   uint64_t* fb = S.fwd.data();
   for (int32_t i0 = 0; i0 < m; ++i0) {
@@ -239,6 +289,148 @@ void euler_orient(SegColorScratch& S, const int32_t* u, const int32_t* v,
     }
   }
   for (int32_t t : S.touched) S.vend[t] = 0;  // restore the invariant
+}
+
+// Multi-trail orientation for LARGE groups.  The single walker chases one
+// pointer at a time through a slots array far bigger than cache, so the
+// level runs at ~1 serialized cache miss per edge (measured 28.5 s for
+// the unsegmented 16.8M-edge coloring vs 6.5 s cache-resident).  K
+// interleaved walkers keep K misses in flight (memory-level parallelism).
+// Each walker lays down a greedy trail; a trail is a closed circuit
+// unless walkers collide at a vertex whose free degree ran out (rare).
+// A repair pass Euler-orients the tiny multigraph of OPEN trails (open-
+// endpoint degrees are even at every vertex by the handshake argument)
+// and flips the trails traversed against that orientation — per-vertex
+// in==out then holds globally, which is all the Euler split needs.
+void euler_orient_mt(SegColorScratch& S, const int32_t* u, const int32_t* v,
+                     int32_t m, int32_t nv) {
+  build_incidence(S, u, v, m, nv);
+  uint64_t* ub = S.used.data();
+  uint64_t* fb = S.fwd.data();
+  if ((int64_t)S.trail_of.size() < (int64_t)m) S.trail_of.resize(m);
+  int32_t* trail_of = S.trail_of.data();
+  const uint64_t* slots = S.slots.data();
+
+  constexpr int K = 8;
+  int32_t wx[K], wtrail[K];
+  std::vector<int32_t> tstart, tend;
+  int64_t seed = 0;
+  int active = 0;
+  auto grab_seed = [&](int k) -> bool {
+    while (seed < m && bit_get(ub, (int32_t)seed)) ++seed;
+    if (seed >= m) return false;
+    const int32_t x = u[seed];
+    ++seed;  // a start hint only; the edge is consumed by the walk itself
+    wx[k] = x;
+    wtrail[k] = (int32_t)tstart.size();
+    tstart.push_back(x);
+    tend.push_back(-1);
+    return true;
+  };
+  for (int k = 0; k < K; ++k) {
+    if (!grab_seed(k)) break;
+    ++active;
+  }
+  while (active > 0) {
+    for (int k = 0; k < active;) {
+      const int32_t x = wx[k];
+      int32_t c = S.vcur[x];
+      const int32_t e = S.vend[x];
+      uint64_t s = 0;
+      while (c < e && bit_get(ub, (int32_t)((uint32_t)(s = slots[c]) >> 1)))
+        ++c;
+      S.vcur[x] = c;
+      if (c >= e) {
+        tend[wtrail[k]] = x;
+        if (!grab_seed(k)) {
+          --active;  // retire the slot: swap in the last active walker
+          wx[k] = wx[active];
+          wtrail[k] = wtrail[active];
+          continue;  // re-run slot k with the swapped-in walker
+        }
+        ++k;
+        continue;
+      }
+      const int32_t ei = (int32_t)((uint32_t)s >> 1);
+      bit_set(ub, ei);
+      if (s & 1) bit_set(fb, ei);
+      trail_of[ei] = wtrail[k];
+      const int32_t nx = (int32_t)(s >> 32);
+      wx[k] = nx;
+      __builtin_prefetch(&slots[S.vcur[nx]]);
+      ++k;
+    }
+  }
+  for (int32_t t : S.touched) S.vend[t] = 0;  // restore the invariant
+
+  // ---- repair: orient the open-trail multigraph, flip backward trails
+  const int32_t nt = (int32_t)tstart.size();
+  std::vector<int32_t> open;
+  for (int32_t t = 0; t < nt; ++t)
+    if (tend[t] >= 0 && tend[t] != tstart[t]) open.push_back(t);
+  if (open.empty()) return;
+  const int32_t no = (int32_t)open.size();
+  std::vector<int32_t> tu(no), tv(no);
+  {
+    std::vector<int32_t> all;
+    all.reserve(2 * no);
+    for (int32_t t : open) {
+      all.push_back(tstart[t]);
+      all.push_back(tend[t]);
+    }
+    std::sort(all.begin(), all.end());
+    all.erase(std::unique(all.begin(), all.end()), all.end());
+    for (int32_t i = 0; i < no; ++i) {
+      tu[i] = (int32_t)(std::lower_bound(all.begin(), all.end(),
+                                         tstart[open[i]]) - all.begin());
+      tv[i] = (int32_t)(std::lower_bound(all.begin(), all.end(),
+                                         tend[open[i]]) - all.begin());
+    }
+    // trail-graph vertex count
+    const int32_t tnv = (int32_t)all.size();
+    std::vector<int32_t> deg(tnv + 1, 0), cur(tnv), fill(tnv);
+    for (int32_t i = 0; i < no; ++i) {
+      ++deg[tu[i] + 1];
+      ++deg[tv[i] + 1];
+    }
+    for (int32_t x = 0; x < tnv; ++x) deg[x + 1] += deg[x];
+    std::vector<uint64_t> tslots(2 * no);
+    for (int32_t x = 0; x < tnv; ++x) fill[x] = cur[x] = deg[x];
+    for (int32_t i = 0; i < no; ++i) {
+      tslots[fill[tu[i]]++] =
+          ((uint64_t)(uint32_t)tv[i] << 32) | ((uint32_t)i << 1) | 1u;
+      tslots[fill[tv[i]]++] =
+          ((uint64_t)(uint32_t)tu[i] << 32) | ((uint32_t)i << 1);
+    }
+    std::vector<uint64_t> tused((no + 63) >> 6, 0);
+    std::vector<uint64_t> tflip(((int64_t)nt + 63) >> 6, 0);
+    bool any_flip = false;
+    for (int32_t i0 = 0; i0 < no; ++i0) {
+      if (bit_get(tused.data(), i0)) continue;
+      int32_t x = tu[i0];
+      for (;;) {
+        int32_t c = cur[x], e = deg[x + 1];
+        uint64_t s = 0;
+        while (c < e &&
+               bit_get(tused.data(),
+                       (int32_t)((uint32_t)(s = tslots[c]) >> 1)))
+          ++c;
+        cur[x] = c;
+        if (c >= e) break;
+        const int32_t ti = (int32_t)((uint32_t)s >> 1);
+        bit_set(tused.data(), ti);
+        if (!(s & 1)) {  // traversed end->start: flip the whole trail
+          bit_set(tflip.data(), open[ti]);
+          any_flip = true;
+        }
+        x = (int32_t)(s >> 32);
+      }
+    }
+    if (!any_flip) return;
+    for (int32_t ei = 0; ei < m; ++ei)
+      if (bit_get(tflip.data(), trail_of[ei]))
+        fb[ei >> 6] ^= (uint64_t)1 << (ei & 63);
+  }
 }
 
 // Shared Euler-split level loop: scratch arrives with eu/ev/eid filled.
@@ -263,7 +455,14 @@ void run_color_levels(SegColorScratch& S, int64_t E, int32_t nv, int32_t d,
     for (size_t g = 0; g + 1 < offs.size(); ++g) {
       const int64_t s0 = offs[g];
       const int32_t m = (int32_t)(offs[g + 1] - s0);
-      euler_orient(S, S.eu.data() + s0, S.ev.data() + s0, m, nv);
+      // multi-trail walk once the group's working set exceeds cache
+      // (the 16 MB slots of a 1M-edge group already miss on this host's
+      // small L3 share: measured 3.3 s/level simple vs 0.2 s mt); below
+      // ~32K edges the trail bookkeeping outweighs the hidden latency
+      if (m > (1 << 15))
+        euler_orient_mt(S, S.eu.data() + s0, S.ev.data() + s0, m, nv);
+      else
+        euler_orient(S, S.eu.data() + s0, S.ev.data() + s0, m, nv);
       // compact: fwd half to [s0, s0+m/2), rest to [s0+m/2, s0+m)
       int64_t wf = s0, wb = s0 + m / 2;
       const uint64_t* fb = S.fwd.data();

@@ -168,6 +168,25 @@ def test_random_matrix_not_dia(ctx, rng):
     assert A.device.format in ("csr", "ell", "hyb")
 
 
+def test_sellr_fallback_warns(ctx, rng, monkeypatch):
+    """A >1M-nnz irregular matrix silently degrading to the gather hybrid
+    (~0.14 Gelem/s on TPU) must warn loudly (VERDICT r4 #3); the SELL-R
+    default is only capped by VEXTPU_SELLR_AUTO_MAX."""
+    import jax
+
+    n, w = 1 << 16, 17  # nnz just above the 1M warning threshold
+    ptr = np.arange(n + 1, dtype=np.int64) * w
+    col = rng.integers(0, n, n * w).astype(np.int32)
+    val = np.ones(n * w, dtype=np.float32)
+    monkeypatch.setenv("VEXTPU_SELLR_AUTO_MAX", "1000")
+    # the warning fires on the accelerator path; the CPU backend routes
+    # to CSR before the cap check, so drive the policy branch directly
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.warns(UserWarning, match="gather hybrid"):
+        A = vex.SpMat(n, n, ptr, col, val, fmt=None, context=ctx)
+    assert A.device.format == "hyb"
+
+
 def test_distributed_banded_halo_exchange(ctx):
     """Banded distributed SpMV: ghost exchange is neighbor-only ppermute
     halos (minimal ghost sets, like spmat.hpp setup_exchange) instead of

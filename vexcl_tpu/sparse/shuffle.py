@@ -46,6 +46,7 @@ import jax.experimental.pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import config
+from ..utils.native import expand_rows, group_rank, perm_complete
 from ..utils.util import to_device
 import os
 
@@ -575,11 +576,15 @@ class SELLR:
         # stop after measuring the natural sizes (premeter_src_rows,
         # premeter_tail_nnz) used to compute the forced maxima.
         ptr = np.asarray(ptr, dtype=np.int64)
-        col = np.asarray(col, dtype=np.int64)
+        col = np.asarray(col)
         val = np.asarray(val)
         self.n = int(n)
         self.m = int(m)
         self.nnz = int(ptr[-1])
+        if self.nnz >= 2**31 or max(self.n, self.m) >= 2**31:
+            raise ValueError("SELLR host planner is int32-indexed "
+                             "(nnz and dims must be < 2^31)")
+        col = col.astype(np.int32, copy=False)
         row_len = np.diff(ptr)
 
         # single-width mode (explicit width / uniform distributed shards):
@@ -593,14 +598,20 @@ class SELLR:
         self.width = w
 
         # ---- split ELL part vs row overflow --------------------------------
-        keep = np.minimum(row_len, w) if single else row_len
-        within = np.arange(len(col)) - np.repeat(ptr[:-1], row_len)
-        rows_of = np.repeat(np.arange(self.n), row_len)
-        in_ell = within < np.repeat(keep, row_len)
-
-        ecol = col[in_ell]
-        eval_ = val[in_ell]
-        erow = rows_of[in_ell]
+        # all host index math is int32 + native counting passes: the r4
+        # int64/argsort pipeline cost 85-98 s at 16M nnz (VERDICT r4 #3)
+        rows_of, within = expand_rows(ptr)
+        if single:
+            in_ell = within < np.minimum(row_len, w).astype(
+                np.int32)[rows_of]
+            ecol = col[in_ell]
+            eval_ = val[in_ell]
+            erow = rows_of[in_ell]
+        else:
+            in_ell = None  # every entry rides the width-class planes
+            ecol = col
+            eval_ = val
+            erow = rows_of
 
         # ---- hot columns -> dense rank-k plane ------------------------------
         hot_min = int(os.environ.get("VEXTPU_SELLR_HOT_COL", "2048"))
@@ -612,7 +623,9 @@ class SELLR:
         self._hot_idx = None
         self._hot_W = None
         if len(hot_cols):
-            is_hot = np.isin(ecol, hot_cols)
+            hot_mask = np.zeros(self.m, dtype=bool)
+            hot_mask[hot_cols] = True
+            is_hot = hot_mask[ecol]
             Wp = np.zeros((self.n, len(hot_cols)), dtype=val.dtype)
             hr = erow[is_hot]
             hc = np.searchsorted(hot_cols, ecol[is_hot])
@@ -691,12 +704,9 @@ class SELLR:
                         tile_b, sub_b, lane_b)
                     ntiles, cap = ntiles_b, cap_b
                     R_x = pick_R(ntiles_b * TILE)
-                    dst_x = np.empty(R_x * 128, dtype=np.int64)
+                    dst_x = np.full(R_x * 128, -1, dtype=np.int32)
                     dst_x[:m_eff] = el2slot
-                    used_x = np.zeros(R_x * 128, dtype=bool)
-                    used_x[el2slot] = True
-                    dst_x[m_eff:] = np.nonzero(~used_x)[0][
-                        : R_x * 128 - m_eff]
+                    perm_complete(dst_x)
                     xops = fuse_stages(plan_route(dst_x, R_x))
                     self._x_kinds, x_arr = split_stage_ops(xops)
                     self._x_arrays = tuple(jnp.asarray(a) for a in x_arr)
@@ -707,11 +717,7 @@ class SELLR:
                             dup_src.astype(np.int32))
 
         tl = tile_id * 128 + lane_in_tile
-        o2 = np.argsort(tl, kind="stable")
-        s2 = tl[o2]
-        g2 = np.searchsorted(s2, s2, side="left")
-        rank = np.empty(len(ecol), dtype=np.int64)
-        rank[o2] = np.arange(len(ecol)) - g2
+        rank = group_rank(tl, ntiles * 128)
         cnt_tl = np.bincount(tl, minlength=ntiles * 128)
 
         # per-tile row allowance (max capped lane depth, rounded to whole
@@ -736,25 +742,26 @@ class SELLR:
             tile_id, sub_in_tile = tile_id[ks], sub_in_tile[ks]
             lane_in_tile, rank = lane_in_tile[ks], rank[ks]
 
+        n_clip = 0 if in_ell is None else int(len(col) - in_ell.sum())
         if premeter:
             sr = int(max(1, allow_t.sum()))
             self.premeter_src_rows = (
                 (sr + chunk_rows - 1) // chunk_rows) * chunk_rows
-            self.premeter_tail_nnz = int((~in_ell).sum() + len(sp_col))
+            self.premeter_tail_nnz = n_clip + len(sp_col)
             return
 
         # ---- overflow (clipped long rows + spills) -> CSR tail --------------
-        ek = np.zeros(len(ecol), dtype=np.int64)  # slot within row
         # recompute slot-within-row for the surviving routed entries
-        o3 = np.argsort(erow, kind="stable")
-        s3 = erow[o3]
-        g3 = np.searchsorted(s3, s3, side="left")
-        ek[o3] = np.arange(len(erow)) - g3
+        ek = group_rank(erow, self.n)
 
         self.tail = None
-        ocol = np.concatenate([col[~in_ell], sp_col])
-        oval = np.concatenate([val[~in_ell], sp_val])
-        orow = np.concatenate([rows_of[~in_ell], sp_row])
+        if n_clip:
+            over = ~in_ell
+            ocol = np.concatenate([col[over], sp_col])
+            oval = np.concatenate([val[over], sp_val])
+            orow = np.concatenate([rows_of[over], sp_row])
+        else:
+            ocol, oval, orow = sp_col, sp_val, sp_row
         if uniform is not None:
             tnnz = uniform["tail_nnz"]
             assert len(ocol) <= tnnz
@@ -780,8 +787,8 @@ class SELLR:
 
         # ---- bucket rows & gather planes ------------------------------------
         bucket_rows = allow_t
-        row_off = np.zeros(ntiles, dtype=np.int64)
-        row_off[1:] = np.cumsum(bucket_rows)[:-1]
+        row_off = np.zeros(ntiles, dtype=np.int32)
+        row_off[1:] = np.cumsum(bucket_rows)[:-1].astype(np.int32)
         src_rows = int(max(1, bucket_rows.sum()))
         src_rows = ((src_rows + chunk_rows - 1) // chunk_rows) * chunk_rows
         if uniform is not None:
@@ -792,32 +799,35 @@ class SELLR:
         tile_of_chunk[: int((bucket_rows // chunk_rows).sum())] = np.repeat(
             np.arange(ntiles), bucket_rows // chunk_rows).astype(np.int32)
 
-        src_row = row_off[tile_id] + rank
-        src_flat = src_row * 128 + lane_in_tile
+        src_flat = ((row_off[tile_id] + rank) * np.int32(128)
+                    + lane_in_tile)
 
-        sub_plane = np.zeros((src_rows, 128), dtype=np.int32)
-        sub_plane[src_row, lane_in_tile] = sub_in_tile.astype(np.int32)
+        sub_plane = np.zeros(src_rows * 128, dtype=np.int32)
+        sub_plane[src_flat] = sub_in_tile.astype(np.int32)
+        sub_plane = sub_plane.reshape(src_rows, 128)
 
         # ---- width classes & destination slot layout -------------------------
         if single:
             self._classes = ((0, self.n, w),)
             self._row_order = None
-            dst_flat_e = (erow * w + ek).astype(np.int64)
             slots = self.n * w
+            assert slots < 2**31
+            dst_flat_e = erow * np.int32(w) + ek
         else:
             elen = np.bincount(erow, minlength=self.n)
             row_order = np.argsort(-elen, kind="stable").astype(np.int64)
             sl = elen[row_order]
             classes = _length_classes(sl)
-            base_sorted = np.empty(self.n, dtype=np.int64)
+            base_sorted = np.empty(self.n, dtype=np.int32)
             cls = []
             off = 0
             for start, nk, wk in classes:
                 base_sorted[start:start + nk] = (
-                    off + np.arange(nk, dtype=np.int64) * wk)
+                    off + np.arange(nk, dtype=np.int32) * wk)
                 cls.append((off, nk, wk))
                 off += nk * wk
             slots = off
+            assert slots < 2**31
             self._classes = tuple(cls)
             pos_of_row = np.empty(self.n, dtype=np.int64)
             pos_of_row[row_order] = np.arange(self.n)
@@ -831,12 +841,9 @@ class SELLR:
         assert R >= max(src_rows, dst_rows)
         M_route = R * 128
 
-        dst = np.full(M_route, -1, dtype=np.int64)
+        dst = np.full(M_route, -1, dtype=np.int32)
         dst[src_flat] = dst_flat_e
-        free_src = np.nonzero(dst < 0)[0]
-        used_dst = np.zeros(M_route, dtype=bool)
-        used_dst[dst_flat_e] = True
-        dst[free_src] = np.nonzero(~used_dst)[0]
+        perm_complete(dst)
         # free-lanes plan: the expand gather can place each entry at ANY
         # lane of its source row, so the route's top A pass folds into
         # the lane gather the expand already does (one full HBM pass
@@ -845,12 +852,14 @@ class SELLR:
         # for a two-level route)
         lanes, stages = plan_route_free_lanes(dst, R)
         stages = fuse_stages(stages)
-        lanes2 = lanes.reshape(R, 128)[:src_rows].astype(np.int64)
-        lane_plane = np.empty((src_rows, 128), dtype=np.int32)
-        np.put_along_axis(
-            lane_plane, lanes2,
+        lanes2 = lanes.reshape(R, 128)[:src_rows]
+        lane_plane = np.empty(src_rows * 128, dtype=np.int32)
+        pos = (np.arange(src_rows, dtype=np.int32)[:, None] * np.int32(128)
+               + lanes2)
+        lane_plane[pos.reshape(-1)] = np.ascontiguousarray(
             np.broadcast_to(np.arange(128, dtype=np.int32),
-                            (src_rows, 128)), axis=1)
+                            (src_rows, 128))).reshape(-1)
+        lane_plane = lane_plane.reshape(src_rows, 128)
 
         # ---- device arrays ---------------------------------------------------
         self._xpad_tiles = ntiles
@@ -879,9 +888,9 @@ class SELLR:
                 and not np.array_equal(self._row_order,
                                        np.arange(self.n))):
             Ry = pick_R(self.n)
-            dst_y = np.empty(Ry * 128, dtype=np.int64)
+            dst_y = np.empty(Ry * 128, dtype=np.int32)
             dst_y[: self.n] = self._row_order
-            dst_y[self.n:] = np.arange(self.n, Ry * 128)
+            dst_y[self.n:] = np.arange(self.n, Ry * 128, dtype=np.int32)
             yops = fuse_stages(plan_route(dst_y, Ry))
             self._y_kinds, y_arr = split_stage_ops(yops)
             self._y_arrays = tuple(jnp.asarray(a) for a in y_arr)
@@ -1020,26 +1029,22 @@ def _balance_layout(ecol, m, chunk_rows):
     # with no chunk-quantization waste; the residue spills via cap=C_t.
     order_w = np.argsort(-w_all, kind="stable")
     loads = np.zeros(nbins, dtype=np.int64)
-    el2slot = np.empty(m_eff, dtype=np.int64)
+    el2slot = np.empty(m_eff, dtype=np.int32)
     for rnd in range(8):
         seg = order_w[rnd * nbins: (rnd + 1) * nbins]
         if not len(seg):
             break
-        ob = np.argsort(loads, kind="stable")[: len(seg)]
+        ob = np.argsort(loads, kind="stable")[: len(seg)].astype(np.int32)
         loads[ob] += w_all[seg]
         el2slot[seg] = (ob // 128) * TILE + rnd * 128 + (ob % 128)
     spill_est = int(np.maximum(loads - C_t, 0).sum())
     # per-entry owner copy: the j-th reference of element c reads copy
     # j // S (0 = the base position, k >= 1 the k-th duplicate)
     if ndup:
-        oE = np.argsort(ecol, kind="stable")
-        sE = ecol[oE]
-        gE = np.searchsorted(sE, sE, side="left")
-        occ = np.empty(entries, dtype=np.int64)
-        occ[oE] = np.arange(entries) - gE
-        ex_start = np.full(m, -1, dtype=np.int64)
-        ex_start[hvy] = m + ex_rel
-        cidx = occ // S
+        occ = group_rank(ecol, m)
+        ex_start = np.full(m, -1, dtype=np.int32)
+        ex_start[hvy] = (m + ex_rel).astype(np.int32)
+        cidx = occ // np.int32(S)
         owner = np.where(cidx == 0, ecol, ex_start[ecol] + cidx - 1)
     else:
         owner = ecol

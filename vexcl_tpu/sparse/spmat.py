@@ -156,13 +156,26 @@ class SpMat:
                 # irregular matrices: the shuffle-routed format (SELL-R)
                 # replaces the whole-table-gather hybrid — XLA's gather
                 # runs ~0.14 Gelem/s on TPU while the routed matvec is
-                # dense shuffle passes (sparse/shuffle.py).  Construction
-                # plans a Benes network (seconds..minutes at 10M+ nnz), so
-                # auto-selection is capped; force with fmt="sellr".
+                # dense shuffle passes (sparse/shuffle.py).  This is the
+                # DEFAULT at any size the int32 planner covers, like the
+                # reference defaulting every GPU matrix to its fast format
+                # (sparse/matrix.hpp:28-150); construction is native-
+                # planned at ~1 s/M nnz (r5; the r4 numpy planner cost
+                # ~6 s/M, hence the old 8M cap).  Force off per matrix
+                # with fmt="hyb" or globally via VEXTPU_SELLR_AUTO_MAX.
                 cap = int(os.environ.get("VEXTPU_SELLR_AUTO_MAX",
-                                         str(8 << 20)))
+                                         str(1 << 31)))
                 nnz = int(np.asarray(ptr)[-1])
-                fmt = "sellr" if nnz <= cap else "hyb"
+                fmt = "sellr" if 0 < nnz <= min(cap, 2**31 - 1) else "hyb"
+                if fmt == "hyb" and nnz > (1 << 20):
+                    import warnings
+
+                    warnings.warn(
+                        f"SpMat: {nnz} nnz irregular matrix fell back to "
+                        "the gather hybrid (~0.14 Gelem/s on TPU). Raise "
+                        "VEXTPU_SELLR_AUTO_MAX or pass fmt='sellr' for "
+                        "the shuffle-routed format (~10-100x faster).",
+                        stacklevel=3)
         elif fmt == "dia":
             dia = try_build_dia(self.n, self.m, ptr, col, val,
                                 max_diags=1 << 30, min_fill=0.0)

@@ -95,6 +95,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.edge_color_rows_i32.argtypes = [ctypes.c_int64, i32p,
                                             ctypes.c_int64, ctypes.c_int32,
                                             ctypes.c_int64, i32p]
+        if hasattr(lib, "group_rank_i32"):
+            lib.group_rank_i32.argtypes = [ctypes.c_int64, i32p,
+                                           ctypes.c_int64, i32p]
+            lib.expand_rows_i32.argtypes = [ctypes.c_int64, i64p, i32p, i32p]
+            lib.perm_complete_i32.argtypes = [ctypes.c_int64, i32p]
         _lib = lib
         return _lib
 
@@ -192,6 +197,63 @@ def philox_host(n: int, seed: int) -> np.ndarray:
                         np.uint32((seed >> 32) & 0xFFFFFFFF),
                         _ptr(out, ctypes.c_uint32))
     return out
+
+
+def group_rank(keys: np.ndarray, nkeys: int) -> np.ndarray:
+    """rank[i] = #{j < i : keys[j] == keys[i]} (keys in [0, nkeys)).
+
+    Native counting pass when available (the counter array is cache-
+    resident at the SELLR planner's key ranges); numpy fallback uses the
+    argsort+searchsorted pattern (~7 s/16.8M on the bench host)."""
+    keys = np.ascontiguousarray(keys, dtype=np.int32)
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "group_rank_i32"):
+        rank = np.empty(len(keys), dtype=np.int32)
+        lib.group_rank_i32(len(keys), _ptr(keys, ctypes.c_int32),
+                           int(nkeys), _ptr(rank, ctypes.c_int32))
+        return rank
+    o = np.argsort(keys, kind="stable")
+    s = keys[o]
+    g = np.searchsorted(s, s, side="left")
+    rank = np.empty(len(keys), dtype=np.int32)
+    rank[o] = (np.arange(len(keys)) - g).astype(np.int32)
+    return rank
+
+
+def expand_rows(ptr: np.ndarray):
+    """(rows_of, within) for CSR entries: entry k belongs to row rows_of[k]
+    at in-row slot within[k].  Fused native pass; numpy fallback."""
+    ptr = np.ascontiguousarray(ptr, dtype=np.int64)
+    n = len(ptr) - 1
+    nnz = int(ptr[-1])
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "expand_rows_i32"):
+        rows_of = np.empty(nnz, dtype=np.int32)
+        within = np.empty(nnz, dtype=np.int32)
+        lib.expand_rows_i32(n, _ptr(ptr, ctypes.c_int64),
+                            _ptr(rows_of, ctypes.c_int32),
+                            _ptr(within, ctypes.c_int32))
+        return rows_of, within
+    row_len = np.diff(ptr)
+    rows_of = np.repeat(np.arange(n, dtype=np.int32), row_len)
+    within = (np.arange(nnz, dtype=np.int64)
+              - np.repeat(ptr[:-1], row_len)).astype(np.int32)
+    return rows_of, within
+
+
+def perm_complete(dst: np.ndarray) -> np.ndarray:
+    """Fill the negative slots of a partial permutation over [0, len(dst))
+    with the unused values in ascending order, in place.  Returns dst."""
+    assert dst.dtype == np.int32 and dst.flags.c_contiguous
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "perm_complete_i32"):
+        lib.perm_complete_i32(len(dst), _ptr(dst, ctypes.c_int32))
+        return dst
+    free = np.nonzero(dst < 0)[0]
+    used = np.zeros(len(dst), dtype=bool)
+    used[dst[dst >= 0]] = True
+    dst[free] = np.nonzero(~used)[0][: len(free)].astype(np.int32)
+    return dst
 
 
 def edge_color(su, dv, nv, d, seg=None):
