@@ -903,15 +903,18 @@ def bench_f64(n=1 << 24):
 _T0 = time.perf_counter()
 # Global wall-clock budget: the harness must DELIVER its one JSON line
 # under any termination (r4 lost every TPU number to the driver's outer
-# timeout: rc 124, nothing printed — VERDICT r4 #1).  Default comfortably
-# inside the driver window; benchmarks that would start after the budget
-# is spent are recorded as SKIPPED_* instead of run.
-BUDGET_S = float(os.environ.get("VEXTPU_BENCH_BUDGET_S", "2250"))
+# timeout: rc 124, nothing printed — VERDICT r4 #1).  The r4 partial
+# flush pinned the driver's outer window at ~1500 s (bench_partial.json
+# froze at elapsed 1494.2 when the run got SIGKILLed), so the defaults
+# must leave the slowest single sub-benchmark's guard worth of headroom
+# BELOW that: benchmarks that would start after the budget is spent are
+# recorded as SKIPPED_* instead of run.
+BUDGET_S = float(os.environ.get("VEXTPU_BENCH_BUDGET_S", "1100"))
 # Last-resort hard deadline: a wedged PJRT/C++ call is NOT interruptible
 # by SIGALRM (the guard only fires when the interpreter regains control),
 # so a watchdog thread prints the accumulated result line and exits 0 at
-# this wall-clock — still inside the driver's outer timeout.
-HARD_S = float(os.environ.get("VEXTPU_BENCH_HARD_S", "2700"))
+# this wall-clock — still inside the driver's ~1500 s outer timeout.
+HARD_S = float(os.environ.get("VEXTPU_BENCH_HARD_S", "1380"))
 _PARTIAL = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "bench_partial.json")
 
@@ -959,6 +962,7 @@ def _guarded(extra, fn, timeout_s=900):
 
     old = signal.signal(signal.SIGALRM, _raise)
     signal.alarm(timeout_s)
+    t0 = time.perf_counter()
     try:
         fn(extra)
     except Exception as e:  # noqa: BLE001 - record and continue
@@ -966,6 +970,10 @@ def _guarded(extra, fn, timeout_s=900):
     finally:
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
+        # per-bench wall seconds: lets a post-mortem see where the budget
+        # went (the r4 timeout could only be diagnosed by inference)
+        extra.setdefault("_seconds", {})[fn.__name__] = round(
+            time.perf_counter() - t0, 1)
         _flush_partial(extra)
 
 

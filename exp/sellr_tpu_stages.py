@@ -122,7 +122,11 @@ def step_expand(xc, tile_of_chunk, sub_idx, lane_idx):
 t = slope_seconds(step_expand, xt, lo=32, hi=288,
                   extra=(A._tile_of_chunk, A._sub_idx, A._lane_idx))
 rows["expand"] = t
-print(f"expand  {t * 1e3:8.3f} ms   ({nnz / t / 1e9:.1f} Gelem/s)")
+# throughput over the SLOTS the gather actually processes (tail/hot
+# entries never ride the expand; nnz/t overstated it)
+slots = A._nchunks * A._chunk_rows * 128
+print(f"expand  {t * 1e3:8.3f} ms   ({slots / t / 1e9:.1f} Gslot/s, "
+      f"{slots} slots)")
 
 # ---- route --------------------------------------------------------------
 def step_route(gc, *arr):
@@ -141,6 +145,9 @@ print(f"route   {t * 1e3:8.3f} ms   (~{gb / 1e9:.2f} GB model "
 
 # ---- reduce -------------------------------------------------------------
 def step_reduce(v, hc, vf):
+    # _val is stored 2-D (dst_rows, 128) (shuffle.py _val layout);
+    # apply_leaves flattens it before the per-class slicing — do the same
+    vf = vf.reshape(-1)
     hf = hc.reshape(-1)
     parts = []
     for off, nk, wk in A._classes:

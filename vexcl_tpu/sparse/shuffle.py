@@ -29,8 +29,9 @@ a fixed sequence of DENSE shuffle passes:
               back to natural row order.
 
 Random access thus becomes dense data movement — the shape the hardware
-wants.  Measured end to end on a v5e chip this is two orders of magnitude
-above the naive jnp.take ELL matvec (BENCH spmv_random_* rows).
+wants.  Measured end to end on a v5e chip this is ~16x the naive
+jnp.take ELL matvec (~2.3 vs ~0.14 GFLOP/s; BENCH spmv_random_* rows,
+roofline accounting in docs/tpu_kernel_notes.md).
 """
 
 from __future__ import annotations
