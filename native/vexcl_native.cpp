@@ -511,6 +511,236 @@ void edge_color_pow2(int64_t E, const int64_t* su, const int64_t* dv,
   edge_color_pow2_seg(E, su, dv, nv, d, E, colors);
 }
 
+// ---------------------------------------------------------------------------
+// Permutation-grid fast path (r5).  Every grid the SELLR planner colors is
+// a FULL PERMUTATION of [0, E): source row p>>7 holds exactly 128
+// consecutive edges and every destination row receives exactly 128 — a
+// 128-regular bipartite multigraph that is regular ON BOTH SIDES.  Two
+// structural facts make the general incidence-rebuilding Euler machinery
+// unnecessary:
+//
+//   1. A STABLE split keeps each side's per-row edge blocks CONTIGUOUS,
+//      ALIGNED and exactly halved, so at level k (degree d = 128>>k) the
+//      edges of any row occupy an aligned d-block of the position arrays
+//      and the Euler pairing within a row is simply `pos ^ 1`.
+//   2. The union of the two pairings (one perfect matching on edges per
+//      side) is a disjoint set of EVEN cycles alternating src-pairs and
+//      dst-pairs; a valid orientation gives the two members of every
+//      pair OPPOSITE fwd bits.  Walking the "step" permutation
+//      step(p) = P[Q[p^1] ^ 1] visits every SECOND element of a union
+//      cycle, so the correct assignment is a CONSTANT bit on the
+//      step-visited positions and the complement on their xor-partners
+//      (NOT an alternating bit along the step walk — two union hops lie
+//      between consecutive step positions).
+//
+// K interleaved walkers keep K cache misses in flight.  Each walker claims
+// PAIRS {p, p^1} (one visited bit + one orientation bit per pair) along a
+// contiguous arc of its union cycle; arcs of different walkers on one
+// cycle meet at claim boundaries, where the required relative orientation
+// is recorded as a parity constraint between the two walker segments and
+// solved afterwards with a tiny parity-DSU (flipping a segment toggles
+// the orientation of every pair it claimed).  ~2 memory ops per
+// edge-level against ~5 for the general path.  Returns 0, or -1 if the
+// grid is not an exactly-128-regular segment-confined permutation or an
+// internal invariant trips (caller falls back to edge_color_rows_i32).
+// ---------------------------------------------------------------------------
+int edge_color_perm_i32(int64_t E, const int32_t* drow, int64_t seg,
+                        int32_t* colors) {
+  if (seg <= 0) seg = E;
+  if (E < 128 || (E & 127) || (seg & 127) || E % seg || E >= (1ll << 31))
+    return -1;
+  const int64_t nrows = E >> 7;
+  const int64_t segrows = seg >> 7;
+  std::vector<int32_t> P(E), Q(E), ID(E), P2(E), Q2(E), ID2(E), npbuf(E);
+  {
+    // dst slot of edge p: (drow[p] << 7) | arrival-order within the row;
+    // P = slot -> position, Q = position -> slot.  Validates exact
+    // 128-regularity and segment confinement as it builds.
+    std::vector<int32_t> cnt((size_t)nrows, 0);
+    for (int64_t p = 0; p < E; ++p) {
+      const int32_t r = drow[p];
+      if (r < 0 || r >= nrows || (r / segrows) != (p >> 7) / segrows)
+        return -1;
+      const int32_t k = cnt[r]++;
+      if (k >= 128) return -1;
+      const int64_t q = ((int64_t)r << 7) | k;
+      Q[p] = (int32_t)q;
+      P[q] = (int32_t)p;
+      ID[p] = (int32_t)p;
+    }
+  }
+  const int64_t npairs = E >> 1;
+  std::vector<uint64_t> pairvis((npairs + 63) >> 6);
+  std::vector<uint64_t> orient((npairs + 63) >> 6);  // fwd bit of EVEN member
+  std::vector<int32_t> segof(npairs);  // claiming walker segment per pair
+  std::vector<int32_t> ca, cb;         // parity constraints between segments
+  std::vector<uint8_t> cw;
+  std::vector<int32_t> dsu_p;          // parity-DSU (rank-free, path-halved)
+  std::vector<uint8_t> dsu_w;          // parity of node relative to parent
+
+  int64_t gm = seg;
+  for (int32_t d = 128; d > 1; d >>= 1, gm >>= 1) {
+    std::fill(pairvis.begin(), pairvis.end(), 0);
+    std::fill(orient.begin(), orient.end(), 0);
+    ca.clear(); cb.clear(); cw.clear();
+    uint64_t* pv = pairvis.data();
+    uint64_t* ob = orient.data();
+    const int32_t* Pd = P.data();
+    const int32_t* Qd = Q.data();
+    int32_t* so = segof.data();
+
+    // fwd(p) = orient(p>>1) ^ (p & 1); a claim at entry position p sets
+    // fwd(p) = 0 (all walkers use bit 0; the DSU repairs cross-segment
+    // consistency), i.e. orient(h) = p & 1.
+    auto claim = [&](int32_t p, int32_t s) {
+      const int32_t h = p >> 1;
+      bit_set(pv, h);
+      if (p & 1) bit_set(ob, h);
+      so[h] = s;
+    };
+
+    constexpr int K = 8;
+    int32_t wpos[K], wseed[K], wseg[K];
+    int64_t scanh = 0;
+    int32_t nseg = 0;
+    int active = 0;
+    auto grab = [&](int k) -> bool {
+      while (scanh < npairs && bit_get(pv, (int32_t)scanh)) ++scanh;
+      if (scanh >= npairs) return false;
+      const int32_t p = (int32_t)(scanh << 1);
+      wpos[k] = wseed[k] = p;
+      wseg[k] = nseg++;
+      claim(p, wseg[k]);
+      // Seed-backward boundary: arcs only record constraints where a
+      // walker STEPS across them, and a step never crosses the joint
+      // between a mirror-direction arc seeded at pair h and a forward
+      // arc seeded at pair h+1 — so enforce the seed's backward dst-link
+      // eagerly if its neighbor pair is already claimed (the unclaimed
+      // case is recorded later by the neighbor's own seed-check or first
+      // step).  Missing this produced per-dst-row unbalanced splits at
+      // K>1 (caught by the python mirror; K=1 claims whole cycles and
+      // never exercises constraints).
+      const int32_t bq = Pd[Qd[p] ^ 1];  // dst-partner of the seed
+      const int32_t hb = bq >> 1;
+      if (hb != (p >> 1) && bit_get(pv, hb)) {
+        ca.push_back(wseg[k]);
+        cb.push_back(so[hb]);
+        cw.push_back((uint8_t)(1 ^ bit_get(ob, hb) ^ (bq & 1)));
+      }
+      return true;
+    };
+    for (int k = 0; k < K; ++k) {
+      if (!grab(k)) break;
+      ++active;
+    }
+    while (active > 0) {
+      for (int k = 0; k < active;) {
+        const int32_t p = wpos[k];
+        const int32_t np = Pd[Qd[p ^ 1] ^ 1];  // next step-class position
+        const int32_t h = np >> 1;
+        if (!bit_get(pv, h)) {
+          claim(np, wseg[k]);
+          wpos[k] = np;
+          __builtin_prefetch(&Qd[np ^ 1]);
+          ++k;
+          continue;
+        }
+        if (np != wseed[k]) {
+          // arc boundary: this walker requires fwd(np) == 0 relative to
+          // itself, so flip(self) ^ flip(owner) == stored fwd(np)
+          ca.push_back(wseg[k]);
+          cb.push_back(so[h]);
+          cw.push_back((uint8_t)(bit_get(ob, h) ^ (np & 1)));
+        }
+        if (!grab(k)) {
+          --active;
+          wpos[k] = wpos[active];
+          wseed[k] = wseed[active];
+          wseg[k] = wseg[active];
+          continue;  // re-run slot k with the swapped-in walker
+        }
+        ++k;
+      }
+    }
+
+    // ---- solve the segment parity constraints, apply flips -------------
+    if (!ca.empty()) {
+      dsu_p.resize(nseg);
+      dsu_w.assign(nseg, 0);
+      for (int32_t i = 0; i < nseg; ++i) dsu_p[i] = i;
+      auto find = [&](int32_t x, uint8_t& par) {
+        par = 0;
+        while (dsu_p[x] != x) {
+          const int32_t gp = dsu_p[dsu_p[x]];
+          const uint8_t w = (uint8_t)(dsu_w[x] ^ dsu_w[dsu_p[x]]);
+          dsu_p[x] = gp;  // path halving keeps parity-to-parent correct
+          dsu_w[x] = w;
+          par ^= w;
+          x = gp;
+        }
+        par ^= dsu_w[x];  // root has dsu_w 0, harmless
+        return x;
+      };
+      bool bad = false;
+      for (size_t i = 0; i < ca.size() && !bad; ++i) {
+        uint8_t pa, pb;
+        const int32_t ra = find(ca[i], pa), rb = find(cb[i], pb);
+        const uint8_t w = (uint8_t)(cw[i] ^ pa ^ pb);
+        if (ra == rb) {
+          if (w) bad = true;  // odd constraint cycle: not a valid grid
+        } else {
+          dsu_p[ra] = rb;
+          dsu_w[ra] = w;
+        }
+      }
+      if (bad) return -1;
+      // flip of a segment = its parity to its component root
+      std::vector<uint8_t> flip(nseg);
+      bool any = false;
+      for (int32_t s = 0; s < nseg; ++s) {
+        uint8_t par;
+        find(s, par);
+        flip[s] = par;
+        any |= par;
+      }
+      if (any)
+        for (int64_t h = 0; h < npairs; ++h)
+          if (flip[so[h]]) ob[h >> 6] ^= (uint64_t)1 << (h & 63);
+    }
+
+    // ---- stable partition of both position arrays within each group ----
+    int32_t* npb = npbuf.data();
+    for (int64_t g0 = 0; g0 < E; g0 += gm) {
+      int64_t wf = g0, wb2 = g0 + gm / 2;
+      for (int64_t p = g0; p < g0 + gm; ++p) {
+        const bool f = bit_get(ob, (int32_t)(p >> 1)) ^ ((int32_t)p & 1);
+        const int64_t np = f ? wf++ : wb2++;
+        ID2[np] = ID[p];
+        // pack the fwd bit so the dst pass reads ONE array
+        npb[p] = (int32_t)np | (f ? INT32_MIN : 0);
+      }
+      if (wf != g0 + gm / 2 || wb2 != g0 + gm) return -1;  // defensive
+      int64_t qf = g0, qb = g0 + gm / 2;
+      for (int64_t q = g0; q < g0 + gm; ++q) {
+        const int32_t v = npb[Pd[q]];
+        if (q + 16 < E) __builtin_prefetch(&npb[Pd[q + 16]]);
+        const int32_t np = v & INT32_MAX;
+        const int64_t nq = (v < 0) ? qf++ : qb++;
+        P2[nq] = np;
+        Q2[np] = (int32_t)nq;
+      }
+      if (qf != g0 + gm / 2 || qb != g0 + gm) return -1;  // defensive
+    }
+    ID.swap(ID2);
+    P.swap(P2);
+    Q.swap(Q2);
+  }
+  const int64_t csz = seg >> 7;
+  for (int64_t p = 0; p < E; ++p)
+    colors[ID[p]] = (int32_t)((p % seg) / csz);
+  return 0;
+}
+
 // Planner-shaped entry: the source vertex of edge i is ALWAYS i/128 (the
 // route grids are row-major (rows, 128) in source order), so only the
 // int32 dst-row array crosses the boundary — materializing the int64
