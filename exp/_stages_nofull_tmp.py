@@ -58,15 +58,6 @@ def gfl(t):
     return 2 * nnz / t / 1e9
 
 
-# ---- full apply (the bench row) ----------------------------------------
-def step_full(x, *lv):
-    y = A.apply_leaves(lv, x)
-    return (x * np.float32(0.999) + y * np.float32(1e-4)) % 1.0
-
-
-t = slope_seconds(step_full, x0, lo=16, hi=144, extra=leaves)
-rows["full"] = t
-print(f"full    {t * 1e3:8.3f} ms  {gfl(t):6.1f} GFLOP/s")
 
 # ---- stage inputs (computed once, shipped as jit args) ------------------
 from vexcl_tpu.config import config  # noqa: E402
@@ -150,17 +141,12 @@ def step_reduce(v, hc, vf):
     vf = vf.reshape(-1)
     hf = hc.reshape(-1)
     parts = []
-    for off, nk, nkp, wk in A._classes:
-        if nkp == 0:
-            seg = (hf[off: off + nk * wk].astype(vf.dtype)
-                   * vf[off: off + nk * wk])
-            parts.append(seg.reshape(nk, wk).sum(axis=1))
-        else:
-            seg = (hf[off: off + wk * nkp].astype(vf.dtype)
-                   * vf[off: off + wk * nkp])
-            parts.append(seg.reshape(wk, nkp).sum(axis=0))
+    for off, nk, wk in A._classes:
+        seg = (hf[off: off + nk * wk].astype(vf.dtype)
+               * vf[off: off + nk * wk])
+        parts.append(seg.reshape(nk, wk).sum(axis=1))
     y = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-    return (v * np.float32(0.999) + y.sum() * np.float32(1e-9)) % 1.0
+    return (v * np.float32(0.999) + y * np.float32(1e-4)) % 1.0
 
 
 t = slope_seconds(step_reduce, x0, lo=32, hi=288, extra=(h, A._val))
@@ -204,7 +190,6 @@ if A._hot_W is not None:
     rows["hot"] = t
     print(f"hot     {t * 1e3:8.3f} ms")
 
-ssum = sum(v for k, v in rows.items() if k != "full")
-print(f"\nsum of stages {ssum * 1e3:.3f} ms vs full {rows['full'] * 1e3:.3f} "
-      f"ms (fusion/overlap delta {(rows['full'] - ssum) * 1e3:+.3f} ms)")
-print(f"full -> {gfl(rows['full']):.1f} GFLOP/s")
+ssum = sum(rows.values())
+print(f"\nsum of stages {ssum * 1e3:.3f} ms")
+print(f"stage-sum -> {gfl(ssum):.1f} GFLOP/s")

@@ -54,8 +54,8 @@ print(f"src_rows={A._src_rows} dst_rows={A._dst_rows} R={A._R} "
       f"nchunks={A._nchunks} chunk_rows={A._chunk_rows}")
 print(f"classes={len(A._classes)} slots={A._dst_rows*128/1e6:.1f}M "
       f"(nnz {nnz/1e6:.1f}M) route grid={A._R*128/1e6:.1f}M")
-for off, nk, wk in A._classes[:8]:
-    print(f"  class off={off} n_k={nk} w_k={wk}")
+for off, nk, nkp, wk in A._classes[:8]:
+    print(f"  class off={off} n_k={nk} (pad {nkp}) w_k={wk}")
 if len(A._classes) > 8:
     print(f"  ... {len(A._classes)-8} more")
 tb = route_bytes(A._stage_kinds, A._R, "")

@@ -130,12 +130,15 @@ def test_sellr_width_classes_cover_rows(rng):
     ptr, col, val = random_csr(n, m, 10, seed=42)
     A = SELLR(n, m, ptr, col, val)
     assert A.width == 0  # multi-class sentinel
-    total = sum(nk for _, nk, wk in A._classes)
+    total = sum(nk for _, nk, _, _ in A._classes)
     assert total == n
-    offs = [off for off, _, _ in A._classes]
+    offs = [off for off, _, _, _ in A._classes]
     assert offs == sorted(offs)
-    last_off, last_nk, last_wk = A._classes[-1]
-    assert last_off + last_nk * last_wk <= A._dst_rows * 128
+    last_off, last_nk, last_nkp, last_wk = A._classes[-1]
+    # nkp == 0: exact row-major plane; else transposed 128-padded plane
+    assert last_nkp == 0 or (last_nkp >= last_nk and last_nkp % 128 == 0)
+    assert (last_off + (last_nkp or last_nk) * last_wk
+            <= A._dst_rows * 128)
 
 
 def test_sellr_balanced_source_layout(rng):

@@ -640,8 +640,9 @@ class SELLR:
             dst_rows_est = max(1, (self.n * w + 127) // 128)
         elif len(ecol):
             elen_full = np.bincount(erow, minlength=self.n)
-            slots0 = sum(nk * wk for _, nk, wk
-                         in _length_classes(np.sort(elen_full)[::-1]))
+            cls0, tr0 = _choose_classes(np.sort(elen_full)[::-1])
+            slots0 = sum(((-(-nk // 128) * 128) if tr0 else nk) * wk
+                         for _, nk, wk in cls0)
             dst_rows_est = max(1, (slots0 + 127) // 128)
         else:
             dst_rows_est = 1
@@ -808,8 +809,19 @@ class SELLR:
         sub_plane = sub_plane.reshape(src_rows, 128)
 
         # ---- width classes & destination slot layout -------------------------
+        # Multi-class planes are stored TRANSPOSED: class k is a (w_k,
+        # n_k_pad) plane with n_k padded to a multiple of 128 (row i's
+        # slot j lives at off_k + j*nkp + i).  Every per-class slice is
+        # then 128-aligned and every reshape is a clean tiled view —
+        # the row-major (n_k, w_k) layout's ~59 odd-shaped slice+reduce
+        # ops cost ~260 s of XLA compile at 16.8M nnz (measured r5,
+        # /tmp reduce A/B: 47 s -> 5 s for the reduce alone at bench
+        # scale) for ~3.8% slot padding.  Classes: (off, nk, nkp, wk);
+        # nkp == 0 marks the single-width row-major mode (off + i*w + j),
+        # whose one uniform reduce op compiles fine and whose natural row
+        # order the uniform/distributed shard layout depends on.
         if single:
-            self._classes = ((0, self.n, w),)
+            self._classes = ((0, self.n, 0, w),)
             self._row_order = None
             slots = self.n * w
             assert slots < 2**31
@@ -818,22 +830,33 @@ class SELLR:
             elen = np.bincount(erow, minlength=self.n)
             row_order = np.argsort(-elen, kind="stable").astype(np.int64)
             sl = elen[row_order]
-            classes = _length_classes(sl)
+            classes, transposed = _choose_classes(sl)
             base_sorted = np.empty(self.n, dtype=np.int32)
+            stride_sorted = np.empty(self.n, dtype=np.int32)
             cls = []
             off = 0
             for start, nk, wk in classes:
-                base_sorted[start:start + nk] = (
-                    off + np.arange(nk, dtype=np.int32) * wk)
-                cls.append((off, nk, wk))
-                off += nk * wk
+                if transposed:
+                    nkp = -(-nk // 128) * 128
+                    base_sorted[start:start + nk] = off + np.arange(
+                        nk, dtype=np.int32)
+                    stride_sorted[start:start + nk] = nkp
+                    cls.append((off, nk, nkp, wk))
+                    off += nkp * wk
+                else:
+                    base_sorted[start:start + nk] = (
+                        off + np.arange(nk, dtype=np.int32) * wk)
+                    stride_sorted[start:start + nk] = 1
+                    cls.append((off, nk, 0, wk))
+                    off += nk * wk
             slots = off
             assert slots < 2**31
             self._classes = tuple(cls)
             pos_of_row = np.empty(self.n, dtype=np.int64)
             pos_of_row[row_order] = np.arange(self.n)
             row_base = base_sorted[pos_of_row]
-            dst_flat_e = row_base[erow] + ek
+            row_stride = stride_sorted[pos_of_row]
+            dst_flat_e = row_base[erow] + ek * row_stride[erow]
             self._row_order = row_order
 
         dst_rows = max(1, (slots + 127) // 128)
@@ -880,22 +903,35 @@ class SELLR:
         vflat[dst_flat_e] = eval_
         self._val = to_device(vflat.reshape(dst_rows, 128))
 
-        # scatter the per-class row sums (sorted order) back to natural
-        # row order: one small route over n elements
+        # scatter the per-class column sums (class-padded sorted order,
+        # length Ny = sum nkp) back to natural row order: one small route
+        # over Ny elements.  The same route drops the inter-class padding
+        # (pad positions land in trash slots >= n), so the reduce never
+        # slices odd [:nk] pieces.
         self._y_kinds = None
         self._y_arrays = ()
         self._y_R = 0
-        if (self._row_order is not None
-                and not np.array_equal(self._row_order,
-                                       np.arange(self.n))):
-            Ry = pick_R(self.n)
-            dst_y = np.empty(Ry * 128, dtype=np.int32)
-            dst_y[: self.n] = self._row_order
-            dst_y[self.n:] = np.arange(self.n, Ry * 128, dtype=np.int32)
-            yops = fuse_stages(plan_route(dst_y, Ry))
-            self._y_kinds, y_arr = split_stage_ops(yops)
-            self._y_arrays = tuple(jnp.asarray(a) for a in y_arr)
-            self._y_R = Ry
+        self._y_src = self.n
+        if self._row_order is not None:
+            Ny = sum(nkp or nk for _, nk, nkp, _ in self._classes)
+            identity = np.array_equal(self._row_order,
+                                      np.arange(self.n))
+            if not identity or (len(self._classes) > 1 and Ny != self.n):
+                Ry = pick_R(Ny)
+                dst_y = np.full(Ry * 128, -1, dtype=np.int32)
+                yb = 0
+                start = 0
+                for _, nk, nkp, _ in self._classes:
+                    dst_y[yb:yb + nk] = self._row_order[
+                        start:start + nk].astype(np.int32)
+                    yb += nkp or nk
+                    start += nk
+                perm_complete(dst_y)
+                yops = fuse_stages(plan_route(dst_y, Ry))
+                self._y_kinds, y_arr = split_stage_ops(yops)
+                self._y_arrays = tuple(jnp.asarray(a) for a in y_arr)
+                self._y_R = Ry
+                self._y_src = Ny
 
     @property
     def dtype(self):
@@ -954,18 +990,29 @@ class SELLR:
         h = _apply_route(g, stages, interpret)
         hf = h.reshape(-1)
         vf = vflat.reshape(-1)
-        # per-class dense row sums (sorted row order); static slices, so
-        # XLA fuses multiply+reduce per class plane
+        # per-class dense sums; multi-class planes are transposed
+        # (wk, nkp) with 128-aligned offsets/strides so every slice and
+        # reshape is a clean tiled view (the row-major odd shapes cost
+        # ~260 s of XLA compile at 59 classes); XLA fuses multiply+reduce
+        # per plane.  nkp == 0: single-width row-major plane.
         parts = []
-        for off, nk, wk in self._classes:
-            seg = (hf[off: off + nk * wk].astype(vf.dtype)
-                   * vf[off: off + nk * wk])
-            parts.append(seg.reshape(nk, wk).sum(axis=1))
+        for off, nk, nkp, wk in self._classes:
+            if nkp == 0:
+                seg = (hf[off: off + nk * wk].astype(vf.dtype)
+                       * vf[off: off + nk * wk])
+                parts.append(seg.reshape(nk, wk).sum(axis=1))
+            else:
+                seg = (hf[off: off + wk * nkp].astype(vf.dtype)
+                       * vf[off: off + wk * nkp])
+                parts.append(seg.reshape(wk, nkp).sum(axis=0))
         y = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         if self._y_kinds is not None:
-            ypad = jnp.zeros((self._y_R * 128,), y.dtype).at[:n].set(y)
+            ypad = jnp.zeros((self._y_R * 128,), y.dtype
+                             ).at[: self._y_src].set(y)
             y = _apply_route(ypad.reshape(-1, 128), ystages,
                              interpret).reshape(-1)[:n]
+        else:
+            y = y[:n]
         if self._hot_W is not None:
             hot_idx, hot_W = rest[0], rest[1]
             rest = rest[2:]
@@ -1059,12 +1106,19 @@ _CLASS_RATIO = 1.1   # geometric width ratio above (pad <= 10% per row)
 _MAX_CLASSES = 96
 
 
-def _length_classes(sl: np.ndarray) -> List[Tuple[int, int, int]]:
+def _length_classes(sl: np.ndarray,
+                    snap128: bool = False) -> List[Tuple[int, int, int]]:
     """Partition rows (lengths ``sl`` sorted DESC) into width classes:
     returns [(start, n_k, w_k)] covering all rows.  Widths are exact up
     to _EXACT_W (zero padding — short lengths carry most of the mass)
     and grow geometrically above (pad <= _CLASS_RATIO per row); class
     count is bounded so the per-class reduce ops stay cheap to compile.
+    With ``snap128`` every class boundary snaps UP to a multiple of 128
+    rows, so n_k is an exact 128-multiple (except the last class) for
+    the transposed (w_k, n_k_pad128) plane layout — the few snapped-in
+    rows pad their width to w_v, far cheaper than block-padding sparse
+    head classes (bench head: 8 classes of 1-36 longest rows would pad
+    to 420K slots; one merged 128-row class pads to 81K).
     Unlike the reference's 3:1 ELL occupancy rule (sparse/ell.hpp:92-121,
     which optimizes GPU gather width), the classes only size dense
     planes — the route moves every entry regardless."""
@@ -1080,9 +1134,40 @@ def _length_classes(sl: np.ndarray) -> List[Tuple[int, int, int]]:
         lim = wv if wv <= _EXACT_W else int(np.ceil(wv / _CLASS_RATIO))
         end = int(np.searchsorted(neg, -lim, side="right"))
         end = max(end, start + 1)
+        if snap128:
+            end = min(n, ((end + 127) // 128) * 128)
         classes.append((start, end - start, wv))
         start = end
     return classes
+
+
+def _choose_classes(sl: np.ndarray):
+    """Pick the class layout for rows with DESC-sorted lengths ``sl``:
+
+    * transposed (w_k, n_k_pad128) planes with 128-snapped boundaries —
+      every per-class slice/reshape is a clean 128-aligned tiled view,
+      which is what keeps XLA compile sane at many classes (the
+      row-major odd shapes cost ~260 s of XLA compile at 16.8M nnz /
+      59 classes, measured r5); or
+    * exact row-major (n_k, w_k) planes — minimal slots, used when the
+      snap padding would be material (small matrices, where a few
+      hundred padded slots can push the route grid over a pick_R
+      breakpoint and compile is cheap anyway).
+
+    Returns (classes, transposed) where classes = [(start, n_k, w_k)].
+    """
+    exact = _length_classes(sl)
+    snap = _length_classes(sl, snap128=True)
+    slots_exact = sum(nk * wk for _, nk, wk in exact)
+    slots_snap = sum((-(-nk // 128) * 128) * wk for _, nk, wk in snap)
+    # the snap padding only *matters* when it pushes the destination
+    # grid over a pick_R breakpoint (route traffic jumps a level there;
+    # a few percent of extra byte-bound reduce traffic does not) —
+    # slots pct is the wrong yardstick (13.9% pad at 1K rows, 0.3% at
+    # the 16.8M bench, measured r5)
+    if pick_R(slots_snap) == pick_R(slots_exact):
+        return snap, True
+    return exact, False
 
 
 def _trim_allowances(allow_t: np.ndarray, depth_tl: np.ndarray,
