@@ -30,7 +30,7 @@ import jax.numpy as jnp  # noqa: E402
 
 from bench import _random_lognormal_csr, slope_seconds  # noqa: E402
 from vexcl_tpu.sparse.shuffle import (  # noqa: E402
-    SELLR, _apply_route, _expand_gather, join_stage_ops)
+    SELLR, _apply_route, _run_expand, join_stage_ops)
 from vexcl_tpu.sparse.formats import CSR  # noqa: E402
 
 print("devices:", jax.devices())
@@ -85,8 +85,8 @@ else:
     xt = xpad.reshape(A._xpad_tiles * 8, 128)
 xt = jax.block_until_ready(xt)
 
-g = _expand_gather(xt, A._tile_of_chunk, A._sub_idx, A._lane_idx,
-                   A._nchunks, chunk_rows=A._chunk_rows, interpret=interpret)
+g = _run_expand(xt, A._tile_of_chunk, A._sub_idx, A._lane_idx,
+                A._nchunks, A._chunk_rows, interpret)
 if A._R > g.shape[0]:
     g = jnp.concatenate([g, jnp.zeros((A._R - g.shape[0], 128), g.dtype)])
 g = jax.block_until_ready(g)
@@ -112,9 +112,8 @@ if A._x_kinds is not None:
 
 # ---- expand -------------------------------------------------------------
 def step_expand(xc, tile_of_chunk, sub_idx, lane_idx):
-    gg = _expand_gather(xc, tile_of_chunk, sub_idx, lane_idx,
-                        A._nchunks, chunk_rows=A._chunk_rows,
-                        interpret=interpret)
+    gg = _run_expand(xc, tile_of_chunk, sub_idx, lane_idx,
+                     A._nchunks, A._chunk_rows, interpret)
     return (xc * np.float32(0.999)
             + gg[0, 0] * np.float32(1e-6)) % 1.0
 
@@ -146,9 +145,12 @@ print(f"route   {t * 1e3:8.3f} ms   (~{gb / 1e9:.2f} GB model "
 # ---- reduce -------------------------------------------------------------
 def step_reduce(v, hc, vf):
     # _val is stored 2-D (dst_rows, 128) (shuffle.py _val layout);
-    # apply_leaves flattens it before the per-class slicing — do the same
+    # apply_leaves flattens it before the per-class slicing — do the same.
+    # LICM pin: hc/vf are loop-invariant jit args — tying hf to the carry
+    # scalar keeps XLA from hoisting the whole reduce out of the timing
+    # chain (the r5 probe measured 0.006 ms = 23 TB/s without this)
     vf = vf.reshape(-1)
-    hf = hc.reshape(-1)
+    hf = hc.reshape(-1) + v[0] * np.float32(1e-30)
     parts = []
     for off, nk, nkp, wk in A._classes:
         if nkp == 0:

@@ -578,168 +578,198 @@ int edge_color_perm_i32(int64_t E, const int32_t* drow, int64_t seg,
   std::vector<int32_t> dsu_p;          // parity-DSU (rank-free, path-halved)
   std::vector<uint8_t> dsu_w;          // parity of node relative to parent
 
-  int64_t gm = seg;
-  for (int32_t d = 128; d > 1; d >>= 1, gm >>= 1) {
-    std::fill(pairvis.begin(), pairvis.end(), 0);
-    std::fill(orient.begin(), orient.end(), 0);
-    ca.clear(); cb.clear(); cw.clear();
-    uint64_t* pv = pairvis.data();
-    uint64_t* ob = orient.data();
-    const int32_t* Pd = P.data();
-    const int32_t* Qd = Q.data();
-    int32_t* so = segof.data();
+  // Segments are fully independent subproblems, so the SEGMENT loop is
+  // OUTER and the 7 split levels run back to back on one segment: at the
+  // planner's seg = 128K-edge grids the whole working set (~3 MB) stays
+  // cache-resident across levels instead of streaming 6 full-E arrays
+  // per level (levels-outer cost ~2x at 16.8M edges on the bench host).
+  // Ping-pong buffers swap PER SEGMENT; 7 levels (odd) end in the "2"
+  // arrays, copied back so the final color pass reads ID.
+  int32_t* baseP = P.data();
+  int32_t* baseQ = Q.data();
+  int32_t* baseID = ID.data();
+  int32_t* baseP2 = P2.data();
+  int32_t* baseQ2 = Q2.data();
+  int32_t* baseID2 = ID2.data();
+  int32_t* npb = npbuf.data();
+  uint64_t* pv = pairvis.data();
+  uint64_t* ob = orient.data();
+  int32_t* so = segof.data();
 
-    // fwd(p) = orient(p>>1) ^ (p & 1); a claim at entry position p sets
-    // fwd(p) = 0 (all walkers use bit 0; the DSU repairs cross-segment
-    // consistency), i.e. orient(h) = p & 1.
-    auto claim = [&](int32_t p, int32_t s) {
-      const int32_t h = p >> 1;
-      bit_set(pv, h);
-      if (p & 1) bit_set(ob, h);
-      so[h] = s;
-    };
+  for (int64_t s0 = 0; s0 < E; s0 += seg) {
+    int32_t* Pa = baseP;
+    int32_t* Qa = baseQ;
+    int32_t* IDa = baseID;
+    int32_t* Pb = baseP2;
+    int32_t* Qb = baseQ2;
+    int32_t* IDb = baseID2;
+    const int64_t h0 = s0 >> 1;           // first pair of the segment
+    const int64_t h1 = (s0 + seg) >> 1;   // one past the last
 
-    constexpr int K = 8;
-    int32_t wpos[K], wseed[K], wseg[K];
-    int64_t scanh = 0;
-    int32_t nseg = 0;
-    int active = 0;
-    auto grab = [&](int k) -> bool {
-      while (scanh < npairs && bit_get(pv, (int32_t)scanh)) ++scanh;
-      if (scanh >= npairs) return false;
-      const int32_t p = (int32_t)(scanh << 1);
-      wpos[k] = wseed[k] = p;
-      wseg[k] = nseg++;
-      claim(p, wseg[k]);
-      // Seed-backward boundary: arcs only record constraints where a
-      // walker STEPS across them, and a step never crosses the joint
-      // between a mirror-direction arc seeded at pair h and a forward
-      // arc seeded at pair h+1 — so enforce the seed's backward dst-link
-      // eagerly if its neighbor pair is already claimed (the unclaimed
-      // case is recorded later by the neighbor's own seed-check or first
-      // step).  Missing this produced per-dst-row unbalanced splits at
-      // K>1 (caught by the python mirror; K=1 claims whole cycles and
-      // never exercises constraints).
-      const int32_t bq = Pd[Qd[p] ^ 1];  // dst-partner of the seed
-      const int32_t hb = bq >> 1;
-      if (hb != (p >> 1) && bit_get(pv, hb)) {
-        ca.push_back(wseg[k]);
-        cb.push_back(so[hb]);
-        cw.push_back((uint8_t)(1 ^ bit_get(ob, hb) ^ (bq & 1)));
-      }
-      return true;
-    };
-    for (int k = 0; k < K; ++k) {
-      if (!grab(k)) break;
-      ++active;
-    }
-    while (active > 0) {
-      for (int k = 0; k < active;) {
-        const int32_t p = wpos[k];
-        const int32_t np = Pd[Qd[p ^ 1] ^ 1];  // next step-class position
-        const int32_t h = np >> 1;
-        if (!bit_get(pv, h)) {
-          claim(np, wseg[k]);
-          wpos[k] = np;
-          __builtin_prefetch(&Qd[np ^ 1]);
-          ++k;
-          continue;
-        }
-        if (np != wseed[k]) {
-          // arc boundary: this walker requires fwd(np) == 0 relative to
-          // itself, so flip(self) ^ flip(owner) == stored fwd(np)
-          ca.push_back(wseg[k]);
-          cb.push_back(so[h]);
-          cw.push_back((uint8_t)(bit_get(ob, h) ^ (np & 1)));
-        }
-        if (!grab(k)) {
-          --active;
-          wpos[k] = wpos[active];
-          wseed[k] = wseed[active];
-          wseg[k] = wseg[active];
-          continue;  // re-run slot k with the swapped-in walker
-        }
-        ++k;
-      }
-    }
+    int64_t gm = seg;
+    for (int32_t d = 128; d > 1; d >>= 1, gm >>= 1) {
+      std::fill(pv + (h0 >> 6), pv + (h1 >> 6), 0);
+      std::fill(ob + (h0 >> 6), ob + (h1 >> 6), 0);
+      ca.clear(); cb.clear(); cw.clear();
+      const int32_t* Pd = Pa;
+      const int32_t* Qd = Qa;
 
-    // ---- solve the segment parity constraints, apply flips -------------
-    if (!ca.empty()) {
-      dsu_p.resize(nseg);
-      dsu_w.assign(nseg, 0);
-      for (int32_t i = 0; i < nseg; ++i) dsu_p[i] = i;
-      auto find = [&](int32_t x, uint8_t& par) {
-        par = 0;
-        while (dsu_p[x] != x) {
-          const int32_t gp = dsu_p[dsu_p[x]];
-          const uint8_t w = (uint8_t)(dsu_w[x] ^ dsu_w[dsu_p[x]]);
-          dsu_p[x] = gp;  // path halving keeps parity-to-parent correct
-          dsu_w[x] = w;
-          par ^= w;
-          x = gp;
-        }
-        par ^= dsu_w[x];  // root has dsu_w 0, harmless
-        return x;
+      // fwd(p) = orient(p>>1) ^ (p & 1); a claim at entry position p sets
+      // fwd(p) = 0 (all walkers use bit 0; the DSU repairs cross-segment
+      // consistency), i.e. orient(h) = p & 1.
+      auto claim = [&](int32_t p, int32_t s) {
+        const int32_t h = p >> 1;
+        bit_set(pv, h);
+        if (p & 1) bit_set(ob, h);
+        so[h] = s;
       };
-      bool bad = false;
-      for (size_t i = 0; i < ca.size() && !bad; ++i) {
-        uint8_t pa, pb;
-        const int32_t ra = find(ca[i], pa), rb = find(cb[i], pb);
-        const uint8_t w = (uint8_t)(cw[i] ^ pa ^ pb);
-        if (ra == rb) {
-          if (w) bad = true;  // odd constraint cycle: not a valid grid
-        } else {
-          dsu_p[ra] = rb;
-          dsu_w[ra] = w;
+
+      constexpr int K = 8;
+      int32_t wpos[K], wseed[K], wseg[K];
+      int64_t scanh = h0;
+      int32_t nseg = 0;
+      int active = 0;
+      auto grab = [&](int k) -> bool {
+        while (scanh < h1 && bit_get(pv, (int32_t)scanh)) ++scanh;
+        if (scanh >= h1) return false;
+        const int32_t p = (int32_t)(scanh << 1);
+        wpos[k] = wseed[k] = p;
+        wseg[k] = nseg++;
+        claim(p, wseg[k]);
+        // Seed-backward boundary: arcs only record constraints where a
+        // walker STEPS across them, and a step never crosses the joint
+        // between a mirror-direction arc seeded at pair h and a forward
+        // arc seeded at pair h+1 — so enforce the seed's backward dst-link
+        // eagerly if its neighbor pair is already claimed (the unclaimed
+        // case is recorded later by the neighbor's own seed-check or first
+        // step).  Missing this produced per-dst-row unbalanced splits at
+        // K>1 (caught by the python mirror; K=1 claims whole cycles and
+        // never exercises constraints).
+        const int32_t bq = Pd[Qd[p] ^ 1];  // dst-partner of the seed
+        const int32_t hb = bq >> 1;
+        if (hb != (p >> 1) && bit_get(pv, hb)) {
+          ca.push_back(wseg[k]);
+          cb.push_back(so[hb]);
+          cw.push_back((uint8_t)(1 ^ bit_get(ob, hb) ^ (bq & 1)));
+        }
+        return true;
+      };
+      for (int k = 0; k < K; ++k) {
+        if (!grab(k)) break;
+        ++active;
+      }
+      while (active > 0) {
+        for (int k = 0; k < active;) {
+          const int32_t p = wpos[k];
+          const int32_t np = Pd[Qd[p ^ 1] ^ 1];  // next step-class position
+          const int32_t h = np >> 1;
+          if (!bit_get(pv, h)) {
+            claim(np, wseg[k]);
+            wpos[k] = np;
+            __builtin_prefetch(&Qd[np ^ 1]);
+            ++k;
+            continue;
+          }
+          if (np != wseed[k]) {
+            // arc boundary: this walker requires fwd(np) == 0 relative to
+            // itself, so flip(self) ^ flip(owner) == stored fwd(np)
+            ca.push_back(wseg[k]);
+            cb.push_back(so[h]);
+            cw.push_back((uint8_t)(bit_get(ob, h) ^ (np & 1)));
+          }
+          if (!grab(k)) {
+            --active;
+            wpos[k] = wpos[active];
+            wseed[k] = wseed[active];
+            wseg[k] = wseg[active];
+            continue;  // re-run slot k with the swapped-in walker
+          }
+          ++k;
         }
       }
-      if (bad) return -1;
-      // flip of a segment = its parity to its component root
-      std::vector<uint8_t> flip(nseg);
-      bool any = false;
-      for (int32_t s = 0; s < nseg; ++s) {
-        uint8_t par;
-        find(s, par);
-        flip[s] = par;
-        any |= par;
-      }
-      if (any)
-        for (int64_t h = 0; h < npairs; ++h)
-          if (flip[so[h]]) ob[h >> 6] ^= (uint64_t)1 << (h & 63);
-    }
 
-    // ---- stable partition of both position arrays within each group ----
-    int32_t* npb = npbuf.data();
-    for (int64_t g0 = 0; g0 < E; g0 += gm) {
-      int64_t wf = g0, wb2 = g0 + gm / 2;
-      for (int64_t p = g0; p < g0 + gm; ++p) {
-        const bool f = bit_get(ob, (int32_t)(p >> 1)) ^ ((int32_t)p & 1);
-        const int64_t np = f ? wf++ : wb2++;
-        ID2[np] = ID[p];
-        // pack the fwd bit so the dst pass reads ONE array
-        npb[p] = (int32_t)np | (f ? INT32_MIN : 0);
+      // ---- solve the walker parity constraints, apply flips ------------
+      if (!ca.empty()) {
+        dsu_p.resize(nseg);
+        dsu_w.assign(nseg, 0);
+        for (int32_t i = 0; i < nseg; ++i) dsu_p[i] = i;
+        auto find = [&](int32_t x, uint8_t& par) {
+          par = 0;
+          while (dsu_p[x] != x) {
+            const int32_t gp = dsu_p[dsu_p[x]];
+            const uint8_t w = (uint8_t)(dsu_w[x] ^ dsu_w[dsu_p[x]]);
+            dsu_p[x] = gp;  // path halving keeps parity-to-parent correct
+            dsu_w[x] = w;
+            par ^= w;
+            x = gp;
+          }
+          par ^= dsu_w[x];  // root has dsu_w 0, harmless
+          return x;
+        };
+        bool bad = false;
+        for (size_t i = 0; i < ca.size() && !bad; ++i) {
+          uint8_t pa, pb;
+          const int32_t ra = find(ca[i], pa), rb = find(cb[i], pb);
+          const uint8_t w = (uint8_t)(cw[i] ^ pa ^ pb);
+          if (ra == rb) {
+            if (w) bad = true;  // odd constraint cycle: not a valid grid
+          } else {
+            dsu_p[ra] = rb;
+            dsu_w[ra] = w;
+          }
+        }
+        if (bad) return -1;
+        // flip of a walker segment = its parity to its component root
+        std::vector<uint8_t> flip(nseg);
+        bool any = false;
+        for (int32_t s = 0; s < nseg; ++s) {
+          uint8_t par;
+          find(s, par);
+          flip[s] = par;
+          any |= par;
+        }
+        if (any)
+          for (int64_t h = h0; h < h1; ++h)
+            if (flip[so[h]]) ob[h >> 6] ^= (uint64_t)1 << (h & 63);
       }
-      if (wf != g0 + gm / 2 || wb2 != g0 + gm) return -1;  // defensive
-      int64_t qf = g0, qb = g0 + gm / 2;
-      for (int64_t q = g0; q < g0 + gm; ++q) {
-        const int32_t v = npb[Pd[q]];
-        if (q + 16 < E) __builtin_prefetch(&npb[Pd[q + 16]]);
-        const int32_t np = v & INT32_MAX;
-        const int64_t nq = (v < 0) ? qf++ : qb++;
-        P2[nq] = np;
-        Q2[np] = (int32_t)nq;
+
+      // ---- stable partition of both position arrays within each group --
+      for (int64_t g0 = s0; g0 < s0 + seg; g0 += gm) {
+        int64_t wf = g0, wb2 = g0 + gm / 2;
+        for (int64_t p = g0; p < g0 + gm; ++p) {
+          const bool f = bit_get(ob, (int32_t)(p >> 1)) ^ ((int32_t)p & 1);
+          const int64_t np = f ? wf++ : wb2++;
+          IDb[np] = IDa[p];
+          // pack the fwd bit so the dst pass reads ONE array
+          npb[p] = (int32_t)np | (f ? INT32_MIN : 0);
+        }
+        if (wf != g0 + gm / 2 || wb2 != g0 + gm) return -1;  // defensive
+        int64_t qf = g0, qb = g0 + gm / 2;
+        for (int64_t q = g0; q < g0 + gm; ++q) {
+          const int32_t v = npb[Pd[q]];
+          if (q + 16 < s0 + seg) __builtin_prefetch(&npb[Pd[q + 16]]);
+          const int32_t np = v & INT32_MAX;
+          const int64_t nq = (v < 0) ? qf++ : qb++;
+          Pb[nq] = np;
+          Qb[np] = (int32_t)nq;
+        }
+        if (qf != g0 + gm / 2 || qb != g0 + gm) return -1;  // defensive
       }
-      if (qf != g0 + gm / 2 || qb != g0 + gm) return -1;  // defensive
+      std::swap(Pa, Pb);
+      std::swap(Qa, Qb);
+      std::swap(IDa, IDb);
     }
-    ID.swap(ID2);
-    P.swap(P2);
-    Q.swap(Q2);
+    // 7 swaps: latest data sits in the "2" arrays (IDa aliases baseID2);
+    // copy the segment slice back so the color pass reads baseID
+    if (IDa != baseID)
+      std::copy(IDa + s0, IDa + s0 + seg, baseID + s0);
   }
   const int64_t csz = seg >> 7;
   for (int64_t p = 0; p < E; ++p)
-    colors[ID[p]] = (int32_t)((p % seg) / csz);
+    colors[baseID[p]] = (int32_t)((p % seg) / csz);
   return 0;
 }
+
 
 // Planner-shaped entry: the source vertex of edge i is ALWAYS i/128 (the
 // route grids are row-major (rows, 128) in source order), so only the

@@ -61,10 +61,27 @@ CHUNK_ROWS = 32          # idx rows per gather grid step (big tiers)
 CHUNK_ROWS_SMALL = 8     # small tiers: less per-bucket padding
 TILE = 1024              # x elements per bucket = one (8, 128) tile
 
+# Index planes are stored int8 (every route/gather index is a lane
+# (<128), sublane (<8) or group-local (<32) value): 4x less HBM index
+# traffic per pass (12 -> 9 bytes/element) and 4x smaller host->device
+# plan uploads.  Kernels upcast in VMEM (_i32) where Mosaic wants i32
+# gather indices.  VEXTPU_IDX8=0 keeps int32 planes.
+def _idx8() -> bool:
+    return os.environ.get("VEXTPU_IDX8", "1") != "0"
+
+
+def _i32(a):
+    return a.astype(jnp.int32) if a.dtype != jnp.int32 else a
+
 
 # ---------------------------------------------------------------------------
 # Pallas executors
 # ---------------------------------------------------------------------------
+
+
+def _as_idx(a):
+    """Device index plane: int8 when VEXTPU_IDX8 (all values < 128)."""
+    return jnp.asarray(a.astype(np.int8) if _idx8() else a)
 
 
 def _pick_blk(rows: int) -> int:
@@ -81,7 +98,7 @@ def _lane_perm(x, idx, interpret=False):
     blk = _pick_blk(rows)
 
     def kernel(d_ref, i_ref, o_ref):
-        o_ref[:] = jnp.take_along_axis(d_ref[:], i_ref[:], axis=1)
+        o_ref[:] = jnp.take_along_axis(d_ref[:], _i32(i_ref[:]), axis=1)
 
     if blk < 8:
         # Mosaic blocks must divide (8, 128) unless they equal the whole
@@ -116,12 +133,12 @@ def _sub_perm(x, idx, interpret=False):
     def kernel(d_ref, i_ref, o_ref):
         for k in range(blk // 8):
             sl = slice(k * 8, (k + 1) * 8)
-            o_ref[sl, :] = jnp.take_along_axis(d_ref[sl, :], i_ref[sl, :],
-                                               axis=0)
+            o_ref[sl, :] = jnp.take_along_axis(d_ref[sl, :],
+                                               _i32(i_ref[sl, :]), axis=0)
 
     if blk < 8:
         def kernel_small(d_ref, i_ref, o_ref):
-            o_ref[:] = jnp.take_along_axis(d_ref[:], i_ref[:], axis=0)
+            o_ref[:] = jnp.take_along_axis(d_ref[:], _i32(i_ref[:]), axis=0)
 
         return pl.pallas_call(
             kernel_small,
@@ -145,7 +162,7 @@ def _subk_body(d_ref, i_ref, base: int, K: int):
     tile.  Returns the list of K/8 output (8, 128) tiles."""
     tiles = []
     for a in range(K // 8):
-        idx = i_ref[base + a * 8: base + (a + 1) * 8, :]
+        idx = _i32(i_ref[base + a * 8: base + (a + 1) * 8, :])
         sub = idx & 7
         acc = None
         for j in range(K // 8):
@@ -199,16 +216,17 @@ def _lslk_perm(x, ia, isub, ic, K, interpret=False):
     blk = K * gpb
 
     def kernel(x_ref, a_ref, s_ref, c_ref, o_ref):
-        g1 = jnp.take_along_axis(x_ref[:], a_ref[:], axis=1)
+        g1 = jnp.take_along_axis(x_ref[:], _i32(a_ref[:]), axis=1)
         for g in range(gpb):
             for a, t in enumerate(_subk_body_g(g1, s_ref, g * K, K)):
                 sl = slice(g * K + a * 8, g * K + (a + 1) * 8)
-                o_ref[sl, :] = jnp.take_along_axis(t, c_ref[sl, :], axis=1)
+                o_ref[sl, :] = jnp.take_along_axis(t, _i32(c_ref[sl, :]),
+                                                   axis=1)
 
     def _subk_body_g(g1, s_ref, base, K):
         tiles = []
         for a in range(K // 8):
-            idx = s_ref[base + a * 8: base + (a + 1) * 8, :]
+            idx = _i32(s_ref[base + a * 8: base + (a + 1) * 8, :])
             sub = idx & 7
             acc = None
             for j in range(K // 8):
@@ -238,8 +256,8 @@ def _expand_gather(xt, tile_of_chunk, sub_idx, lane_idx, nchunks,
 
     def kernel(tile_ref, x_ref, s_ref, l_ref, o_ref):
         for k in range(chunk_rows // 8):
-            s = s_ref[k * 8:(k + 1) * 8, :]
-            l = l_ref[k * 8:(k + 1) * 8, :]
+            s = _i32(s_ref[k * 8:(k + 1) * 8, :])
+            l = _i32(l_ref[k * 8:(k + 1) * 8, :])
             g1 = jnp.take_along_axis(x_ref[:], s, axis=0)
             o_ref[k * 8:(k + 1) * 8, :] = jnp.take_along_axis(g1, l, axis=1)
 
@@ -259,6 +277,99 @@ def _expand_gather(xt, tile_of_chunk, sub_idx, lane_idx, nchunks,
         out_shape=jax.ShapeDtypeStruct((nchunks * chunk_rows, 128), xt.dtype),
         interpret=interpret,
     )(tile_of_chunk, xt, sub_idx, lane_idx)
+
+
+# grid-overhead fix (r5): one grid step per chunk costs ~0.2 us x 4096
+# steps = 0.8 ms at the 16.8M bench — 4x the kernel's 0.19 ms byte
+# bound.  When the whole padded x grid fits VMEM it is loaded ONCE as a
+# constant block (index map pinned to (0, 0): Pallas re-fetches only on
+# block-index change) and each grid step resolves F chunks, picking each
+# chunk's x tile with a dynamic sublane slice.
+_EXPAND_VMEM_X = 8 << 20      # full-x path when x bytes <= 8 MB
+_EXPAND_VMEM_BLK = 4 << 20    # per-step chunk blocks (3 operands, dbuf)
+
+
+def _expand_F(nchunks: int, chunk_rows: int, x_rows: int,
+              itemsize: int = 4) -> int:
+    """Chunks per grid step for the VMEM-resident expand; 0 = use the
+    per-chunk scalar-prefetch kernel (x too large for VMEM)."""
+    if x_rows * 128 * itemsize > _EXPAND_VMEM_X:
+        return 0
+    f = 1
+    while (f < 32 and f * 2 <= nchunks
+           and 3 * (f * 2) * chunk_rows * 128 * itemsize
+           <= _EXPAND_VMEM_BLK):
+        f *= 2
+    return f
+
+
+@partial(jax.jit, static_argnames=("nchunks", "chunk_rows", "F",
+                                   "interpret"))
+def _expand_gather_vmem(xt, tile_of_chunk, sub_idx, lane_idx, nchunks,
+                        chunk_rows=CHUNK_ROWS, F=8, interpret=False):
+    """VMEM-resident expand: x loaded once, F chunks per grid step.
+    ``tile_of_chunk`` must be padded to ceil(nchunks/F)*F entries (the
+    ragged last block's extra rows gather garbage that Mosaic's
+    out-of-bounds store masking drops)."""
+    x_rows = xt.shape[0]
+    grid = -(-nchunks // F)
+
+    def kernel(tile_ref, x_ref, s_ref, l_ref, o_ref):
+        step = pl.program_id(0)
+
+        # fori_loop keeps the Mosaic program size CONSTANT in F: the
+        # fully unrolled F=32 body took a ~240 s deferred Mosaic compile
+        # at first execution (measured r5).  Slices are whole chunks
+        # (chunk_rows-aligned, one packed int8 tile at chunk_rows=32).
+        def body(c, carry):
+            t = tile_ref[step * F + c]
+            xtile = x_ref[pl.ds(t * 8, 8), :]
+            r0 = c * chunk_rows
+            s = _i32(s_ref[pl.ds(r0, chunk_rows), :])
+            ll = _i32(l_ref[pl.ds(r0, chunk_rows), :])
+            tiles = []
+            for k in range(chunk_rows // 8):
+                g1 = jnp.take_along_axis(xtile, s[k * 8:(k + 1) * 8, :],
+                                         axis=0)
+                tiles.append(jnp.take_along_axis(
+                    g1, ll[k * 8:(k + 1) * 8, :], axis=1))
+            o_ref[pl.ds(r0, chunk_rows), :] = (
+                tiles[0] if len(tiles) == 1
+                else jnp.concatenate(tiles, axis=0))
+            return carry
+
+        jax.lax.fori_loop(0, F, body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((x_rows, 128), lambda i, t: (0, 0)),
+            pl.BlockSpec((F * chunk_rows, 128), lambda i, t: (i, 0)),
+            pl.BlockSpec((F * chunk_rows, 128), lambda i, t: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((F * chunk_rows, 128), lambda i, t: (i, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nchunks * chunk_rows, 128),
+                                       xt.dtype),
+        interpret=interpret,
+    )(tile_of_chunk, xt, sub_idx, lane_idx)
+
+
+def _run_expand(xt, tile_of_chunk, sub_idx, lane_idx, nchunks,
+                chunk_rows, interpret):
+    """Dispatch the expand gather: VMEM-resident (F chunks/step) when the
+    padded x grid fits the VMEM budget, else per-chunk scalar prefetch."""
+    F = _expand_F(nchunks, chunk_rows, xt.shape[0], xt.dtype.itemsize)
+    if F:
+        return _expand_gather_vmem(xt, tile_of_chunk, sub_idx, lane_idx,
+                                   nchunks, chunk_rows=chunk_rows, F=F,
+                                   interpret=interpret)
+    return _expand_gather(xt, tile_of_chunk, sub_idx, lane_idx, nchunks,
+                          chunk_rows=chunk_rows, interpret=interpret)
 
 
 def _tile_T(t):
@@ -351,7 +462,7 @@ def _lane_t(x, idx, G, R, interpret=False):
     F = _pick_F(nb)
 
     def kernel(x_ref, i_ref, o_ref):
-        g1 = jnp.take_along_axis(x_ref[:], i_ref[:], axis=1)
+        g1 = jnp.take_along_axis(x_ref[:], _i32(i_ref[:]), axis=1)
         for k in range(F):
             o_ref[:, k * 128:(k + 1) * 128] = _tile_T(
                 g1[k * 128:(k + 1) * 128, :])
@@ -379,7 +490,7 @@ def _tinv_lane(x, idx, G, R, interpret=False):
         for k in range(F):
             t = _tile_T(x_ref[:, k * 128:(k + 1) * 128])
             o_ref[k * 128:(k + 1) * 128, :] = jnp.take_along_axis(
-                t, i_ref[k * 128:(k + 1) * 128, :], axis=1)
+                t, _i32(i_ref[k * 128:(k + 1) * 128, :]), axis=1)
 
     return pl.pallas_call(
         kernel,
@@ -403,17 +514,18 @@ def _lsl_perm(x, ia, isub, ic, interpret=False):
     blk = _pick_blk(rows)
 
     def kernel(x_ref, a_ref, s_ref, c_ref, o_ref):
-        g1 = jnp.take_along_axis(x_ref[:], a_ref[:], axis=1)
+        g1 = jnp.take_along_axis(x_ref[:], _i32(a_ref[:]), axis=1)
         for k in range(blk // 8):
             sl = slice(k * 8, (k + 1) * 8)
-            g2 = jnp.take_along_axis(g1[sl, :], s_ref[sl, :], axis=0)
-            o_ref[sl, :] = jnp.take_along_axis(g2, c_ref[sl, :], axis=1)
+            g2 = jnp.take_along_axis(g1[sl, :], _i32(s_ref[sl, :]), axis=0)
+            o_ref[sl, :] = jnp.take_along_axis(g2, _i32(c_ref[sl, :]),
+                                               axis=1)
 
     if blk < 8:
         def kernel_small(x_ref, a_ref, s_ref, c_ref, o_ref):
-            g1 = jnp.take_along_axis(x_ref[:], a_ref[:], axis=1)
-            g2 = jnp.take_along_axis(g1, s_ref[:], axis=0)
-            o_ref[:] = jnp.take_along_axis(g2, c_ref[:], axis=1)
+            g1 = jnp.take_along_axis(x_ref[:], _i32(a_ref[:]), axis=1)
+            g2 = jnp.take_along_axis(g1, _i32(s_ref[:]), axis=0)
+            o_ref[:] = jnp.take_along_axis(g2, _i32(c_ref[:]), axis=1)
 
         return pl.pallas_call(
             kernel_small,
@@ -711,7 +823,7 @@ class SELLR:
                     perm_complete(dst_x)
                     xops = fuse_stages(plan_route(dst_x, R_x))
                     self._x_kinds, x_arr = split_stage_ops(xops)
-                    self._x_arrays = tuple(jnp.asarray(a) for a in x_arr)
+                    self._x_arrays = tuple(_as_idx(a) for a in x_arr)
                     self._x_R = R_x
                     self._m_eff = m_eff
                     if len(dup_src):
@@ -797,7 +909,12 @@ class SELLR:
             assert src_rows <= uniform["src_rows"]
             src_rows = uniform["src_rows"]
         self._nchunks = int(src_rows // chunk_rows)
-        tile_of_chunk = np.zeros(self._nchunks, dtype=np.int32)
+        # padded to a multiple of 32 (the max chunks-per-step F of the
+        # VMEM-resident expand) so the ragged last grid block can still
+        # read F tile ids; extra chunks gather garbage that Mosaic's
+        # out-of-bounds store masking drops
+        tile_of_chunk = np.zeros(-(-self._nchunks // 32) * 32,
+                                 dtype=np.int32)
         tile_of_chunk[: int((bucket_rows // chunk_rows).sum())] = np.repeat(
             np.arange(ntiles), bucket_rows // chunk_rows).astype(np.int32)
 
@@ -890,14 +1007,14 @@ class SELLR:
         self._src_rows = src_rows
         self._R = R
         self._tile_of_chunk = jnp.asarray(tile_of_chunk)
-        self._sub_idx = jnp.asarray(sub_plane)
-        self._lane_idx = jnp.asarray(lane_plane)
+        self._sub_idx = _as_idx(sub_plane)
+        self._lane_idx = _as_idx(lane_plane)
         # stage structure is static; the (large) idx planes travel through
         # leaves() so they are jit ARGUMENTS, not embedded constants
         # (closed-over arrays blow the remote-compile payload — the
         # HTTP 413 hazard, bench.py:slope_seconds docstring)
         self._stage_kinds, st_arr = split_stage_ops(stages)
-        self._stage_arrays = tuple(jnp.asarray(a) for a in st_arr)
+        self._stage_arrays = tuple(_as_idx(a) for a in st_arr)
         self._dst_rows = dst_rows
         vflat = np.zeros(dst_rows * 128, dtype=val.dtype)
         vflat[dst_flat_e] = eval_
@@ -929,7 +1046,7 @@ class SELLR:
                 perm_complete(dst_y)
                 yops = fuse_stages(plan_route(dst_y, Ry))
                 self._y_kinds, y_arr = split_stage_ops(yops)
-                self._y_arrays = tuple(jnp.asarray(a) for a in y_arr)
+                self._y_arrays = tuple(_as_idx(a) for a in y_arr)
                 self._y_R = Ry
                 self._y_src = Ny
 
@@ -981,9 +1098,8 @@ class SELLR:
             xpad = jnp.pad(x.reshape(-1),
                            (0, self._xpad_tiles * TILE - x.shape[0]))
             xt = xpad.reshape(self._xpad_tiles * 8, 128)
-        g = _expand_gather(xt, tile_of_chunk, sub_idx, lane_idx,
-                           self._nchunks, chunk_rows=self._chunk_rows,
-                           interpret=interpret)
+        g = _run_expand(xt, tile_of_chunk, sub_idx, lane_idx,
+                        self._nchunks, self._chunk_rows, interpret)
         if self._R > g.shape[0]:
             g = jnp.concatenate(
                 [g, jnp.zeros((self._R - g.shape[0], 128), g.dtype)])
