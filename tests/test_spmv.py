@@ -187,6 +187,36 @@ def test_sellr_fallback_warns(ctx, rng, monkeypatch):
     assert A.device.format == "hyb"
 
 
+def test_sellr_f64_contract_dtype_guard(ctx, rng, monkeypatch):
+    """f64 (the reference contract dtype, examples/benchmark.cpp:353-478)
+    routes to the XLA gather hybrid on accelerators: Mosaic does not
+    compile the shuffle kernels at f64 on v5e (VERDICT r4 #4).  The
+    product stays correct through software-emulated f64; VEXTPU_SELLR_F64
+    forces SELL-R (interpret-mode oracles use it)."""
+    import jax
+
+    n, w = 256, 5
+    ptr = np.arange(n + 1, dtype=np.int64) * w
+    col = rng.integers(0, n, n * w).astype(np.int32)
+    val = rng.standard_normal(n * w)          # float64
+    # patch the backend only for FORMAT SELECTION — the matvecs below
+    # must still see the CPU backend so Pallas runs interpret mode
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(jax, "default_backend", lambda: "tpu")
+        A = vex.SpMat(n, n, ptr, col, val, fmt=None, context=ctx)
+        mp.setenv("VEXTPU_SELLR_F64", "1")
+        B = vex.SpMat(n, n, ptr, col, val, fmt=None, context=ctx)
+    assert A.device.format == "hyb"
+    assert A.dtype == np.float64
+    assert B.device.format == "sellr"
+    x = rng.standard_normal(n)
+    ref = csr_matvec(ptr, col, val, x)
+    for M in (A, B):
+        y = vex.vector(n, dtype=np.float64, context=ctx)
+        y[:] = M * vex.vector(data=x, context=ctx)
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-12)
+
+
 def test_distributed_banded_halo_exchange(ctx):
     """Banded distributed SpMV: ghost exchange is neighbor-only ppermute
     halos (minimal ghost sets, like spmat.hpp setup_exchange) instead of

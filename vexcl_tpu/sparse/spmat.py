@@ -167,6 +167,18 @@ class SpMat:
                                          str(1 << 31)))
                 nnz = int(np.asarray(ptr)[-1])
                 fmt = "sellr" if 0 < nnz <= min(cap, 2**31 - 1) else "hyb"
+                # contract-dtype guard (VERDICT r4 #4): the reference
+                # benchmarks run `double` (examples/benchmark.cpp:353-478)
+                # but v5e has no f64 ALU and Mosaic does not compile the
+                # shuffle kernels at f64 — route f64 matrices to the XLA
+                # gather hybrid, which runs software-emulated f64
+                # correctly.  VEXTPU_SELLR_F64=1 forces SELL-R anyway
+                # (e.g. CPU interpret mode, where f64 is exact and the
+                # whole test oracle runs through it).
+                if (fmt == "sellr" and val_arr is not None
+                        and val_arr.dtype == np.float64
+                        and os.environ.get("VEXTPU_SELLR_F64", "0") != "1"):
+                    fmt = "hyb"
                 if fmt == "hyb" and nnz > (1 << 20):
                     import warnings
 
