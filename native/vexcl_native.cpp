@@ -788,4 +788,77 @@ void edge_color_rows_i32(int64_t E, const int32_t* dvrow, int64_t nv64,
   run_color_levels(S, E, (int32_t)nv64, d, seg, colors);
 }
 
+
+// ---------------------------------------------------------------------------
+// Fused Benes-plan scatter passes (r5).  _plan's numpy forms cost ~7 s at
+// 16.8M elements on the 1-core bench host: every stage builds 67 MB int32
+// position temps (2-5 arithmetic passes) before a fancy-index scatter.
+// Each function below is ONE pass with no temps.  dst is the group-local
+// destination flat position per element (see shuffle_plan._plan); colors
+// may be null meaning colors[p] = p & 127 (the known_colors case).
+// ---------------------------------------------------------------------------
+
+// A stage: out[(r<<7) + colors[p]] = p & 127
+void plan_scatter_a_i32(int64_t rows, const int32_t* colors, int32_t* out) {
+  for (int64_t p = 0; p < rows * 128; ++p)
+    out[((p >> 7) << 7) + colors[p]] = (int32_t)(p & 127);
+}
+
+// C stage: out[((grp + (dst[p]>>7)) << 7) | (dst[p]&127)] = colors[p]
+// with grp = (r/R)*R
+void plan_scatter_c_i32(int64_t rows, int64_t R, const int32_t* dst,
+                        const int32_t* colors, int32_t* out) {
+  for (int64_t r = 0; r < rows; ++r) {
+    const int64_t grp = (r / R) * R;
+    const int64_t b = r << 7;
+    for (int64_t l = 0; l < 128; ++l) {
+      const int32_t d = dst[b + l];
+      out[((grp + (d >> 7)) << 7) | (d & 127)] =
+          colors ? colors[b + l] : (int32_t)l;
+    }
+  }
+}
+
+// B stage bottoms: out[((grp + (dst[p]>>7)) << 7) | colors[p]] = v(r)
+// where v = r & 7 (tile-absolute sub pass) or r % R (group-local subk)
+void plan_scatter_b_i32(int64_t rows, int64_t R, int tileabs,
+                        const int32_t* dst, const int32_t* colors,
+                        int32_t* out) {
+  for (int64_t r = 0; r < rows; ++r) {
+    const int64_t grp = (r / R) * R;
+    const int32_t v = (int32_t)(tileabs ? (r & 7) : (r % R));
+    const int64_t b = r << 7;
+    for (int64_t l = 0; l < 128; ++l) {
+      const int32_t c = colors ? colors[b + l] : (int32_t)l;
+      out[((grp + (dst[b + l] >> 7)) << 7) | c] = v;
+    }
+  }
+}
+
+// t-branch next-level dst:
+// out[((((r/R)*128 + colors[p]) * nb + (r%R)/128) << 7) | (r&127)]
+//   = dst[p] >> 7
+void plan_t_next_i32(int64_t rows, int64_t R, const int32_t* dst,
+                     const int32_t* colors, int32_t* out) {
+  const int64_t nb = R >> 7;
+  for (int64_t r = 0; r < rows; ++r) {
+    const int64_t grp128 = (r / R) * 128;
+    const int64_t srow_hi = (r % R) >> 7;
+    const int64_t lane = r & 127;
+    const int64_t b = r << 7;
+    for (int64_t l = 0; l < 128; ++l) {
+      const int32_t c = colors ? colors[b + l] : (int32_t)l;
+      out[(((grp128 + c) * nb + srow_hi) << 7) | lane] =
+          dst[b + l] >> 7;
+    }
+  }
+}
+
+// free-lanes reindex: out[(r<<7) + colors[p]] = dst[p]
+void plan_scatter_freelanes_i32(int64_t rows, const int32_t* dst,
+                                const int32_t* colors, int32_t* out) {
+  for (int64_t p = 0; p < rows * 128; ++p)
+    out[((p >> 7) << 7) + colors[p]] = dst[p];
+}
+
 }  // extern "C"

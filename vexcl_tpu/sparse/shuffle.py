@@ -994,12 +994,17 @@ class SELLR:
         lanes, stages = plan_route_free_lanes(dst, R)
         stages = fuse_stages(stages)
         lanes2 = lanes.reshape(R, 128)[:src_rows]
-        lane_plane = np.empty(src_rows * 128, dtype=np.int32)
-        pos = (np.arange(src_rows, dtype=np.int32)[:, None] * np.int32(128)
-               + lanes2)
-        lane_plane[pos.reshape(-1)] = np.ascontiguousarray(
-            np.broadcast_to(np.arange(128, dtype=np.int32),
-                            (src_rows, 128))).reshape(-1)
+        try:
+            from ..utils.native import plan_scatter_a
+
+            lane_plane = plan_scatter_a(src_rows, lanes2)
+        except Exception:
+            lane_plane = np.empty(src_rows * 128, dtype=np.int32)
+            pos = (np.arange(src_rows, dtype=np.int32)[:, None]
+                   * np.int32(128) + lanes2)
+            lane_plane[pos.reshape(-1)] = np.ascontiguousarray(
+                np.broadcast_to(np.arange(128, dtype=np.int32),
+                                (src_rows, 128))).reshape(-1)
         lane_plane = lane_plane.reshape(src_rows, 128)
 
         # ---- device arrays ---------------------------------------------------

@@ -208,16 +208,23 @@ def plan_route_free_lanes(dst: np.ndarray, R: int):
         # single row: placing at the dest lane IS the whole route
         return (dst & 127).astype(np.int32), []
     drow = dst >> 7
-    colors = _color_rows(drow, R, 128).reshape(R, 128)
+    colors = _color_rows(drow, R, 128)
     # dst as seen from the color-placed layout: element occupying slot
     # (srow, color) has destination dst[p]; its color there is its lane
-    # (flat int32 scatter: np.put_along_axis builds int64 index temps)
-    dst2 = np.empty(R * 128, dtype=np.int32)
-    pos = np.arange(R, dtype=np.int32)[:, None] << 7
-    pos = pos + colors
-    dst2[pos] = dst.reshape(R, 128)
+    # (flat int32 scatter: np.put_along_axis builds int64 index temps;
+    # native single-pass form when available)
+    try:
+        from ..utils import native as _nat
+
+        dst2 = _nat.plan_scatter_freelanes(R, dst, colors)
+    except Exception:
+        colors2 = colors.reshape(R, 128)
+        dst2 = np.empty(R * 128, dtype=np.int32)
+        pos = np.arange(R, dtype=np.int32)[:, None] << 7
+        pos = pos + colors2
+        dst2[pos] = dst.reshape(R, 128)
     ops = _plan(dst2, 1, R, known_colors=True)
-    return colors.reshape(-1).copy(), ops
+    return colors.copy(), ops
 
 
 def plan_route(dst: np.ndarray, R: int) -> List[Tuple]:
@@ -257,68 +264,97 @@ def _plan(dst: np.ndarray, G: int, R: int,
     (np.repeat at ~13 Melem/s; see the r4 construction cProfile)."""
     rows = G * R
     dst2 = dst.reshape(rows, 128)
-    drow = dst2 >> 7                      # group-local dst row
-    dlane = dst2 & 127
     row0 = np.arange(rows, dtype=np.int32)
+
+    # native single-pass scatter forms (utils/native.py plan_scatter_*):
+    # the numpy forms below each build (rows, 128) int32 position temps
+    # (2-5 full passes) before the fancy scatter — ~7 s of the 16.8M
+    # construction on the 1-core bench host (r5)
+    _nat = None
+    if rows * 128 >= (1 << 20):
+        try:
+            from ..utils import native as _n
+
+            _n._plan_lib()
+            _nat = _n
+        except Exception:
+            _nat = None
 
     if R == 1:
         # single row per group: one lane perm
+        dlane = dst2 & 127
         idx = np.empty(rows * 128, dtype=np.int32)
         pos = (row0[:, None] << 7) + dlane
         idx[pos] = np.broadcast_to(_LANE128, (rows, 128))
         return [("lane", idx.reshape(rows, 128))]
 
-    grpR = (row0 // R) * R                # group base row
-
-    # All big scatters below index a FLAT int32 array with a 2-D int32
-    # position array and a broadcast-view RHS: the r4 .reshape(-1) forms
-    # materialized a 67 MB copy per scatter (and put_along_axis builds
-    # int64 index temps) — ~1/3 of plan time at 16.8M (VERDICT r4 #3).
     ops: List[Tuple] = []
     if not known_colors:
         # color the (src row -> dst row) multigraph, batched over groups
         # (edges are in source order, so each group's R*128 edges are a
         # contiguous vertex-disjoint segment — the native colorer keeps
         # each segment cache-resident)
-        gdrow = drow + grpR[:, None]
-        colors = _color_rows(gdrow.reshape(-1), rows, 128,
-                             seg=R * 128 if G > 1 else None
-                             ).reshape(rows, 128)
+        if G > 1:
+            grpR = (row0 // R) * R        # group base row
+            gdrow = (dst2 >> 7) + grpR[:, None]
+        else:
+            gdrow = dst2 >> 7
+        colors_f = _color_rows(gdrow.reshape(-1), rows, 128,
+                               seg=R * 128 if G > 1 else None)
+        colors = colors_f.reshape(rows, 128)
         # A: within-row, move each element to its color lane
-        idx = np.empty(rows * 128, dtype=np.int32)
-        pos = (row0[:, None] << 7) + colors
-        idx[pos] = np.broadcast_to(_LANE128, (rows, 128))
+        if _nat is not None:
+            idx = _nat.plan_scatter_a(rows, colors_f)
+        else:
+            idx = np.empty(rows * 128, dtype=np.int32)
+            pos = (row0[:, None] << 7) + colors
+            idx[pos] = np.broadcast_to(_LANE128, (rows, 128))
         ops.append(("lane", idx.reshape(rows, 128)))
+        colors_n = colors_f               # native passes take the array
     else:
         colors = np.broadcast_to(_LANE128, (rows, 128))
+        colors_n = None                   # native passes synthesize iota
 
-    # reused by the B-stage scatter and the final C scatter
-    base = drow + grpR[:, None]
-    np.left_shift(base, 7, out=base)
+    def _base():
+        # (global dst row) << 7 — shared by the numpy B and C scatters
+        drow = dst2 >> 7
+        grpR = (row0 // R) * R
+        b = drow + grpR[:, None]
+        np.left_shift(b, 7, out=b)
+        return b, drow
 
     # B: within each lane column, route src row -> dst row
     if R in (2, 4, 8) and rows % 8 == 0:
         # one native sublane pass per (8,128) block; for R < 8 several
         # groups share a tile, so the indices are TILE-absolute — which
         # collapses to the source row's position within its 8-row tile
-        idx = np.empty(rows * 128, dtype=np.int32)
-        idx[base | colors] = np.broadcast_to(
-            (row0 & 7)[:, None], (rows, 128))
+        if _nat is not None:
+            idx = _nat.plan_scatter_b(rows, R, 1, dst2, colors_n)
+        else:
+            base, _ = _base()
+            idx = np.empty(rows * 128, dtype=np.int32)
+            idx[base | colors] = np.broadcast_to(
+                (row0 & 7)[:, None], (rows, 128))
         ops.append(("sub", idx.reshape(rows, 128)))
     elif R <= 32 and R % 8 == 0:
         # one fused subk pass: a K-row within-column perm as K/8 in-VMEM
         # sublane gathers + selects per output tile — one byte-bound HBM
         # pass, vs t128's three passes over 128/K-padded data.  Indices
         # are group-LOCAL (in [0, K)).
-        idx = np.empty(rows * 128, dtype=np.int32)
-        idx[base | colors] = np.broadcast_to(
-            (row0 % R)[:, None], (rows, 128))
+        if _nat is not None:
+            idx = _nat.plan_scatter_b(rows, R, 0, dst2, colors_n)
+        else:
+            base, _ = _base()
+            idx = np.empty(rows * 128, dtype=np.int32)
+            idx[base | colors] = np.broadcast_to(
+                (row0 % R)[:, None], (rows, 128))
         ops.append(("subk", idx.reshape(rows, 128), R))
     elif R <= 128:
         # transpose trick: columns become rows of length R (pad to 128)
         ops.append(("t128", G, R))
         # after t128: grid (G*128, 128); element at row grp*128+color,
         # lane srow; needs lane drow
+        drow = dst2 >> 7
         idx = np.tile(_LANE128, (G * 128, 1))
         grp128 = (row0 // R) * 128
         flat = grp128[:, None] + colors
@@ -335,23 +371,32 @@ def _plan(dst: np.ndarray, G: int, R: int,
         ops.append(("t", G, R))
         # after t: groups G*128 (one per (group, color)), rows R//128;
         # element at local (srow//128, srow%128) must reach local drow
-        grp128 = (row0 // R) * 128
-        srow_hi = (row0 % R) >> 7
-        newpos = grp128[:, None] + colors
-        newpos *= nb
-        newpos += srow_hi[:, None]
-        np.left_shift(newpos, 7, out=newpos)
-        newpos |= (row0 & 127)[:, None]
-        dstn = np.empty(rows * 128, dtype=np.int32)
-        dstn[newpos] = drow
-        del newpos
+        if _nat is not None:
+            dstn = _nat.plan_t_next(rows, R, dst2, colors_n)
+        else:
+            drow = dst2 >> 7
+            grp128 = (row0 // R) * 128
+            srow_hi = (row0 % R) >> 7
+            newpos = grp128[:, None] + colors
+            newpos *= nb
+            newpos += srow_hi[:, None]
+            np.left_shift(newpos, 7, out=newpos)
+            newpos |= (row0 & 127)[:, None]
+            dstn = np.empty(rows * 128, dtype=np.int32)
+            dstn[newpos] = drow
+            del newpos
         ops.extend(_plan(dstn, G * 128, nb))
         ops.append(("tinv", G, R))
 
     # C: final lane placement
-    idxc = np.empty(rows * 128, dtype=np.int32)
-    base |= dlane
-    idxc[base] = colors
+    if _nat is not None:
+        idxc = _nat.plan_scatter_c(rows, R, dst2, colors_n)
+    else:
+        base, _ = _base()
+        dlane = dst2 & 127
+        idxc = np.empty(rows * 128, dtype=np.int32)
+        base |= dlane
+        idxc[base] = colors
     ops.append(("lane", idxc.reshape(rows, 128)))
     return ops
 

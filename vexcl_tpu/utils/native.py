@@ -104,6 +104,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.edge_color_perm_i32.argtypes = [ctypes.c_int64, i32p,
                                                 ctypes.c_int64, i32p]
             lib.edge_color_perm_i32.restype = ctypes.c_int
+        if hasattr(lib, "plan_scatter_a_i32"):
+            lib.plan_scatter_a_i32.argtypes = [ctypes.c_int64, i32p, i32p]
+            lib.plan_scatter_c_i32.argtypes = [ctypes.c_int64,
+                                               ctypes.c_int64, i32p, i32p,
+                                               i32p]
+            lib.plan_scatter_b_i32.argtypes = [ctypes.c_int64,
+                                               ctypes.c_int64,
+                                               ctypes.c_int, i32p, i32p,
+                                               i32p]
+            lib.plan_t_next_i32.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                            i32p, i32p, i32p]
+            lib.plan_scatter_freelanes_i32.argtypes = [ctypes.c_int64,
+                                                       i32p, i32p, i32p]
         _lib = lib
         return _lib
 
@@ -311,3 +324,77 @@ def edge_color_rows(dvrow, nv, d, seg=None):
                             int(nv), int(d), int(seg or len(dvrow)),
                             _ptr(colors, ctypes.c_int32))
     return colors
+
+
+# ---------------------------------------------------------------------------
+# Fused Benes-plan scatter passes (r5): one C pass each, no 67 MB int32
+# position temps (the numpy forms cost ~7 s at 16.8M on the bench host).
+# ``colors=None`` means colors[p] = p & 127 (known_colors).  All return
+# None and raise RuntimeError when the library is unavailable — callers
+# keep their numpy fallbacks.
+# ---------------------------------------------------------------------------
+
+
+def _plan_lib():
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "plan_scatter_a_i32"):
+        raise RuntimeError("native library unavailable")
+    return lib
+
+
+def _c32(a):
+    return np.ascontiguousarray(a.reshape(-1), dtype=np.int32)
+
+
+def plan_scatter_a(rows, colors):
+    lib = _plan_lib()
+    colors = _c32(colors)
+    out = np.empty(rows * 128, dtype=np.int32)
+    lib.plan_scatter_a_i32(rows, _ptr(colors, ctypes.c_int32),
+                           _ptr(out, ctypes.c_int32))
+    return out
+
+
+def plan_scatter_c(rows, R, dst, colors):
+    lib = _plan_lib()
+    dst = _c32(dst)
+    out = np.empty(rows * 128, dtype=np.int32)
+    cp = (_ptr(_c32(colors), ctypes.c_int32) if colors is not None
+          else ctypes.cast(None, ctypes.POINTER(ctypes.c_int32)))
+    lib.plan_scatter_c_i32(rows, R, _ptr(dst, ctypes.c_int32), cp,
+                           _ptr(out, ctypes.c_int32))
+    return out
+
+
+def plan_scatter_b(rows, R, tileabs, dst, colors):
+    lib = _plan_lib()
+    dst = _c32(dst)
+    out = np.empty(rows * 128, dtype=np.int32)
+    cp = (_ptr(_c32(colors), ctypes.c_int32) if colors is not None
+          else ctypes.cast(None, ctypes.POINTER(ctypes.c_int32)))
+    lib.plan_scatter_b_i32(rows, R, int(tileabs),
+                           _ptr(dst, ctypes.c_int32), cp,
+                           _ptr(out, ctypes.c_int32))
+    return out
+
+
+def plan_t_next(rows, R, dst, colors):
+    lib = _plan_lib()
+    dst = _c32(dst)
+    out = np.empty(rows * 128, dtype=np.int32)
+    cp = (_ptr(_c32(colors), ctypes.c_int32) if colors is not None
+          else ctypes.cast(None, ctypes.POINTER(ctypes.c_int32)))
+    lib.plan_t_next_i32(rows, R, _ptr(dst, ctypes.c_int32), cp,
+                        _ptr(out, ctypes.c_int32))
+    return out
+
+
+def plan_scatter_freelanes(rows, dst, colors):
+    lib = _plan_lib()
+    dst = _c32(dst)
+    colors = _c32(colors)
+    out = np.empty(rows * 128, dtype=np.int32)
+    lib.plan_scatter_freelanes_i32(rows, _ptr(dst, ctypes.c_int32),
+                                   _ptr(colors, ctypes.c_int32),
+                                   _ptr(out, ctypes.c_int32))
+    return out
