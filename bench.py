@@ -909,7 +909,7 @@ _T0 = time.perf_counter()
 # must leave the slowest single sub-benchmark's guard worth of headroom
 # BELOW that: benchmarks that would start after the budget is spent are
 # recorded as SKIPPED_* instead of run.
-BUDGET_S = float(os.environ.get("VEXTPU_BENCH_BUDGET_S", "1100"))
+BUDGET_S = float(os.environ.get("VEXTPU_BENCH_BUDGET_S", "1240"))
 # Last-resort hard deadline: a wedged PJRT/C++ call is NOT interruptible
 # by SIGALRM (the guard only fires when the interpreter regains control),
 # so a watchdog thread prints the accumulated result line and exits 0 at

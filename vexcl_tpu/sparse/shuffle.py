@@ -29,9 +29,11 @@ a fixed sequence of DENSE shuffle passes:
               back to natural row order.
 
 Random access thus becomes dense data movement — the shape the hardware
-wants.  Measured end to end on a v5e chip this is ~16x the naive
-jnp.take ELL matvec (~2.3 vs ~0.14 GFLOP/s; BENCH spmv_random_* rows,
-roofline accounting in docs/tpu_kernel_notes.md).
+wants.  Measured end to end on a v5e chip at the 16.8M-nnz bench
+matrix: 2.31 ms/matvec = 14.1 GFLOP/s (r5) — ~120x the naive jnp.take
+ELL matvec (0.119 GFLOP/s, BENCH spmv_random_* rows) and ~74% of the
+pipeline's byte-bound roofline (accounting in
+docs/tpu_kernel_notes.md).
 """
 
 from __future__ import annotations
