@@ -321,9 +321,13 @@ def bench_dist_pallas_local(n=1 << 22):
     y_d = np.asarray(stencil_pallas_dist(x, coeffs, 2, mesh, "x"))
     y_g = np.asarray(stencil_pallas(jnp.asarray(hx), coeffs, 2))
     assert np.array_equal(y_d, y_g), "dist stencil != global kernel"
+    # chain lengths: the local stencil is ~50 us/iter, so the 64/576
+    # differential was ~27 ms — inside the +-20 ms RTT noise band (r5
+    # trial vs r5 partial swung 535 vs 644 GB/s).  128/1152 puts the
+    # signal at ~60 ms.
     t = slope_seconds(
         lambda v: (stencil_pallas_dist(v, coeffs, 2, mesh, "x")
-                   * np.float32(0.999)) % 1.0, x, lo=64, hi=576)
+                   * np.float32(0.999)) % 1.0, x, lo=128, hi=1152)
     out["stencil_dist_GBs"] = round(2 * n * 4 / t / 1e9, 1)
 
     # DIA (the dia_halo local phase composition from sparse/distributed.py)
@@ -361,7 +365,7 @@ def bench_dist_pallas_local(n=1 << 22):
     assert np.allclose(y_d, y_g, rtol=1e-6), "dist DIA != global kernel"
     t = slope_seconds(
         lambda v, vl: (dia_dist(vl, v) * np.float32(0.999)) % 1.0,
-        x, lo=32, hi=288, extra=(vals_j,))
+        x, lo=64, hi=576, extra=(vals_j,))
     out["dia_dist_GFLOPs"] = round(2 * 5 * n / t / 1e9, 1)
 
     # scan (dist tail-carry, Pallas local cumsum)
@@ -371,8 +375,10 @@ def bench_dist_pallas_local(n=1 << 22):
     y_d = np.asarray(jfn(x, 0))
     assert np.allclose(y_d, np.cumsum(hx, dtype=np.float32),
                        rtol=1e-4, atol=1e-2), "dist scan mismatch"
+    # ~84 us/iter: 16/128 put the differential at ~9 ms, deep inside
+    # the RTT noise (recorded 84.4 then 16.7 Gelem/s across r5 runs)
     t = slope_seconds(lambda v: jfn(v, 0) * np.float32(1e-7), x,
-                      lo=16, hi=128)
+                      lo=128, hi=1152)
     out["scan_dist_Gelem_s"] = round(n / t / 1e9, 2)
 
     # SELL-R uniform shards (VERDICT r4 weak #6): the distributed SpMV's

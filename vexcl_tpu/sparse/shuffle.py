@@ -361,6 +361,96 @@ def _expand_gather_vmem(xt, tile_of_chunk, sub_idx, lane_idx, nchunks,
     )(tile_of_chunk, xt, sub_idx, lane_idx)
 
 
+@partial(jax.jit, static_argnames=("nchunks", "chunk_rows", "nb", "F2",
+                                   "interpret"))
+def _expand_gather_vmem_T(xt, tile_of_chunk, sub_idx, lane_idx, nchunks,
+                          chunk_rows, nb, F2, interpret=False):
+    """VMEM-resident expand that writes its output DIRECTLY in the route's
+    top-level transpose layout, retiring the route's first full-grid 't'
+    pass (~0.45 ms of HBM traffic at 16.8M): out.reshape(128, nb, 128)
+    [l, b, j] = g[b*128 + j, l], with g rows beyond the real chunk count
+    zeroed (the route grid's zero padding).  The per-tile transposes ride
+    the MXU (identity-dot, _tile_T), which idles during the VPU-bound
+    gather — measured overlap makes them ~free.  ``tile_of_chunk`` must
+    cover nb*128/chunk_rows entries (pad ids are masked by c < nchunks).
+    """
+    x_rows = xt.shape[0]
+    cpb = 128 // chunk_rows          # chunks per 128-row b-tile
+
+    def kernel(tile_ref, x_ref, s_ref, l_ref, o_ref):
+        step = pl.program_id(0)
+
+        # Fully static body: the alternatives all lost (measured r5 at
+        # 16.8M) — fori over the F2 b-tiles compiles in seconds but its
+        # dynamic middle-dim o_ref store relayouts every iteration
+        # (2.15 vs 1.89 ms/matvec); a VMEM scratch round-trip serializes
+        # the gathers against the MXU transpose (2.45 ms); and Mosaic
+        # has no dynamic_update_slice lowering for a value carry.  The
+        # price is a one-time ~430 s Mosaic compile of the ~128 unrolled
+        # gather groups, paid once per process (kernel-level cache) and
+        # amortized by the XLA persistent compilation cache across
+        # processes on one machine.
+        for f in range(F2):
+            tiles = []
+            for c4 in range(cpb):
+                c = (step * F2 + f) * cpb + c4
+                t = tile_ref[c]
+                xtile = x_ref[pl.ds(t * 8, 8), :]
+                r0 = f * 128 + c4 * chunk_rows
+                s = _i32(s_ref[r0:r0 + chunk_rows, :])
+                ll = _i32(l_ref[r0:r0 + chunk_rows, :])
+                for k in range(chunk_rows // 8):
+                    g1 = jnp.take_along_axis(
+                        xtile, s[k * 8:(k + 1) * 8, :], axis=0)
+                    tiles.append(jnp.take_along_axis(
+                        g1, ll[k * 8:(k + 1) * 8, :], axis=1))
+            gtile = jnp.concatenate(tiles, axis=0)      # (128, 128)
+            # zero route-grid padding: chunks past the real count carry
+            # pad-id tiles whose gathers are garbage
+            nvalid = jnp.minimum(
+                jnp.maximum(nchunks - (step * F2 + f) * cpb, 0), cpb)
+            row = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+            gtile = jnp.where(row < nvalid * chunk_rows, gtile, 0)
+            o_ref[:, f, :] = _tile_T(gtile)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb // F2,),
+        in_specs=[
+            pl.BlockSpec((x_rows, 128), lambda i, t: (0, 0)),
+            pl.BlockSpec((F2 * 128, 128), lambda i, t: (i, 0)),
+            pl.BlockSpec((F2 * 128, 128), lambda i, t: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((128, F2, 128), lambda i, t: (0, i, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((128, nb, 128), xt.dtype),
+        interpret=interpret,
+    )(tile_of_chunk, xt, sub_idx, lane_idx)
+    return out.reshape(128 * nb, 128)
+
+
+def _expand_T_params(stage_kinds, chunk_rows, x_rows, itemsize=4):
+    """(nb, F2) when the fused transposing expand applies — the first
+    route stage is the whole-grid ('t', 1, R) transpose, x fits VMEM,
+    and the shapes tile cleanly — else None."""
+    if (not stage_kinds or stage_kinds[0][0] != "t"
+            or stage_kinds[0][1] != 1):
+        return None
+    R = stage_kinds[0][2]
+    if R % 128 or chunk_rows > 128 or 128 % chunk_rows:
+        return None
+    if x_rows * 128 * itemsize > _EXPAND_VMEM_X:
+        return None
+    nb = R // 128
+    F2 = 1
+    while F2 < 8 and nb % (F2 * 2) == 0:
+        F2 *= 2
+    return nb, F2
+
+
 def _run_expand(xt, tile_of_chunk, sub_idx, lane_idx, nchunks,
                 chunk_rows, interpret):
     """Dispatch the expand gather: VMEM-resident (F chunks/step) when the
@@ -914,7 +1004,9 @@ class SELLR:
         # padded to a multiple of 32 (the max chunks-per-step F of the
         # VMEM-resident expand) so the ragged last grid block can still
         # read F tile ids; extra chunks gather garbage that Mosaic's
-        # out-of-bounds store masking drops
+        # out-of-bounds store masking drops.  (Extended again below once
+        # R is known: the fused transposing expand covers the FULL route
+        # grid, R/chunk_rows chunk slots.)
         tile_of_chunk = np.zeros(-(-self._nchunks // 32) * 32,
                                  dtype=np.int32)
         tile_of_chunk[: int((bucket_rows // chunk_rows).sum())] = np.repeat(
@@ -1013,6 +1105,11 @@ class SELLR:
         self._xpad_tiles = ntiles
         self._src_rows = src_rows
         self._R = R
+        if R % 128 == 0 and R // chunk_rows > len(tile_of_chunk):
+            tile_of_chunk = np.concatenate(
+                [tile_of_chunk,
+                 np.zeros(R // chunk_rows - len(tile_of_chunk),
+                          np.int32)])
         self._tile_of_chunk = jnp.asarray(tile_of_chunk)
         self._sub_idx = _as_idx(sub_plane)
         self._lane_idx = _as_idx(lane_plane)
@@ -1105,12 +1202,24 @@ class SELLR:
             xpad = jnp.pad(x.reshape(-1),
                            (0, self._xpad_tiles * TILE - x.shape[0]))
             xt = xpad.reshape(self._xpad_tiles * 8, 128)
-        g = _run_expand(xt, tile_of_chunk, sub_idx, lane_idx,
-                        self._nchunks, self._chunk_rows, interpret)
-        if self._R > g.shape[0]:
-            g = jnp.concatenate(
-                [g, jnp.zeros((self._R - g.shape[0], 128), g.dtype)])
-        h = _apply_route(g, stages, interpret)
+        expT = _expand_T_params(self._stage_kinds, self._chunk_rows,
+                                xt.shape[0], xt.dtype.itemsize)
+        if expT is not None:
+            # fused transposing expand: emits the route's first 't' pass
+            # output directly (zero-padded to the full R-row grid)
+            nb, F2 = expT
+            g = _expand_gather_vmem_T(xt, tile_of_chunk, sub_idx,
+                                      lane_idx, self._nchunks,
+                                      self._chunk_rows, nb, F2,
+                                      interpret=interpret)
+            h = _apply_route(g, stages[1:], interpret)
+        else:
+            g = _run_expand(xt, tile_of_chunk, sub_idx, lane_idx,
+                            self._nchunks, self._chunk_rows, interpret)
+            if self._R > g.shape[0]:
+                g = jnp.concatenate(
+                    [g, jnp.zeros((self._R - g.shape[0], 128), g.dtype)])
+            h = _apply_route(g, stages, interpret)
         hf = h.reshape(-1)
         vf = vflat.reshape(-1)
         # per-class dense sums; multi-class planes are transposed
