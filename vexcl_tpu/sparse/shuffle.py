@@ -30,10 +30,9 @@ a fixed sequence of DENSE shuffle passes:
 
 Random access thus becomes dense data movement — the shape the hardware
 wants.  Measured end to end on a v5e chip at the 16.8M-nnz bench
-matrix: 2.31 ms/matvec = 14.1 GFLOP/s (r5) — ~120x the naive jnp.take
-ELL matvec (0.119 GFLOP/s, BENCH spmv_random_* rows) and ~74% of the
-pipeline's byte-bound roofline (accounting in
-docs/tpu_kernel_notes.md).
+matrix: 1.84 ms/matvec = 17.65 GFLOP/s (r5, fused transposing expand)
+— ~150x the naive jnp.take ELL matvec (0.119 GFLOP/s, BENCH
+spmv_random_* rows); roofline accounting in docs/tpu_kernel_notes.md.
 """
 
 from __future__ import annotations
