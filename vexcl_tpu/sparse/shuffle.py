@@ -1201,8 +1201,14 @@ class SELLR:
             xpad = jnp.pad(x.reshape(-1),
                            (0, self._xpad_tiles * TILE - x.shape[0]))
             xt = xpad.reshape(self._xpad_tiles * 8, 128)
-        expT = _expand_T_params(self._stage_kinds, self._chunk_rows,
-                                xt.shape[0], xt.dtype.itemsize)
+        # Fused transposing expand only on the default multi-class path:
+        # single-width templates are what sellr_uniform_shards runs under
+        # shard_map, where this kernel crashes the TPU worker with an
+        # INTERNAL backend error (r5, bench_dist_pallas isolation — the
+        # plain VMEM expand + XLA 't' composes fine there).
+        expT = (_expand_T_params(self._stage_kinds, self._chunk_rows,
+                                 xt.shape[0], xt.dtype.itemsize)
+                if self.width == 0 else None)
         if expT is not None:
             # fused transposing expand: emits the route's first 't' pass
             # output directly (zero-padded to the full R-row grid)
