@@ -128,8 +128,18 @@ print(f"expand  {t * 1e3:8.3f} ms   ({slots / t / 1e9:.1f} Gslot/s, "
       f"{slots} slots)")
 
 # ---- route --------------------------------------------------------------
+from vexcl_tpu.sparse.shuffle import _expand_T_params  # noqa: E402
+
+_expT = (_expand_T_params(A._stage_kinds, A._chunk_rows,
+                          A._xpad_tiles * 8, 4) if A.width == 0 else None)
+_kinds = A._stage_kinds[1:] if _expT else A._stage_kinds
+if _expT:
+    print(f"(route row excludes stages[0]='t': fused into the expand, "
+          f"expT={_expT})")
+
+
 def step_route(gc, *arr):
-    st = join_stage_ops(A._stage_kinds, arr)
+    st = join_stage_ops(_kinds, arr)
     out = _apply_route(gc, st, interpret)
     return (gc * np.float32(0.999) + out[0, 0] * np.float32(1e-6)) % 1.0
 

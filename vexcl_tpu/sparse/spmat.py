@@ -169,10 +169,11 @@ class SpMat:
                 fmt = "sellr" if 0 < nnz <= min(cap, 2**31 - 1) else "hyb"
                 # contract-dtype guard (VERDICT r4 #4): the reference
                 # benchmarks run `double` (examples/benchmark.cpp:353-478)
-                # but v5e has no f64 ALU and Mosaic does not compile the
-                # shuffle kernels at f64 — route f64 matrices to the XLA
-                # gather hybrid, which runs software-emulated f64
-                # correctly.  VEXTPU_SELLR_F64=1 forces SELL-R anyway
+                # but v5e has no f64 ALU and Mosaic rejects the shuffle
+                # kernels at f64 (measured on-chip r5:
+                # NotImplementedError '64-bit types are not supported')
+                # — route f64 matrices to the XLA gather hybrid, which
+                # runs software-emulated f64 correctly.  VEXTPU_SELLR_F64=1 forces SELL-R anyway
                 # (e.g. CPU interpret mode, where f64 is exact and the
                 # whole test oracle runs through it).
                 if (fmt == "sellr" and val_arr is not None
