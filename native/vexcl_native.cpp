@@ -17,6 +17,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <queue>
 #include <vector>
 
@@ -551,7 +552,37 @@ int edge_color_perm_i32(int64_t E, const int32_t* drow, int64_t seg,
     return -1;
   const int64_t nrows = E >> 7;
   const int64_t segrows = seg >> 7;
-  std::vector<int32_t> P(E), Q(E), ID(E), P2(E), Q2(E), ID2(E), npbuf(E);
+  // Reused, NON-initializing scratch: std::vector<int32_t>(E) zero-fills
+  // ~7 x 67 MB per call at the bench grid (three large calls per
+  // construction), a pure memset tax — every cell below is written
+  // before it is read (the build loop covers all E slots exactly once;
+  // the per-level partition covers each group exactly once; pairvis /
+  // orient are std::fill'ed per segment-level on 64-bit-aligned word
+  // ranges since seg % 128 == 0; segof is written at claim before read).
+  struct PermScratch {
+    std::unique_ptr<int32_t[]> i32;   // 7 planes of cap each
+    std::unique_ptr<uint64_t[]> pv, ob;
+    std::unique_ptr<int32_t[]> so;
+    int64_t cap = 0;
+    void ensure(int64_t n) {
+      if (n <= cap) return;
+      i32.reset(new int32_t[7 * n]);
+      const int64_t words = ((n >> 1) + 63) >> 6;
+      pv.reset(new uint64_t[words]);
+      ob.reset(new uint64_t[words]);
+      so.reset(new int32_t[n >> 1]);
+      cap = n;
+    }
+  };
+  static thread_local PermScratch PS;
+  PS.ensure(E);
+  int32_t* const P = PS.i32.get();
+  int32_t* const Q = P + E;
+  int32_t* const ID = P + 2 * E;
+  int32_t* const P2 = P + 3 * E;
+  int32_t* const Q2 = P + 4 * E;
+  int32_t* const ID2 = P + 5 * E;
+  int32_t* const npbuf = P + 6 * E;
   {
     // dst slot of edge p: (drow[p] << 7) | arrival-order within the row;
     // P = slot -> position, Q = position -> slot.  Validates exact
@@ -569,10 +600,6 @@ int edge_color_perm_i32(int64_t E, const int32_t* drow, int64_t seg,
       ID[p] = (int32_t)p;
     }
   }
-  const int64_t npairs = E >> 1;
-  std::vector<uint64_t> pairvis((npairs + 63) >> 6);
-  std::vector<uint64_t> orient((npairs + 63) >> 6);  // fwd bit of EVEN member
-  std::vector<int32_t> segof(npairs);  // claiming walker segment per pair
   std::vector<int32_t> ca, cb;         // parity constraints between segments
   std::vector<uint8_t> cw;
   std::vector<int32_t> dsu_p;          // parity-DSU (rank-free, path-halved)
@@ -585,16 +612,16 @@ int edge_color_perm_i32(int64_t E, const int32_t* drow, int64_t seg,
   // per level (levels-outer cost ~2x at 16.8M edges on the bench host).
   // Ping-pong buffers swap PER SEGMENT; 7 levels (odd) end in the "2"
   // arrays, copied back so the final color pass reads ID.
-  int32_t* baseP = P.data();
-  int32_t* baseQ = Q.data();
-  int32_t* baseID = ID.data();
-  int32_t* baseP2 = P2.data();
-  int32_t* baseQ2 = Q2.data();
-  int32_t* baseID2 = ID2.data();
-  int32_t* npb = npbuf.data();
-  uint64_t* pv = pairvis.data();
-  uint64_t* ob = orient.data();
-  int32_t* so = segof.data();
+  int32_t* const baseP = P;
+  int32_t* const baseQ = Q;
+  int32_t* const baseID = ID;
+  int32_t* const baseP2 = P2;
+  int32_t* const baseQ2 = Q2;
+  int32_t* const baseID2 = ID2;
+  int32_t* const npb = npbuf;
+  uint64_t* const pv = PS.pv.get();
+  uint64_t* const ob = PS.ob.get();
+  int32_t* const so = PS.so.get();
 
   for (int64_t s0 = 0; s0 < E; s0 += seg) {
     int32_t* Pa = baseP;
@@ -624,7 +651,7 @@ int edge_color_perm_i32(int64_t E, const int32_t* drow, int64_t seg,
         so[h] = s;
       };
 
-      constexpr int K = 8;
+      constexpr int K = 16;
       int32_t wpos[K], wseed[K], wseg[K];
       int64_t scanh = h0;
       int32_t nseg = 0;

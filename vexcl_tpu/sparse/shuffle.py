@@ -779,6 +779,20 @@ class SELLR:
         # tier (overflow goes to a zero-padded CSR tail).  ``premeter``:
         # stop after measuring the natural sizes (premeter_src_rows,
         # premeter_tail_nnz) used to compute the forced maxima.
+        # VEXTPU_SELLR_TIMING=1 prints per-phase construction seconds
+        # (the planner is host-bound; see docs/tpu_kernel_notes.md)
+        import time as _time
+        _tt = [_time.perf_counter()]
+        if os.environ.get("VEXTPU_SELLR_TIMING", "") == "1":
+            def _tick(label):
+                now = _time.perf_counter()
+                print(f"[sellr] {label:18s} {now - _tt[0]:7.2f} s",
+                      flush=True)
+                _tt[0] = now
+        else:
+            def _tick(label):
+                pass
+
         ptr = np.asarray(ptr, dtype=np.int64)
         col = np.asarray(col)
         val = np.asarray(val)
@@ -817,6 +831,7 @@ class SELLR:
             eval_ = val
             erow = rows_of
 
+        _tick("split")
         # ---- hot columns -> dense rank-k plane ------------------------------
         hot_min = int(os.environ.get("VEXTPU_SELLR_HOT_COL", "2048"))
         if uniform is None:
@@ -838,6 +853,7 @@ class SELLR:
             self._hot_W = to_device(Wp)
             ecol, eval_, erow = ecol[~is_hot], eval_[~is_hot], erow[~is_hot]
 
+        _tick("hot")
         # ---- destination size estimate (drives trim + balance choices) -----
         if single:
             dst_rows_est = max(1, (self.n * w + 127) // 128)
@@ -850,6 +866,7 @@ class SELLR:
         else:
             dst_rows_est = 1
 
+        _tick("estimate")
         # ---- source buckets (one 1024-element x tile each); the natural
         # layout places entries at lane = col % 128, so the two-op tile
         # gather composes without conflicts; per-(tile, lane) rank gives
@@ -921,6 +938,7 @@ class SELLR:
                         self._dup_idx = jnp.asarray(
                             dup_src.astype(np.int32))
 
+        _tick("balance+xroute")
         tl = tile_id * 128 + lane_in_tile
         rank = group_rank(tl, ntiles * 128)
         cnt_tl = np.bincount(tl, minlength=ntiles * 128)
@@ -947,6 +965,7 @@ class SELLR:
             tile_id, sub_in_tile = tile_id[ks], sub_in_tile[ks]
             lane_in_tile, rank = lane_in_tile[ks], rank[ks]
 
+        _tick("spill")
         n_clip = 0 if in_ell is None else int(len(col) - in_ell.sum())
         if premeter:
             sr = int(max(1, allow_t.sum()))
@@ -990,6 +1009,7 @@ class SELLR:
             self.tail = CSR(self.n, self.m, tptr,
                             ocol.astype(np.int32), oval)
 
+        _tick("tail")
         # ---- bucket rows & gather planes ------------------------------------
         bucket_rows = allow_t
         row_off = np.zeros(ntiles, dtype=np.int32)
@@ -1018,6 +1038,7 @@ class SELLR:
         sub_plane[src_flat] = sub_in_tile.astype(np.int32)
         sub_plane = sub_plane.reshape(src_rows, 128)
 
+        _tick("planes")
         # ---- width classes & destination slot layout -------------------------
         # Multi-class planes are stored TRANSPOSED: class k is a (w_k,
         # n_k_pad) plane with n_k padded to a multiple of 128 (row i's
@@ -1069,6 +1090,7 @@ class SELLR:
             dst_flat_e = row_base[erow] + ek * row_stride[erow]
             self._row_order = row_order
 
+        _tick("classes")
         dst_rows = max(1, (slots + 127) // 128)
         R = (uniform["R"] if uniform is not None
              else pick_R(max(src_rows, dst_rows) * 128))
@@ -1084,8 +1106,10 @@ class SELLR:
         # saved); adjacent [lane,t]/[tinv,lane]/[lane,sub,lane] passes
         # then peephole-fuse into single Pallas kernels (11 -> 5 passes
         # for a two-level route)
+        _tick("dstperm")
         lanes, stages = plan_route_free_lanes(dst, R)
         stages = fuse_stages(stages)
+        _tick("route-plan")
         lanes2 = lanes.reshape(R, 128)[:src_rows]
         try:
             from ..utils.native import plan_scatter_a
@@ -1100,6 +1124,7 @@ class SELLR:
                                 (src_rows, 128))).reshape(-1)
         lane_plane = lane_plane.reshape(src_rows, 128)
 
+        _tick("lane-plane")
         # ---- device arrays ---------------------------------------------------
         self._xpad_tiles = ntiles
         self._src_rows = src_rows
@@ -1123,6 +1148,7 @@ class SELLR:
         vflat[dst_flat_e] = eval_
         self._val = to_device(vflat.reshape(dst_rows, 128))
 
+        _tick("device")
         # scatter the per-class column sums (class-padded sorted order,
         # length Ny = sum nkp) back to natural row order: one small route
         # over Ny elements.  The same route drops the inter-class padding
@@ -1152,6 +1178,8 @@ class SELLR:
                 self._y_arrays = tuple(_as_idx(a) for a in y_arr)
                 self._y_R = Ry
                 self._y_src = Ny
+
+        _tick("yroute")
 
     @property
     def dtype(self):
