@@ -81,8 +81,12 @@ def one_trial(rng, t):
     # knob roulette: force the hot plane often, vary width sometimes
     hot = int(rng.choice([1, 8, 64, 2048]))
     os.environ["VEXTPU_SELLR_HOT_COL"] = str(hot)
+    # r5 premultiply/DMA-reduce knobs: all four combinations must agree
+    os.environ["VEXTPU_SELLR_PREMUL"] = str(int(rng.random() < 0.75))
+    os.environ["VEXTPU_SELLR_DMAR"] = str(int(rng.random() < 0.75))
     width = int(rng.integers(1, 64)) if rng.random() < 0.25 else None
-    tag = (t, n, m, style, nnz, hot, width)
+    tag = (t, n, m, style, nnz, hot, width,
+           os.environ["VEXTPU_SELLR_PREMUL"] + os.environ["VEXTPU_SELLR_DMAR"])
     x = rng.standard_normal(m).astype(np.float32)
     ref = oracle(n, m, ptr, col, val, x)
     A = SELLR(n, m, ptr, col, val, width=width)

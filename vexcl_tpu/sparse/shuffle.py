@@ -250,17 +250,29 @@ def _lslk_perm(x, ia, isub, ic, K, interpret=False):
 
 @partial(jax.jit, static_argnames=("nchunks", "chunk_rows", "interpret"))
 def _expand_gather(xt, tile_of_chunk, sub_idx, lane_idx, nchunks,
-                   chunk_rows=CHUNK_ROWS, interpret=False):
+                   chunk_rows=CHUNK_ROWS, interpret=False, vsrc=None):
     """Fetch entry values from x: chunk c reads x tile tile_of_chunk[c]
     (scalar-prefetched block index) and resolves CHUNK_ROWS x 128 entries
-    with one sublane + one lane gather per (8,128) sub-chunk."""
+    with one sublane + one lane gather per (8,128) sub-chunk.  ``vsrc``
+    (source-order value planes, premultiply path): the gathered x is
+    multiplied elementwise before the store — the VPU multiply rides the
+    gather-op-bound kernel, and vsrc zeros kill every slot that carries
+    no entry."""
+    mul = vsrc is not None
 
-    def kernel(tile_ref, x_ref, s_ref, l_ref, o_ref):
+    def kernel(tile_ref, x_ref, s_ref, l_ref, *rest):
+        if mul:
+            v_ref, o_ref = rest
+        else:
+            (o_ref,) = rest
         for k in range(chunk_rows // 8):
             s = _i32(s_ref[k * 8:(k + 1) * 8, :])
             l = _i32(l_ref[k * 8:(k + 1) * 8, :])
             g1 = jnp.take_along_axis(x_ref[:], s, axis=0)
-            o_ref[k * 8:(k + 1) * 8, :] = jnp.take_along_axis(g1, l, axis=1)
+            g2 = jnp.take_along_axis(g1, l, axis=1)
+            if mul:
+                g2 = g2 * v_ref[k * 8:(k + 1) * 8, :]
+            o_ref[k * 8:(k + 1) * 8, :] = g2
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -269,15 +281,19 @@ def _expand_gather(xt, tile_of_chunk, sub_idx, lane_idx, nchunks,
             pl.BlockSpec((8, 128), lambda i, t: (t[i], 0)),
             pl.BlockSpec((chunk_rows, 128), lambda i, t: (i, 0)),
             pl.BlockSpec((chunk_rows, 128), lambda i, t: (i, 0)),
-        ],
+        ] + ([pl.BlockSpec((chunk_rows, 128), lambda i, t: (i, 0))]
+             if mul else []),
         out_specs=pl.BlockSpec((chunk_rows, 128), lambda i, t: (i, 0)),
     )
+    args = (tile_of_chunk, xt, sub_idx, lane_idx)
+    if mul:
+        args = args + (vsrc,)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nchunks * chunk_rows, 128), xt.dtype),
         interpret=interpret,
-    )(tile_of_chunk, xt, sub_idx, lane_idx)
+    )(*args)
 
 
 # grid-overhead fix (r5): one grid step per chunk costs ~0.2 us x 4096
@@ -307,15 +323,22 @@ def _expand_F(nchunks: int, chunk_rows: int, x_rows: int,
 @partial(jax.jit, static_argnames=("nchunks", "chunk_rows", "F",
                                    "interpret"))
 def _expand_gather_vmem(xt, tile_of_chunk, sub_idx, lane_idx, nchunks,
-                        chunk_rows=CHUNK_ROWS, F=8, interpret=False):
+                        chunk_rows=CHUNK_ROWS, F=8, interpret=False,
+                        vsrc=None):
     """VMEM-resident expand: x loaded once, F chunks per grid step.
     ``tile_of_chunk`` must be padded to ceil(nchunks/F)*F entries (the
     ragged last block's extra rows gather garbage that Mosaic's
-    out-of-bounds store masking drops)."""
+    out-of-bounds store masking drops).  ``vsrc``: premultiply by the
+    source-order value planes (see _expand_gather)."""
     x_rows = xt.shape[0]
     grid = -(-nchunks // F)
+    mul = vsrc is not None
 
-    def kernel(tile_ref, x_ref, s_ref, l_ref, o_ref):
+    def kernel(tile_ref, x_ref, s_ref, l_ref, *rest):
+        if mul:
+            v_ref, o_ref = rest
+        else:
+            (o_ref,) = rest
         step = pl.program_id(0)
 
         # fori_loop keeps the Mosaic program size CONSTANT in F: the
@@ -334,9 +357,11 @@ def _expand_gather_vmem(xt, tile_of_chunk, sub_idx, lane_idx, nchunks,
                                          axis=0)
                 tiles.append(jnp.take_along_axis(
                     g1, ll[k * 8:(k + 1) * 8, :], axis=1))
-            o_ref[pl.ds(r0, chunk_rows), :] = (
-                tiles[0] if len(tiles) == 1
-                else jnp.concatenate(tiles, axis=0))
+            g = (tiles[0] if len(tiles) == 1
+                 else jnp.concatenate(tiles, axis=0))
+            if mul:
+                g = g * v_ref[pl.ds(r0, chunk_rows), :]
+            o_ref[pl.ds(r0, chunk_rows), :] = g
             return carry
 
         jax.lax.fori_loop(0, F, body, 0)
@@ -348,22 +373,26 @@ def _expand_gather_vmem(xt, tile_of_chunk, sub_idx, lane_idx, nchunks,
             pl.BlockSpec((x_rows, 128), lambda i, t: (0, 0)),
             pl.BlockSpec((F * chunk_rows, 128), lambda i, t: (i, 0)),
             pl.BlockSpec((F * chunk_rows, 128), lambda i, t: (i, 0)),
-        ],
+        ] + ([pl.BlockSpec((F * chunk_rows, 128), lambda i, t: (i, 0))]
+             if mul else []),
         out_specs=pl.BlockSpec((F * chunk_rows, 128), lambda i, t: (i, 0)),
     )
+    args = (tile_of_chunk, xt, sub_idx, lane_idx)
+    if mul:
+        args = args + (vsrc,)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nchunks * chunk_rows, 128),
                                        xt.dtype),
         interpret=interpret,
-    )(tile_of_chunk, xt, sub_idx, lane_idx)
+    )(*args)
 
 
 @partial(jax.jit, static_argnames=("nchunks", "chunk_rows", "nb", "F2",
                                    "interpret"))
 def _expand_gather_vmem_T(xt, tile_of_chunk, sub_idx, lane_idx, nchunks,
-                          chunk_rows, nb, F2, interpret=False):
+                          chunk_rows, nb, F2, interpret=False, vsrc=None):
     """VMEM-resident expand that writes its output DIRECTLY in the route's
     top-level transpose layout, retiring the route's first full-grid 't'
     pass (~0.45 ms of HBM traffic at 16.8M): out.reshape(128, nb, 128)
@@ -375,8 +404,13 @@ def _expand_gather_vmem_T(xt, tile_of_chunk, sub_idx, lane_idx, nchunks,
     """
     x_rows = xt.shape[0]
     cpb = 128 // chunk_rows          # chunks per 128-row b-tile
+    mul = vsrc is not None
 
-    def kernel(tile_ref, x_ref, s_ref, l_ref, o_ref):
+    def kernel(tile_ref, x_ref, s_ref, l_ref, *rest):
+        if mul:
+            v_ref, o_ref = rest
+        else:
+            (o_ref,) = rest
         step = pl.program_id(0)
 
         # Fully static body: the alternatives all lost (measured r5 at
@@ -404,6 +438,8 @@ def _expand_gather_vmem_T(xt, tile_of_chunk, sub_idx, lane_idx, nchunks,
                     tiles.append(jnp.take_along_axis(
                         g1, ll[k * 8:(k + 1) * 8, :], axis=1))
             gtile = jnp.concatenate(tiles, axis=0)      # (128, 128)
+            if mul:
+                gtile = gtile * v_ref[f * 128:(f + 1) * 128, :]
             # zero route-grid padding: chunks past the real count carry
             # pad-id tiles whose gathers are garbage
             nvalid = jnp.minimum(
@@ -419,15 +455,19 @@ def _expand_gather_vmem_T(xt, tile_of_chunk, sub_idx, lane_idx, nchunks,
             pl.BlockSpec((x_rows, 128), lambda i, t: (0, 0)),
             pl.BlockSpec((F2 * 128, 128), lambda i, t: (i, 0)),
             pl.BlockSpec((F2 * 128, 128), lambda i, t: (i, 0)),
-        ],
+        ] + ([pl.BlockSpec((F2 * 128, 128), lambda i, t: (i, 0))]
+             if mul else []),
         out_specs=pl.BlockSpec((128, F2, 128), lambda i, t: (0, i, 0)),
     )
+    args = (tile_of_chunk, xt, sub_idx, lane_idx)
+    if mul:
+        args = args + (vsrc,)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((128, nb, 128), xt.dtype),
         interpret=interpret,
-    )(tile_of_chunk, xt, sub_idx, lane_idx)
+    )(*args)
     return out.reshape(128 * nb, 128)
 
 
@@ -451,16 +491,17 @@ def _expand_T_params(stage_kinds, chunk_rows, x_rows, itemsize=4):
 
 
 def _run_expand(xt, tile_of_chunk, sub_idx, lane_idx, nchunks,
-                chunk_rows, interpret):
+                chunk_rows, interpret, vsrc=None):
     """Dispatch the expand gather: VMEM-resident (F chunks/step) when the
     padded x grid fits the VMEM budget, else per-chunk scalar prefetch."""
     F = _expand_F(nchunks, chunk_rows, xt.shape[0], xt.dtype.itemsize)
     if F:
         return _expand_gather_vmem(xt, tile_of_chunk, sub_idx, lane_idx,
                                    nchunks, chunk_rows=chunk_rows, F=F,
-                                   interpret=interpret)
+                                   interpret=interpret, vsrc=vsrc)
     return _expand_gather(xt, tile_of_chunk, sub_idx, lane_idx, nchunks,
-                          chunk_rows=chunk_rows, interpret=interpret)
+                          chunk_rows=chunk_rows, interpret=interpret,
+                          vsrc=vsrc)
 
 
 def _tile_T(t):
@@ -739,6 +780,142 @@ def _apply_route(x, stages, interpret):
 # ---------------------------------------------------------------------------
 # Format
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# DMA class column-sum (r5).  The premultiplied reduce (sum_i h[i, :] per
+# transposed class plane) is launch-overhead-bound as per-class XLA ops:
+# ~10 us x 50 classes = 0.5 ms against a 0.10 ms one-stream byte bound,
+# and neither halving the bytes nor the MXU moves it
+# (exp/reduce_variants_probe.py).  This kernel replaces all of them with
+# ONE pallas_call: the grid runs over output blocks; each block carries
+# scalar-prefetched (base_tile, stride_tiles, w_k, read-size code) and a
+# double-buffered DMA loop streams the w_k strided row-chunks of its
+# class plane straight from HBM (contiguous (sz, 128) row bursts).
+# Output rows beyond a class tail hold garbage — the y-route, whose
+# source layout is exactly this block-padded scratch, drops them (its
+# perm_complete maps them to trash positions >= n).  Measured 0.260 ms
+# at the 16.8M bench grid (exp/reduce_dma_proto.py).
+# ---------------------------------------------------------------------------
+
+_REDUCE_SIZES = (8, 32, 128, 256)   # static DMA read heights (tiles)
+_REDUCE_TB = _REDUCE_SIZES[-1]      # output block tiles
+_REDUCE_NBUF = 2
+
+
+@partial(jax.jit, static_argnames=("nblocks", "interpret"))
+def _class_colsum_dma(h2, prm, nblocks, interpret=False, v2=None):
+    """h2: (Mtiles, 128) grid; prm: (nblocks, 4) int32 rows
+    [base_tile, stride_tiles, w_k, size_idx].  Output block b row j =
+    sum_i h2[base + i*stride + j, :] for j < read size (garbage above).
+    ``v2`` (dst-order value planes, >= class_end + TB rows): dual-stream
+    variant — each chunk is multiplied by its value chunk before the
+    accumulate (used when the h grid is NOT premultiplied, i.e. when the
+    fused transposing expand carries x unscaled)."""
+    TB = _REDUCE_TB
+    mul = v2 is not None
+
+    def kernel(prm_ref, *refs):
+        if mul:
+            h_ref, v_ref, o_ref, buf, vbuf, sem, vsem = refs
+        else:
+            h_ref, o_ref, buf, sem = refs
+        b = pl.program_id(0)
+        base = prm_ref[b, 0]
+        stride = prm_ref[b, 1]
+        wk = prm_ref[b, 2]
+        sidx = prm_ref[b, 3]
+
+        o_ref[:, :] = jnp.zeros((TB, 128), h_ref.dtype)
+
+        def dmas(slot, i, sz):
+            out = [pltpu.make_async_copy(
+                h_ref.at[pl.ds(base + i * stride, sz), :],
+                buf.at[slot, pl.ds(0, sz), :],
+                sem.at[slot])]
+            if mul:
+                out.append(pltpu.make_async_copy(
+                    v_ref.at[pl.ds(base + i * stride, sz), :],
+                    vbuf.at[slot, pl.ds(0, sz), :],
+                    vsem.at[slot]))
+            return out
+
+        def start(slot, i):
+            for k, sz in enumerate(_REDUCE_SIZES):
+                @pl.when(sidx == k)
+                def _(sz=sz, slot=slot, i=i):
+                    for d in dmas(slot, i, sz):
+                        d.start()
+
+        def wait(slot, i):
+            for k, sz in enumerate(_REDUCE_SIZES):
+                @pl.when(sidx == k)
+                def _(sz=sz, slot=slot, i=i):
+                    for d in dmas(slot, i, sz):
+                        d.wait()
+
+        start(0, 0)
+
+        def body(i, carry):
+            slot = jax.lax.rem(i, jnp.int32(_REDUCE_NBUF))
+
+            @pl.when(i + 1 < wk)
+            def _():
+                start(jax.lax.rem(i + 1, jnp.int32(_REDUCE_NBUF)), i + 1)
+
+            wait(slot, i)
+            for k, sz in enumerate(_REDUCE_SIZES):
+                @pl.when(sidx == k)
+                def _(sz=sz, slot=slot):
+                    c = buf[slot, pl.ds(0, sz), :]
+                    if mul:
+                        c = c * vbuf[slot, pl.ds(0, sz), :]
+                    o_ref[pl.ds(0, sz), :] = o_ref[pl.ds(0, sz), :] + c
+            return carry
+
+        jax.lax.fori_loop(0, wk, body, 0)
+
+    any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[any_spec] * (2 if mul else 1),
+        out_specs=pl.BlockSpec((TB, 128), lambda i, p: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((_REDUCE_NBUF, _REDUCE_TB, 128), h2.dtype),
+        ] + ([pltpu.VMEM((_REDUCE_NBUF, _REDUCE_TB, 128), h2.dtype)]
+             if mul else []) + [
+            pltpu.SemaphoreType.DMA((_REDUCE_NBUF,)),
+        ] + ([pltpu.SemaphoreType.DMA((_REDUCE_NBUF,))] if mul else []),
+    )
+    args = (prm, h2) + ((v2,) if mul else ())
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nblocks * TB, 128), h2.dtype),
+        interpret=interpret,
+    )(*args)
+
+
+def _plan_reduce_blocks(classes):
+    """Per-block DMA params for _class_colsum_dma.  classes:
+    [(off, nk, nkp, wk)], every off and nkp a 128-multiple.  Returns
+    (prm (nblocks, 4) int32, spans [(block0, ntiles)] per class)."""
+    prm = []
+    spans = []
+    for off, nk, nkp, wk in classes:
+        tiles = nkp // 128
+        b0 = len(prm)
+        jt = 0
+        while jt < tiles:
+            rd = _REDUCE_TB
+            if tiles - jt < _REDUCE_TB:
+                rd = next(sz for sz in _REDUCE_SIZES if sz >= tiles - jt)
+            prm.append((off // 128 + jt, tiles, wk,
+                        _REDUCE_SIZES.index(rd)))
+            jt += rd
+        spans.append((b0, tiles))
+    return np.asarray(prm, np.int32), spans
 
 
 class SELLR:
@@ -1144,9 +1321,36 @@ class SELLR:
         self._stage_kinds, st_arr = split_stage_ops(stages)
         self._stage_arrays = tuple(_as_idx(a) for a in st_arr)
         self._dst_rows = dst_rows
-        vflat = np.zeros(dst_rows * 128, dtype=val.dtype)
-        vflat[dst_flat_e] = eval_
-        self._val = to_device(vflat.reshape(dst_rows, 128))
+        # premultiply (r5): permutation commutes with elementwise
+        # multiply, so the value planes can live in SOURCE order and the
+        # expand gather multiplies them in (a VPU op riding the
+        # op-bound gather) — the reduce then reads ONE array instead of
+        # two, and vsrc zeros kill every slot without an entry (route
+        # pads, spilled lanes, class padding) at the source.  Entry e
+        # sits at expand-output slot (src row, Konig color lane).
+        self._premul = (
+            self._row_order is not None
+            and np.issubdtype(val.dtype, np.floating)
+            and os.environ.get("VEXTPU_SELLR_PREMUL", "1") == "1")
+        if self._premul:
+            vsrc = np.zeros(R * 128, dtype=val.dtype)
+            vsrc[(src_flat >> 7).astype(np.int64) * 128
+                 + lanes[src_flat]] = eval_
+            self._val = to_device(vsrc.reshape(R, 128))
+        else:
+            vflat = np.zeros(dst_rows * 128, dtype=val.dtype)
+            vflat[dst_flat_e] = eval_
+            self._val = to_device(vflat.reshape(dst_rows, 128))
+        # single-pallas-call reduce: engages when the premultiplied
+        # column sums can read past each class tail into the route
+        # grid's trash region (R slack >= the largest read height)
+        self._rprm = None
+        self._rspans = None
+        if (self._premul and R >= dst_rows + _REDUCE_TB
+                and os.environ.get("VEXTPU_SELLR_DMAR", "1") == "1"):
+            rprm, self._rspans = _plan_reduce_blocks(self._classes)
+            self._rprm = jnp.asarray(rprm)
+            self._rnb = len(rprm)
 
         _tick("device")
         # scatter the per-class column sums (class-padded sorted order,
@@ -1158,7 +1362,29 @@ class SELLR:
         self._y_arrays = ()
         self._y_R = 0
         self._y_src = self.n
-        if self._row_order is not None:
+        if self._rprm is not None:
+            # DMA-reduce scratch layout: class c's sums sit flat at
+            # block0_c*TB*128 (contiguous per class), with per-block
+            # garbage beyond each class tail — the route maps the
+            # garbage to trash positions >= n (perm_complete fills the
+            # unused destinations) and the [:n] slice drops it.
+            Nys = self._rnb * _REDUCE_TB * 128
+            Ry = pick_R(Nys)
+            dst_y = np.full(Ry * 128, -1, dtype=np.int32)
+            start = 0
+            for (b0, _), (_, nk, _, _) in zip(self._rspans,
+                                              self._classes):
+                yb = b0 * _REDUCE_TB * 128
+                dst_y[yb:yb + nk] = self._row_order[
+                    start:start + nk].astype(np.int32)
+                start += nk
+            perm_complete(dst_y)
+            yops = fuse_stages(plan_route(dst_y, Ry))
+            self._y_kinds, y_arr = split_stage_ops(yops)
+            self._y_arrays = tuple(_as_idx(a) for a in y_arr)
+            self._y_R = Ry
+            self._y_src = Nys
+        elif self._row_order is not None:
             Ny = sum(nkp or nk for _, nk, nkp, _ in self._classes)
             identity = np.array_equal(self._row_order,
                                       np.arange(self.n))
@@ -1187,8 +1413,10 @@ class SELLR:
 
     def leaves(self) -> Tuple:
         out = (self._tile_of_chunk, self._sub_idx, self._lane_idx,
-               self._val) + self._stage_arrays + self._y_arrays \
-            + self._x_arrays
+               self._val)
+        if self._rprm is not None:
+            out = out + (self._rprm,)
+        out = out + self._stage_arrays + self._y_arrays + self._x_arrays
         if self._dup_idx is not None:
             out = out + (self._dup_idx,)
         if self._hot_W is not None:
@@ -1198,10 +1426,15 @@ class SELLR:
         return out
 
     def apply_leaves(self, leaves, x):
-        tile_of_chunk, sub_idx, lane_idx, vflat = leaves[:4]
+        tile_of_chunk, sub_idx, lane_idx, vleaf = leaves[:4]
+        rest = leaves[4:]
+        rprm = None
+        if self._rprm is not None:
+            rprm = rest[0]
+            rest = rest[1:]
         ns = len(self._stage_arrays)
-        stages = join_stage_ops(self._stage_kinds, leaves[4:4 + ns])
-        rest = leaves[4 + ns:]
+        stages = join_stage_ops(self._stage_kinds, rest[:ns])
+        rest = rest[ns:]
         ny = len(self._y_arrays)
         if ny:
             ystages = join_stage_ops(self._y_kinds, rest[:ny])
@@ -1215,6 +1448,10 @@ class SELLR:
             rest = rest[1:]
         interpret = config.pallas_interpret()
         n = self.n
+        if self._premul and x.dtype != vleaf.dtype:
+            # cast BEFORE the route: permutation commutes with the cast,
+            # and the premultiplied pipeline runs in the value dtype
+            x = x.astype(vleaf.dtype)
         if self._x_kinds is not None:
             # balanced source layout: duplicate the overloaded elements
             # (small static gather), pre-route x into the packed bins
@@ -1236,7 +1473,10 @@ class SELLR:
         # plain VMEM expand + XLA 't' composes fine there).
         expT = (_expand_T_params(self._stage_kinds, self._chunk_rows,
                                  xt.shape[0], xt.dtype.itemsize)
-                if self.width == 0 else None)
+                if self.width == 0
+                and os.environ.get("VEXTPU_SELLR_EXPT", "1") == "1"
+                else None)
+        vsrc = vleaf if self._premul else None
         if expT is not None:
             # fused transposing expand: emits the route's first 't' pass
             # output directly (zero-padded to the full R-row grid)
@@ -1244,33 +1484,43 @@ class SELLR:
             g = _expand_gather_vmem_T(xt, tile_of_chunk, sub_idx,
                                       lane_idx, self._nchunks,
                                       self._chunk_rows, nb, F2,
-                                      interpret=interpret)
+                                      interpret=interpret, vsrc=vsrc)
             h = _apply_route(g, stages[1:], interpret)
         else:
             g = _run_expand(xt, tile_of_chunk, sub_idx, lane_idx,
-                            self._nchunks, self._chunk_rows, interpret)
+                            self._nchunks, self._chunk_rows, interpret,
+                            vsrc=vsrc)
             if self._R > g.shape[0]:
                 g = jnp.concatenate(
                     [g, jnp.zeros((self._R - g.shape[0], 128), g.dtype)])
             h = _apply_route(g, stages, interpret)
-        hf = h.reshape(-1)
-        vf = vflat.reshape(-1)
-        # per-class dense sums; multi-class planes are transposed
-        # (wk, nkp) with 128-aligned offsets/strides so every slice and
-        # reshape is a clean tiled view (the row-major odd shapes cost
-        # ~260 s of XLA compile at 59 classes); XLA fuses multiply+reduce
-        # per plane.  nkp == 0: single-width row-major plane.
-        parts = []
-        for off, nk, nkp, wk in self._classes:
-            if nkp == 0:
-                seg = (hf[off: off + nk * wk].astype(vf.dtype)
-                       * vf[off: off + nk * wk])
-                parts.append(seg.reshape(nk, wk).sum(axis=1))
-            else:
-                seg = (hf[off: off + wk * nkp].astype(vf.dtype)
-                       * vf[off: off + wk * nkp])
-                parts.append(seg.reshape(wk, nkp).sum(axis=0))
-        y = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        if self._premul and rprm is not None:
+            # single-kernel DMA column sums in the block-padded scratch
+            # layout the y-route was planned against
+            y = _class_colsum_dma(h, rprm, self._rnb,
+                                  interpret=interpret).reshape(-1)
+        else:
+            hf = h.reshape(-1)
+            vf = vleaf.reshape(-1)
+            # per-class dense sums; multi-class planes are transposed
+            # (wk, nkp) with 128-aligned offsets/strides so every slice
+            # and reshape is a clean tiled view (the row-major odd
+            # shapes cost ~260 s of XLA compile at 59 classes); XLA
+            # fuses multiply+reduce per plane.  nkp == 0: single-width
+            # row-major plane.  Premultiplied pipelines sum hf alone.
+            parts = []
+            for off, nk, nkp, wk in self._classes:
+                if nkp == 0:
+                    seg = hf[off: off + nk * wk]
+                    if not self._premul:
+                        seg = seg.astype(vf.dtype) * vf[off: off + nk * wk]
+                    parts.append(seg.reshape(nk, wk).sum(axis=1))
+                else:
+                    seg = hf[off: off + wk * nkp]
+                    if not self._premul:
+                        seg = seg.astype(vf.dtype) * vf[off: off + wk * nkp]
+                    parts.append(seg.reshape(wk, nkp).sum(axis=0))
+            y = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         if self._y_kinds is not None:
             ypad = jnp.zeros((self._y_R * 128,), y.dtype
                              ).at[: self._y_src].set(y)
